@@ -1,0 +1,364 @@
+"""The end-to-end Spark extraction pipeline.
+
+Dataflow (SURVEY.md §3.5) — two shuffles total, no joins::
+
+    input (doc_id, spans[])                       Iceberg/Parquet scan
+      └─ explode ──────────────────────────────── span rows (narrow)
+      └─ parse: fast+full extraction per span ─── narrow (codegen or Arrow)
+      └─ groupBy(doc_id, page) ────────────────── shuffle 1 (partial agg —
+           per-page fast/full arrays + has_text     the page level IS the
+           = the OCR-fallback decision, T4)         salting of giant docs)
+      └─ groupBy(doc_id) ──────────────────────── shuffle 2
+           sort pages, flatten, renumber (T1)
+      └─ filter non-empty ─────────────────────── output (doc_id, spans[])
+
+The per-page fast→full fallback is set-based: BOTH variants are computed in
+one narrow pass and the page picks fast_arr or full_arr — the reference's
+try-fast-then-escalate loop (content_extractor.py:74-135) without a second
+scan or a join.  The two-level aggregation (page, then doc) is the explicit
+skew treatment for heavy-tailed documents: a 1000-page/50k-span document
+becomes 1000 independent page groups with map-side partial aggregation,
+never one giant reduce task (BASELINE.json north_rule "skew handled
+explicitly").
+
+Two interchangeable parse engines produce the identical `parsed` schema:
+
+* ``engine="sql"``   — pure Catalyst expressions (whole-stage codegen,
+                       zero Python).  Fastest for the string-encoded fixture
+                       payloads.
+* ``engine="arrow"`` — ``mapInArrow`` vectorized pandas batches: the shape
+                       the real byte-stream parser (PDF layout analysis /
+                       OCR) takes at 100 TB, where parsing is not
+                       SQL-expressible.  Same contract, tested for parity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+from . import contract as C
+from .functions import cleaning as X
+
+PARSED_DDL = ("doc_id string, page int, block int, "
+              "fast_kind string, fast_text string, fast_media_ref string, "
+              "full_kind string, full_text string, full_media_ref string")
+
+OUTPUT_SPAN_DDL = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
+# ---------------------------------------------------------------------------
+# stage 1 — explode the input table into span rows
+# ---------------------------------------------------------------------------
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    s = F.explode("spans").alias("s")
+    return (docs.select("doc_id", s)
+            .select("doc_id",
+                    F.expr(f"s.offset div {C.PAGE_STRIDE}").cast("int").alias("page"),
+                    F.pmod("s.offset", F.lit(C.PAGE_STRIDE)).cast("int").alias("block"),
+                    F.col("s.kind").alias("raw_kind"),
+                    F.col("s.text").alias("raw_text"),
+                    F.col("s.media_ref").alias("raw_media_ref")))
+
+
+# ---------------------------------------------------------------------------
+# stage 2a — native-Catalyst parse (fast + full variants per span)
+# ---------------------------------------------------------------------------
+
+def _null_str() -> Column:
+    return F.lit(None).cast("string")
+
+
+def parse_sql(rows: DataFrame) -> DataFrame:
+    """Per-span extraction as pure Catalyst expressions."""
+    kind = F.col("raw_kind")
+    text = F.col("raw_text")
+    mref = F.col("raw_media_ref")
+
+    # textual (pdf_text) -------------------------------------------------
+    t_clean = X.clean_text_col(text)
+    t_ok = t_clean != ""
+    t_kind = F.when(t_ok, X.classify_textual_col(t_clean))
+
+    # scan (full pipeline only) ------------------------------------------
+    s_decoded = X.decode_scan_col(text)
+    s_clean = F.when(s_decoded.isNotNull(), X.clean_text_col(s_decoded))
+    s_ok = s_clean.isNotNull() & (s_clean != "")
+    s_kind = F.when(s_ok, X.classify_textual_col(s_clean))
+
+    # html ----------------------------------------------------------------
+    h_raw = F.coalesce(text, F.lit(""))
+    h_clean = X.clean_text_col(X.strip_tags_col(h_raw))
+    h_main = (h_clean != "") & (
+        X.html_density_col(h_raw, h_clean) >= F.lit(C.HTML_DENSITY_THRESHOLD))
+    h_kind = F.when(h_main & X.html_is_heading_col(h_raw), F.lit(C.KIND_HEADING)) \
+              .when(h_main, F.lit(C.KIND_PARAGRAPH))
+
+    # table ----------------------------------------------------------------
+    tb_flat = X.flatten_table_col(text)
+    tb_ok = ~X.is_blank_col(tb_flat)
+
+    # media ----------------------------------------------------------------
+    m_alt = F.when(text.isNotNull(), X.clean_text_col(text)).otherwise(F.lit(""))
+    m_is_fig = m_alt != ""
+
+    def branch(scan_kind: Column | None, scan_text: Column | None) -> list[Column]:
+        """(kind, text, media_ref) triple for one pipeline variant."""
+        k = (F.when(kind == C.RAW_PDF_TEXT, t_kind)
+              .when(kind == C.RAW_HTML, h_kind)
+              .when(kind == C.RAW_TABLE, F.when(tb_ok, F.lit(C.KIND_TABLE)))
+              .when(kind == C.RAW_MEDIA,
+                    F.when(m_is_fig, F.lit(C.KIND_FIGURE))
+                     .otherwise(F.lit(C.KIND_MEDIA_REF))))
+        t = (F.when(kind == C.RAW_PDF_TEXT, F.when(t_ok, t_clean))
+              .when(kind == C.RAW_HTML, F.when(h_main, h_clean))
+              .when(kind == C.RAW_TABLE, F.when(tb_ok, tb_flat))
+              .when(kind == C.RAW_MEDIA, F.when(m_is_fig, m_alt)))
+        m = F.when(kind == C.RAW_MEDIA, mref)
+        if scan_kind is not None:
+            k = F.when(kind == C.RAW_PDF_SCAN, scan_kind).otherwise(k)
+            t = F.when(kind == C.RAW_PDF_SCAN, scan_text).otherwise(t)
+        else:
+            k = F.when(kind == C.RAW_PDF_SCAN, _null_str()).otherwise(k)
+            t = F.when(kind == C.RAW_PDF_SCAN, _null_str()).otherwise(t)
+        return [k, t, m]
+
+    fast = branch(None, None)
+    full = branch(F.when(s_ok, s_kind), F.when(s_ok, s_clean))
+    return rows.select(
+        "doc_id", "page", "block",
+        fast[0].alias("fast_kind"), fast[1].alias("fast_text"),
+        fast[2].alias("fast_media_ref"),
+        full[0].alias("full_kind"), full[1].alias("full_text"),
+        full[2].alias("full_media_ref"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage 2b — Arrow/pandas parse (mapInArrow): the real-parser shape
+# ---------------------------------------------------------------------------
+
+def _parse_pandas_batch(pdf):
+    """Vectorized pandas/numpy implementation of the same contract.  Runs
+    inside the Python worker on Arrow batches — no per-row Python at the
+    Spark level; `.str` ops use Python `re` semantics, matching the oracle.
+    All indexing is positional (numpy), no pandas index alignment."""
+    import numpy as np
+    import pandas as pd
+
+    from . import contract as Ct
+
+    n = len(pdf)
+    kind = pdf["raw_kind"].fillna("").to_numpy(dtype=object)
+    text_notnull = pdf["raw_text"].notna().to_numpy()
+    raw = pdf["raw_text"].fillna("").reset_index(drop=True)
+    mref = pdf["raw_media_ref"].to_numpy(dtype=object)
+
+    def clean(s: "pd.Series") -> "pd.Series":
+        s = s.str.replace(Ct.GLYPH_PATTERN, " ", regex=True)
+        s = s.str.replace(Ct.SPACE_TAB_PATTERN, " ", regex=True)
+        return s.str.replace(Ct.STRIP_PATTERN, "", regex=True)
+
+    def classify(cleaned: "pd.Series") -> "np.ndarray":
+        heads = cleaned.str.startswith(Ct.HEADING_MARKERS).to_numpy()
+        return np.where(heads, Ct.KIND_HEADING, Ct.KIND_PARAGRAPH)
+
+    out = {c: np.full(n, None, dtype=object)
+           for c in ("fast_kind", "fast_text", "fast_media_ref",
+                     "full_kind", "full_text", "full_media_ref")}
+
+    def emit(idx: "np.ndarray", kinds, texts, refs=None, fast=True, full=True):
+        targets = (["fast"] if fast else []) + (["full"] if full else [])
+        for pre in targets:
+            out[f"{pre}_kind"][idx] = kinds
+            out[f"{pre}_text"][idx] = texts
+            if refs is not None:
+                out[f"{pre}_media_ref"][idx] = refs
+
+    # pdf_text → both pipelines
+    pos = np.flatnonzero(kind == Ct.RAW_PDF_TEXT)
+    if pos.size:
+        cl = clean(raw.iloc[pos].reset_index(drop=True))
+        ok = (cl != "").to_numpy()
+        keep = pos[ok]
+        clk = cl.iloc[np.flatnonzero(ok)].reset_index(drop=True)
+        emit(keep, classify(clk), clk.to_numpy(dtype=object))
+
+    # pdf_scan → full pipeline only (T4)
+    pos = np.flatnonzero(kind == Ct.RAW_PDF_SCAN)
+    if pos.size:
+        decoded = raw.iloc[pos].map(Ct.decode_scan).reset_index(drop=True)
+        dn = decoded.notna().to_numpy()
+        cl = clean(decoded.fillna("").astype(str))
+        ok = dn & (cl != "").to_numpy()
+        keep = pos[ok]
+        clk = cl.iloc[np.flatnonzero(ok)].reset_index(drop=True)
+        emit(keep, classify(clk), clk.to_numpy(dtype=object), fast=False)
+
+    # html → boilerplate strip by text-density
+    pos = np.flatnonzero(kind == Ct.RAW_HTML)
+    if pos.size:
+        h = raw.iloc[pos].reset_index(drop=True)
+        cl = clean(h.str.replace(Ct.HTML_TAG_PATTERN, " ", regex=True))
+        hlen = h.str.len().to_numpy().astype(float)
+        dens = np.divide(cl.str.len().to_numpy(), hlen,
+                         out=np.zeros(len(pos)), where=hlen > 0)
+        main = (cl != "").to_numpy() & (dens >= Ct.HTML_DENSITY_THRESHOLD)
+        keep = pos[main]
+        sel = np.flatnonzero(main)
+        is_h = h.iloc[sel].str.contains(Ct.HTML_HEADING_PATTERN, regex=True).to_numpy()
+        kinds = np.where(is_h, Ct.KIND_HEADING, Ct.KIND_PARAGRAPH)
+        emit(keep, kinds, cl.iloc[sel].to_numpy(dtype=object))
+
+    # table_raw → canonical flattening (T6)
+    pos = np.flatnonzero(kind == Ct.RAW_TABLE)
+    if pos.size:
+        flat = raw.iloc[pos].map(Ct.flatten_table).reset_index(drop=True)
+        ok = (flat.str.strip() != "").to_numpy()
+        keep = pos[ok]
+        emit(keep, Ct.KIND_TABLE,
+             flat.iloc[np.flatnonzero(ok)].to_numpy(dtype=object))
+
+    # media → figure / media_ref (T7)
+    pos = np.flatnonzero(kind == Ct.RAW_MEDIA)
+    if pos.size:
+        alt = clean(raw.iloc[pos].reset_index(drop=True))
+        has_alt = text_notnull[pos] & (alt != "").to_numpy()
+        kinds = np.where(has_alt, Ct.KIND_FIGURE, Ct.KIND_MEDIA_REF)
+        texts = np.where(has_alt, alt.to_numpy(dtype=object), None)
+        emit(pos, kinds, texts, refs=mref[pos])
+
+    return pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(dtype=object),
+                         "page": pdf["page"].to_numpy(),
+                         "block": pdf["block"].to_numpy(), **out})
+
+
+def parse_arrow(rows: DataFrame) -> DataFrame:
+    import pyarrow as pa
+
+    import pandas as pd  # noqa: F401
+
+    target = None  # resolved lazily inside the worker from PARSED_DDL
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        schema = pa.schema([
+            pa.field("doc_id", pa.string()), pa.field("page", pa.int32()),
+            pa.field("block", pa.int32()),
+            *(pa.field(f"{p}_{c}", pa.string())
+              for p in ("fast", "full") for c in ("kind", "text", "media_ref")),
+        ])
+        for batch in batches:
+            pdf = batch.to_pandas()
+            res = _parse_pandas_batch(pdf)
+            yield pa.RecordBatch.from_pandas(res, schema=schema,
+                                             preserve_index=False)
+
+    _ = target
+    return rows.mapInArrow(fn, PARSED_DDL)
+
+
+# ---------------------------------------------------------------------------
+# stage 3 — shared assembly: fallback decision, ordering, renumbering
+# ---------------------------------------------------------------------------
+
+def assemble(parsed: DataFrame) -> DataFrame:
+    """Page-level fallback choice (T4) then doc-level reading order (T1).
+    Two-level aggregation = explicit skew salting by page."""
+    fast_s = F.when(
+        F.col("fast_kind").isNotNull(),
+        F.struct(F.col("fast_kind").alias("kind"),
+                 F.col("fast_text").alias("text"),
+                 F.col("fast_media_ref").alias("media_ref")))
+    full_s = F.when(
+        F.col("full_kind").isNotNull(),
+        F.struct(F.col("full_kind").alias("kind"),
+                 F.col("full_text").alias("text"),
+                 F.col("full_media_ref").alias("media_ref")))
+
+    page_level = (parsed.groupBy("doc_id", "page").agg(
+        F.sort_array(F.collect_list(
+            F.when(fast_s.isNotNull(), F.struct(F.col("block"), fast_s.alias("s"))))
+        ).alias("fast_arr"),
+        F.sort_array(F.collect_list(
+            F.when(full_s.isNotNull(), F.struct(F.col("block"), full_s.alias("s"))))
+        ).alias("full_arr"),
+        F.max(F.when(F.col("fast_kind").isin(*C.TEXT_KINDS), 1).otherwise(0)
+              ).alias("has_text"),
+    ))
+
+    chosen = (F.when(F.col("has_text") == 1, F.col("fast_arr"))
+               .otherwise(F.col("full_arr")))
+    page_level = page_level.select(
+        "doc_id", "page",
+        chosen.alias("page_spans"),
+        (F.lit(1) - F.col("has_text")).alias("fallback"),
+    )
+
+    doc_level = (page_level.groupBy("doc_id").agg(
+        F.flatten(F.transform(
+            F.sort_array(F.collect_list(
+                F.struct(F.col("page"), F.col("page_spans").alias("ps")))),
+            lambda x: x["ps"])).alias("flat"),
+        F.sum("fallback").alias("fallback_pages"),
+        F.count(F.lit(1)).alias("pages_in"),
+    ))
+
+    spans = F.transform(
+        F.col("flat"),
+        lambda x, i: F.struct(
+            x["s"]["kind"].alias("kind"),
+            x["s"]["text"].alias("text"),
+            x["s"]["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset")))
+    return doc_level.select(
+        "doc_id", spans.alias("spans"), "fallback_pages", "pages_in")
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+ENGINES = {"sql": parse_sql, "arrow": parse_arrow}
+
+
+def extract_documents(docs: DataFrame, engine: str = "sql") -> DataFrame:
+    """input (doc_id, spans) -> extracted (doc_id, spans) per the contract.
+    Docs with zero surviving spans are excluded (T5)."""
+    parsed = ENGINES[engine](explode_spans(docs))
+    return (assemble(parsed)
+            .filter(F.size("spans") > 0)
+            .select("doc_id", "spans"))
+
+
+def extract_with_metrics(docs: DataFrame, engine: str = "sql"
+                         ) -> tuple[DataFrame, Observation, Observation]:
+    """Same plan plus zero-extra-pass metrics via Observations
+    (docs/spans processed, OCR fallback rate — BASELINE.json:6).
+    Returns (result_df, input_obs, output_obs); observation values are
+    available after one action on result_df."""
+    in_obs = Observation("extract_input")
+    docs = docs.observe(
+        in_obs,
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum(F.when(F.size("spans") <= 0, 1).otherwise(0)).alias("empty_docs"),
+        F.sum(F.size("spans")).alias("spans_in"),
+    )
+    parsed = ENGINES[engine](explode_spans(docs))
+    doc_level = assemble(parsed)
+    out_obs = Observation("extract_output")
+    doc_level = doc_level.observe(
+        out_obs,
+        F.count(F.lit(1)).alias("docs_converted"),
+        F.sum(F.when(F.size("spans") > 0, 1).otherwise(0)).alias("docs_out"),
+        F.sum(F.size("spans")).alias("spans_out"),
+        F.sum("fallback_pages").alias("fallback_pages"),
+        F.sum("pages_in").alias("pages_in"),
+        F.sum(F.when(F.col("fallback_pages") > 0, 1).otherwise(0)
+              ).alias("fallback_docs"),
+    )
+    result = (doc_level.filter(F.size("spans") > 0)
+              .select("doc_id", "spans"))
+    return result, in_obs, out_obs

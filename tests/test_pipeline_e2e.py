@@ -1,0 +1,82 @@
+"""End-to-end golden tests: Spark pipeline (both engines) vs the pure-Python
+oracle — span-sequence equality (kind, text, media_ref, order) per document
+(BASELINE.json:14-15)."""
+
+import pytest
+
+from document_processor_spark import fixtures, oracle, pipeline
+from tests.conftest import collect_spans
+
+
+@pytest.fixture(scope="module")
+def input_df(spark, corpus):
+    rows = [(d["doc_id"],
+             [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+            for d in corpus]
+    return spark.createDataFrame(rows, schema=fixtures.INPUT_DDL) \
+                .repartition(8, "doc_id")
+
+
+@pytest.mark.parametrize("engine", ["sql", "arrow"])
+def test_e2e_matches_oracle(spark, input_df, golden, engine):
+    expected, _ = golden
+    got = collect_spans(pipeline.extract_documents(input_df, engine=engine))
+    assert set(got) == set(expected)
+    for doc_id in expected:
+        assert got[doc_id] == expected[doc_id], doc_id
+
+
+def test_engines_agree(spark, input_df):
+    a = collect_spans(pipeline.extract_documents(input_df, engine="sql"))
+    b = collect_spans(pipeline.extract_documents(input_df, engine="arrow"))
+    assert a == b
+
+
+def test_output_schema(spark, input_df):
+    out = pipeline.extract_documents(input_df)
+    assert out.schema.simpleString() == (
+        "struct<doc_id:string,spans:array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>>")
+
+
+def test_metrics_match_oracle(spark, input_df, golden):
+    _, om = golden
+    result, in_obs, out_obs = pipeline.extract_with_metrics(input_df)
+    n_out = result.count()  # one action materializes both observations
+    iv, ov = in_obs.get, out_obs.get
+    assert iv["docs_in"] == om.docs_in
+    assert ov["docs_out"] == om.docs_out == n_out
+    assert ov["spans_out"] == om.spans_out
+    assert ov["fallback_pages"] == om.fallback_pages
+    assert ov["fallback_docs"] == om.fallback_docs
+    assert ov["pages_in"] == om.pages_in
+    assert iv["docs_in"] - ov["docs_out"] == om.skipped_docs
+
+
+def test_skew_doc_salted_assembly(spark):
+    """FIXTURES.md §4 skew doc: 1000 pages / 50k spans through the two-level
+    (page → doc) assembly; exact equality with the oracle."""
+    docs = [fixtures._skew_doc(42, pages=300, spans_per_page=50)]
+    expected, _ = oracle.extract_corpus(docs)
+    rows = [(d["doc_id"],
+             [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+            for d in docs]
+    df = spark.createDataFrame(rows, schema=fixtures.INPUT_DDL)
+    got = collect_spans(pipeline.extract_documents(df))
+    assert got == expected
+    assert len(got["doc-edge-skew"]) > 10_000
+
+
+@pytest.mark.parametrize("seed", [7, 99])
+def test_property_other_seeds(spark, seed):
+    """Property-style: different seeds, same invariants + oracle equality."""
+    docs = fixtures.generate_corpus(0.0005, seed=seed, include_skew=False)
+    expected, _ = oracle.extract_corpus(docs)
+    rows = [(d["doc_id"],
+             [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+            for d in docs]
+    df = spark.createDataFrame(rows, schema=fixtures.INPUT_DDL)
+    got = collect_spans(pipeline.extract_documents(df))
+    assert got == expected
+    for seq in got.values():
+        assert [s[3] for s in seq] == list(range(len(seq)))
