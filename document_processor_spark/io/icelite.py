@@ -1,0 +1,170 @@
+"""IceLite — a thin Iceberg-semantics table layer over partitioned Parquet.
+
+The sandbox ships no Iceberg runtime jar (SURVEY.md §7 step 6), so this shim
+preserves the *observable semantics* the north rule requires — snapshot per
+commit, per-partition lineage + extraction metrics, checkpoint resume,
+snapshot-isolated reads — behind an interface a real cluster swaps for
+`spark.read.table(...)` / `df.writeTo(...).append()` on actual Iceberg.
+
+Layout::
+
+    <root>/<table>/
+        data/snap-<id>/part=<k>/*.parquet     immutable data files per commit
+        meta/v<id>.json                        snapshot manifest
+        meta/CURRENT                           pointer to latest snapshot id
+
+Commit protocol (single-writer, crash-safe): data files are fully written
+BEFORE the manifest; the manifest is written to a temp file and atomically
+renamed; CURRENT is updated last.  A crash mid-write leaves orphan data files
+that no manifest references — invisible to readers, exactly Iceberg's model.
+Readers list data directories from manifests only, never by globbing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PART_COL = "part"
+
+
+def with_part(df: DataFrame, n_parts: int, key: str = "doc_id") -> DataFrame:
+    """Stateless bucketing of documents into n_parts partitions (the fixture
+    analog of Iceberg's bucket(doc_id) transform, FIXTURES.md §1)."""
+    return df.withColumn(PART_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(n_parts)).cast("int"))
+
+
+class IceLite:
+    def __init__(self, root: str | os.PathLike, table: str):
+        self.root = Path(root)
+        self.dir = self.root / table
+        self.meta = self.dir / "meta"
+        self.data = self.dir / "data"
+        self.meta.mkdir(parents=True, exist_ok=True)
+        self.data.mkdir(parents=True, exist_ok=True)
+
+    # -- snapshot bookkeeping ------------------------------------------------
+
+    def current_snapshot_id(self) -> int:
+        cur = self.meta / "CURRENT"
+        if not cur.exists():
+            return 0
+        return int(cur.read_text().strip())
+
+    def snapshots(self) -> list[dict]:
+        out = []
+        for i in range(1, self.current_snapshot_id() + 1):
+            p = self.meta / f"v{i}.json"
+            if p.exists():
+                out.append(json.loads(p.read_text()))
+        return out
+
+    def committed_partitions(self) -> set[int]:
+        done: set[int] = set()
+        for s in self.snapshots():
+            done.update(int(k) for k in s["partitions"])
+        return done
+
+    # -- write path -----------------------------------------------------------
+
+    def append(self, df: DataFrame, run_id: str,
+               metrics: dict[int, dict] | None = None,
+               partitions: list[int] | None = None,
+               extra: dict | None = None) -> dict:
+        """Commit one snapshot: write data files, then the manifest, then
+        advance CURRENT (each step atomic, in that order).
+
+        `partitions` is the checkpoint unit being committed; it may be a
+        superset of the partition dirs actually written (a bucket whose every
+        document was skipped produces no data file but IS done — it must not
+        be reprocessed on resume)."""
+        sid = self.current_snapshot_id() + 1
+        rel = f"snap-{sid:06d}"
+        out_dir = self.data / rel
+        (df.write.mode("errorifexists")
+           .partitionBy(PART_COL)
+           .parquet(str(out_dir)))
+        if partitions is not None:
+            parts = sorted(partitions)
+        else:
+            parts = sorted(int(p.name.split("=")[1])
+                           for p in out_dir.glob(f"{PART_COL}=*"))
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": sid - 1 if sid > 1 else None,
+            "run_id": run_id,
+            "committed_at": time.time(),
+            "data_dir": rel,
+            "partitions": {str(p): (metrics or {}).get(p, {}) for p in parts},
+            **(extra or {}),
+        }
+        tmp = self.meta / f".v{sid}.json.{uuid.uuid4().hex}.tmp"
+        tmp.write_text(json.dumps(manifest, indent=2))
+        os.replace(tmp, self.meta / f"v{sid}.json")
+        tmp_cur = self.meta / f".CURRENT.{uuid.uuid4().hex}.tmp"
+        tmp_cur.write_text(str(sid))
+        os.replace(tmp_cur, self.meta / "CURRENT")
+        return manifest
+
+    def update_metrics(self, snapshot_id: int, metrics: dict[int, dict]) -> None:
+        """Fill per-partition metrics on an already-committed manifest
+        (atomic rewrite).  Kept separate from append() so the data commit —
+        the correctness-critical step — never waits on metric aggregation."""
+        p = self.meta / f"v{snapshot_id}.json"
+        manifest = json.loads(p.read_text())
+        for part, m in metrics.items():
+            manifest["partitions"][str(part)] = m
+        tmp = self.meta / f".v{snapshot_id}.json.{uuid.uuid4().hex}.tmp"
+        tmp.write_text(json.dumps(manifest, indent=2))
+        os.replace(tmp, p)
+
+    # -- read path ------------------------------------------------------------
+
+    def read_snapshot(self, spark: SparkSession, snapshot_id: int) -> DataFrame | None:
+        """Read exactly one snapshot's data files (None if the commit wrote
+        no rows)."""
+        for s in self.snapshots():
+            if s["snapshot_id"] == snapshot_id:
+                d = self.data / s["data_dir"]
+                if d.exists() and any(d.glob(f"{PART_COL}=*")):
+                    return spark.read.option("basePath", str(d)).parquet(str(d))
+                return None
+        raise KeyError(f"snapshot {snapshot_id} not found in {self.dir}")
+
+    def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
+        """Snapshot-isolated read: only data directories referenced by
+        committed manifests (≤ as_of) are scanned."""
+        snaps = self.snapshots()
+        if as_of is not None:
+            snaps = [s for s in snaps if s["snapshot_id"] <= as_of]
+        if not snaps:
+            raise FileNotFoundError(f"no committed snapshots in {self.dir}")
+        # each snapshot dir is its own partitioned dataset (part=k subdirs);
+        # empty commits (no surviving docs) have no data files and are skipped
+        dfs = []
+        for s in snaps:
+            d = self.data / s["data_dir"]
+            if d.exists() and any(d.glob(f"{PART_COL}=*")):
+                dfs.append(spark.read.option("basePath", str(d)).parquet(str(d)))
+        if not dfs:
+            raise FileNotFoundError(f"no data files in committed snapshots of {self.dir}")
+        out = dfs[0]
+        for other in dfs[1:]:
+            out = out.unionByName(other)
+        return out
+
+    def lineage(self) -> list[dict]:
+        """Flat per-(snapshot, partition) lineage/metrics rows
+        (FIXTURES.md §5)."""
+        rows = []
+        for s in self.snapshots():
+            for p, m in s["partitions"].items():
+                rows.append({"snapshot_id": s["snapshot_id"], "run_id": s["run_id"],
+                             "partition": int(p), **m})
+        return rows
