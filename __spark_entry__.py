@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: the full extraction pipeline over the
+                 deterministic fixture corpus (FIXTURES.md) at small scale.
+queries()      — one entry per implemented operator (SURVEY.md §2 +
+                 training-data ops), each (spark, sf_dir) -> DataFrame.
+oracle_sql()   — DuckDB-equivalent SQL per query (omitted only for
+                 non-SQL-expressible pipeline ops -> rows-only check).
 """
 
 from __future__ import annotations
@@ -13,26 +14,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from document_processor_spark.operators.registry import all_queries
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: run the extraction pipeline (native-Catalyst engine) on the
+    deterministic fixture corpus and return exploded spans."""
+    from pyspark.sql import functions as F
+
+    from document_processor_spark import fixtures, pipeline
+    docs = fixtures.corpus_df(spark, 0.001, include_skew=False, n_partitions=8)
+    out = pipeline.extract_documents(docs, engine="sql")
+    return out.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in all_queries().items()
+            if sql is not None}

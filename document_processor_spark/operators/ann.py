@@ -1,0 +1,144 @@
+"""Approximate-nearest-neighbor search over the embedding column.
+
+Baseline: brute-force cosine top-k (exact) — window rank over the
+query×corpus score matrix.  Scale path: random-hyperplane LSH bucketing —
+each vector hashes to a small signature; only same-bucket pairs are scored,
+so the join is bucket-local (shuffle on the bucket key, AQE splits hot
+buckets).  At 100 TB the corpus side would additionally be IVF-partitioned
+by coarse centroid; the bucket-join shape below is the same.
+
+Determinism: hyperplanes are a fixed integer pattern (no RNG), cosine is an
+exact-order double fold, ranks tie-break on vec_id — bit-identical with the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .dedup import _SQL_DOT, _SQL_NORM, _dbl, _dot, _norm
+
+TOP_K = 5
+QUERY_MOD = 50          # vec_id % 50 == 0 → query set
+N_PLANES = 4            # 16 LSH buckets
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id", _dbl("embedding").alias("v")))
+
+
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0) \
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    # corpus side is the big side; the query side broadcasts
+    pairs = (e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "vec_id",
+                     (_dot(F.col("qv"), F.col("v"))
+                      / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("cos")))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "vec_id",
+                    F.col("rank").cast("bigint").alias("rank"),
+                    F.round("cos", 6).alias("cosine")))
+
+
+SQL_ANN_BRUTEFORCE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
+pairs AS (
+  SELECT q.query_id, e.vec_id,
+         {_SQL_DOT.format(a="q.qv", b="e.v")}
+           / ({_SQL_NORM.format(a="q.qv")} * {_SQL_NORM.format(a="e.v")}) AS cos
+  FROM e JOIN q ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# -- LSH-bucketed variant ---------------------------------------------------------
+
+def _bucket_expr(v):
+    """Deterministic random-hyperplane signature: plane j has components
+    h_j[i] = ((i*31 + j*17) % 7) - 3; bucket bit j = sign of <v, h_j>."""
+    bits = []
+    for j in range(N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(v, F.sequence(F.lit(0), F.lit(63)),
+                       lambda x, i: x * (((i * 31 + j * 17) % 7) - 3).cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: candidates restricted to the query's LSH bucket, then
+    exact cosine rank within bucket."""
+    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("v")))
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0) \
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                 F.col("bucket"))
+    pairs = (e.join(F.broadcast(q), "bucket")
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "vec_id",
+                     (_dot(F.col("qv"), F.col("v"))
+                      / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("cos")))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "vec_id",
+                    F.col("rank").cast("bigint").alias("rank"),
+                    F.round("cos", 6).alias("cosine")))
+
+
+def _sql_bucket(v: str) -> str:
+    terms = []
+    for j in range(N_PLANES):
+        proj = (f"list_reduce(list_transform(generate_series(1, 64), "
+                f"i -> {v}[i] * ((((i-1)*31 + {j}*17) % 7) - 3)), (x,y) -> x+y)")
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END")
+    return " + ".join(terms)
+
+
+SQL_ANN_LSH = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_sql_bucket("(embedding::DOUBLE[])")} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e
+      WHERE vec_id % {QUERY_MOD} = 0),
+pairs AS (
+  SELECT q.query_id, e.vec_id,
+         {_SQL_DOT.format(a="q.qv", b="e.v")}
+           / ({_SQL_NORM.format(a="q.qv")} * {_SQL_NORM.format(a="e.v")}) AS cos
+  FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+QUERIES = {
+    "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
+}

@@ -1,0 +1,324 @@
+"""Deduplication operators over the `documents` corpus — the training-data
+pipeline ops a 100 TB ingest needs (exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup).
+
+Spark-first design notes (what survives a 1000-executor scale-up):
+
+* exact dedup: one hash-shuffle on md5(text) with map-side partial agg.
+* MinHash+LSH: signatures are per-doc (narrow); the candidate join is on
+  (band, minhash) buckets — only documents sharing a bucket ever meet, so
+  the join fan-out is bounded by bucket size, not corpus size; AQE splits
+  skewed buckets.
+* n-gram Jaccard here is scoped to (source, lang) groups: the all-pairs
+  verify is what MinHash avoids at scale — kept as the small-side oracle.
+* SimHash: 16-bit signatures via bit-vote aggregation, pairs by signature
+  bucket then Hamming verify (bit_count(xor)).
+* embedding near-dup: exact-order double fold for bit-identical parity with
+  the DuckDB oracle (same left-to-right summation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_BANDS = 8
+MINHASH_JACCARD_T = 0.5
+NGRAM_JACCARD_T = 0.3
+SIMHASH_BITS = 16
+SIMHASH_HAMMING_T = 2
+# max pairwise cosine in the synthetic embeddings is ~0.51; 0.4 marks the
+# top tail as "near-dup" so the operator has a non-trivial result to verify
+COSINE_T = 0.4
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# -- exact dedup ---------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (d.groupBy(F.md5("text").alias("content_hash"))
+            .agg(F.min("doc_id").alias("keeper_doc_id"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_docs
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# -- shingles (shared by minhash + jaccard) --------------------------------------
+
+def _shingles_col():
+    """Distinct 3-word shingles of the text, [] when under 3 words."""
+    arr = F.split("text", " ", -1)
+    return F.when(
+        F.size(arr) >= 3,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(arr, i),
+                                  F.element_at(arr, i + 1),
+                                  F.element_at(arr, i + 2))))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_SQL_SHINGLES = """
+  SELECT doc_id,
+         CASE WHEN len(string_split(text,' ')) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 2),
+                     i -> string_split(text,' ')[i] || ' ' ||
+                          string_split(text,' ')[i+1] || ' ' ||
+                          string_split(text,' ')[i+2]))
+              ELSE [] END AS shingles
+  FROM documents
+"""
+
+
+# -- MinHash + LSH near-dup --------------------------------------------------------
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shingle → per-band minhash → bucket-join candidates → exact Jaccard
+    verify.  min(md5(band || shingle)) is the lexicographic minhash; bands
+    are independent permutations via the seed prefix."""
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", _shingles_col().alias("shingles")) \
+          .filter(F.size("shingles") > 0)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    bands = exploded.select(
+        "doc_id", "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"))
+    sig = (bands.groupBy("doc_id", "band")
+           .agg(F.min(F.md5(F.concat_ws(":", F.col("band"), F.col("sh"))))
+                .alias("mh")))
+    cand = (sig.alias("a").join(sig.alias("b"), ["band", "mh"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .distinct())
+    j = (cand.join(sh.select(F.col("doc_id").alias("d1"),
+                             F.col("shingles").alias("s1")), "d1")
+         .join(sh.select(F.col("doc_id").alias("d2"),
+                         F.col("shingles").alias("s2")), "d2"))
+    inter = F.size(F.array_intersect("s1", "s2"))
+    union = F.size("s1") + F.size("s2") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (j.select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= MINHASH_JACCARD_T))
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0),
+exploded AS (SELECT doc_id, unnest(shingles) AS s FROM nonempty),
+bands AS (
+  SELECT doc_id, s, unnest(generate_series(0, {N_BANDS - 1})) AS band
+  FROM exploded
+),
+sig AS (
+  SELECT doc_id, band, min(md5(band || ':' || s)) AS mh
+  FROM bands GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM sig a JOIN sig b USING (band, mh)
+  WHERE a.doc_id < b.doc_id
+),
+j AS (
+  SELECT c.d1, c.d2,
+         len(list_intersect(x.shingles, y.shingles)) AS inter,
+         len(x.shingles) + len(y.shingles)
+           - len(list_intersect(x.shingles, y.shingles)) AS un
+  FROM cand c
+  JOIN nonempty x ON x.doc_id = c.d1
+  JOIN nonempty y ON y.doc_id = c.d2
+)
+SELECT d1, d2, round(CAST(inter AS DOUBLE) / CAST(un AS DOUBLE), 4) AS jaccard
+FROM j
+WHERE round(CAST(inter AS DOUBLE) / CAST(un AS DOUBLE), 4) >= {MINHASH_JACCARD_T}
+"""
+
+
+# -- n-gram Jaccard within (source, lang) groups ------------------------------------
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", "source", "lang", _shingles_col().alias("shingles")) \
+          .filter(F.size("shingles") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (a.join(b, ["source", "lang"])
+             .filter(F.col("a.doc_id") < F.col("b.doc_id")))
+    inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
+    union = F.size("a.shingles") + F.size("b.shingles") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (pairs.select(F.col("a.doc_id").alias("d1"),
+                         F.col("b.doc_id").alias("d2"),
+                         F.round(jac, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= NGRAM_JACCARD_T))
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, source, lang,
+         CASE WHEN len(string_split(text,' ')) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 2),
+                     i -> string_split(text,' ')[i] || ' ' ||
+                          string_split(text,' ')[i+1] || ' ' ||
+                          string_split(text,' ')[i+2]))
+              ELSE [] END AS shingles
+  FROM documents
+),
+nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         len(list_intersect(a.shingles, b.shingles)) AS inter,
+         len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)) AS un
+  FROM nonempty a JOIN nonempty b USING (source, lang)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT d1, d2, round(CAST(inter AS DOUBLE) / CAST(un AS DOUBLE), 4) AS jaccard
+FROM pairs
+WHERE round(CAST(inter AS DOUBLE) / CAST(un AS DOUBLE), 4) >= {NGRAM_JACCARD_T}
+"""
+
+
+# -- SimHash --------------------------------------------------------------------------
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per distinct word, a 16-bit hash from the first 4 hex
+    digits of md5(word); per bit, majority vote across words; signature =
+    sum of winning bits."""
+    d = _docs(spark, sf_dir)
+    words = (d.select("doc_id",
+                      F.explode(F.array_distinct(F.split("text", " ", -1)))
+                      .alias("w")))
+    hexpos = lambda k: (F.instr(F.lit("0123456789abcdef"),  # noqa: E731
+                                F.substring(F.md5("w"), k + 1, 1)) - 1)
+    h16 = (hexpos(0) * 4096 + hexpos(1) * 256 + hexpos(2) * 16 + hexpos(3))
+    bits = (words.select("doc_id", h16.alias("h"),
+                         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)))
+                         .alias("b")))
+    votes = (bits.groupBy("doc_id", "b")
+             .agg(F.sum(F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1))
+                  .alias("vote")))
+    return (votes.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("vote") > 0,
+                              F.expr("CAST(1 AS BIGINT) << b")).otherwise(0))
+                 .alias("simhash")))
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text,' '))) AS w
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substr(md5(w),1,1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substr(md5(w),2,1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(md5(w),3,1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5(w),4,1)) - 1) AS hv
+  FROM words
+),
+bits AS (
+  SELECT doc_id, hv, unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b FROM h
+),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN vote > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ T (bit_count(xor))."""
+    sig = q_dedup_simhash(spark, sf_dir)
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.expr(f"bit_count(a.simhash ^ b.simhash)")
+    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("d1"),
+                    F.col("b.doc_id").alias("d2"),
+                    ham.cast("bigint").alias("hamming"))
+            .filter(F.col("hamming") <= SIMHASH_HAMMING_T))
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH sig AS ({SQL_DEDUP_SIMHASH})
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_T}
+"""
+
+
+# -- embedding-cosine near-dup -----------------------------------------------------
+
+def _dbl(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+_SQL_DOT = ("list_reduce(list_transform(generate_series(1, len({a})), "
+            "i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+_SQL_NORM = ("sqrt(list_reduce(list_transform({a}, v -> v * v), "
+             "(x, y) -> x + y))")
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    pairs = (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("v1"),
+                     F.col("b.vec_id").alias("v2"),
+                     cos.alias("cos")))
+    return (pairs.filter(F.col("cos") >= COSINE_T)
+            .select("v1", "v2", F.round("cos", 6).alias("cosine")))
+
+
+SQL_DEDUP_EMBEDDING_COSINE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         {_SQL_DOT.format(a="a.v", b="b.v")}
+           / ({_SQL_NORM.format(a="a.v")} * {_SQL_NORM.format(a="b.v")}) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT v1, v2, round(cos, 6) AS cosine
+FROM pairs WHERE cos >= {COSINE_T}
+"""
+
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
+}

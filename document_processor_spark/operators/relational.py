@@ -1,0 +1,187 @@
+"""Relational + event-stream operator coverage on the TPC-H-ish tables.
+
+The reference has no relational engine (SURVEY.md §2.2) — these queries
+prove the new engine's general operator surface: scan/filter/project
+pushdown, partial+final aggregation, broadcast joins, window functions,
+top-k, and gap-based sessionization (the batch analog of session windows).
+
+Float discipline: double columns are cast to DECIMAL before SUM so the
+result is independent of partial-aggregation order (Spark) vs sequential
+order (DuckDB) — then cast back to double for a stable comparable output.
+Time discipline: only timestamp *differences* are used (timezone-free);
+no epoch or date_trunc calls that depend on the session timezone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+SESSION_GAP_S = 1800
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# -- TPC-H Q1-style aggregation -----------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(dq).cast("double").alias("sum_qty"),
+                 F.sum(dp).cast("double").alias("sum_base_price"),
+                 F.sum(dp * (F.lit(1).cast("decimal(18,2)") - dd))
+                  .cast("double").alias("sum_disc_price"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- broadcast dimension join ----------------------------------------------------
+
+def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment: lineitem ⋈ orders ⋈ broadcast(customer).
+    The dims broadcast (no shuffle of the fact table for the join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    return (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.countDistinct("o_orderkey").alias("n_orders")))
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# -- deterministic top-k -----------------------------------------------------------
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (o.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select(F.col("rank").cast("bigint").alias("rank"),
+                    "o_orderkey", "o_totalprice", "o_orderpriority"))
+
+
+SQL_TOP_ORDERS = """
+SELECT rank, o_orderkey, o_totalprice, o_orderpriority FROM (
+  SELECT o_orderkey, o_totalprice, o_orderpriority,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 10
+"""
+
+
+# -- gap-based sessionization (batch analog of session windows) ---------------------
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # microsecond precision: second-level diffs truncate differently across
+    # engines on sub-second timestamps
+    gap = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    ev = ev.withColumn("prev_ts", prev)
+    new_sess = F.when(prev.isNull() | (gap > SESSION_GAP_S * 1_000_000),
+                      1).otherwise(0)
+    sess = (ev.withColumn("new_sess", new_sess)
+            .withColumn("session_seq",
+                        F.sum("new_sess").over(
+                            w.rowsBetween(W.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id")
+            .agg(F.max("session_seq").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+SQL_SESSIONIZE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap
+  FROM events
+),
+flags AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN gap IS NULL OR gap > {SESSION_GAP_S}::BIGINT * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM g
+),
+sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flags
+)
+SELECT user_id, max(session_seq) AS n_sessions, count(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+# -- tumbling-window aggregation (timezone-free bucketing) ---------------------------
+
+def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling counts per event_type, bucketed by seconds since the
+    corpus min(ts) — timezone-free, identical in any engine."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.agg(F.min("ts").alias("t0"))
+    bucket = F.floor(F.expr("timestampdiff(MICROSECOND, t0, ts)")
+                     / 3_600_000_000.0)
+    return (ev.crossJoin(F.broadcast(m))
+            .groupBy(bucket.cast("bigint").alias("hour_bucket"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                  .cast("double").alias("sum_value")))
+
+
+SQL_TUMBLING_HOURLY = f"""
+WITH m AS (SELECT min(ts) AS t0 FROM events)
+SELECT CAST(floor(date_diff('microsecond', m.t0, ts) / 3600000000.0) AS BIGINT) AS hour_bucket,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events, m
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "rel_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "rel_segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
+    "rel_top_orders": (q_top_orders, SQL_TOP_ORDERS),
+    "rel_sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "rel_tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING_HOURLY),
+}

@@ -1,0 +1,180 @@
+"""Text-analysis operators for the training-data pipeline: language ID
+(stopword n-gram heuristic), quality scoring, token counting, document
+fingerprinting.  All pure Catalyst expressions (codegen, no UDF) with exact
+DuckDB oracles — the arithmetic uses identical operation order on both
+sides, so results are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "fr": ["le", "la", "les", "et", "une", "des"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "es": ["el", "los", "las", "y", "una", "por"],
+}
+_LANG_PRIORITY = ["en", "fr", "de", "es"]
+
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _count_occurrences(padded, word: str):
+    """# of occurrences of ' word ' in the padded text — pure integer math
+    (length difference / needle length), identical in any engine."""
+    needle = f" {word} "
+    return ((F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+            / F.lit(len(needle))).cast("bigint")
+
+
+def _sql_count(padded: str, word: str) -> str:
+    needle = f" {word} "
+    return (f"CAST((length({padded}) - length(replace({padded}, '{needle}', '')))"
+            f" / {len(needle)} AS BIGINT)")
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with a fixed priority tie-break."""
+    d = _docs(spark, sf_dir)
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    scores = {lang: sum((_count_occurrences(padded, w) for w in ws[1:]),
+                        _count_occurrences(padded, ws[0]))
+              for lang, ws in STOPWORDS.items()}
+    pred = F
+    expr = None
+    for lang in _LANG_PRIORITY:
+        cond = None
+        for other in _LANG_PRIORITY:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = (F.when(cond, F.lit(lang)) if expr is None
+                else expr.when(cond, F.lit(lang)))
+    cols = [F.col("doc_id")]
+    cols += [scores[lang].alias(f"score_{lang}") for lang in _LANG_PRIORITY]
+    cols += [expr.otherwise(F.lit("und")).alias("pred_lang")]
+    return d.select(*cols)
+
+
+def _sql_langid() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    score = {lang: " + ".join(_sql_count(padded, w) for w in ws)
+             for lang, ws in STOPWORDS.items()}
+    whens = []
+    for lang in _LANG_PRIORITY:
+        conds = " AND ".join(
+            f"({score[lang]}) >= ({score[o]})"
+            for o in _LANG_PRIORITY if o != lang)
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    score_cols = ",\n       ".join(
+        f"({score[lang]}) AS score_{lang}" for lang in _LANG_PRIORITY)
+    return f"""
+SELECT doc_id,
+       {score_cols},
+       CASE {' '.join(whens)} ELSE 'und' END AS pred_lang
+FROM documents
+"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality score (the classic
+    web-corpus filters), one pass, exact arithmetic."""
+    d = _docs(spark, sf_dir)
+    n_chars = F.length("text").cast("double")
+    words = F.split("text", " ", -1)
+    n_words = F.size(words).cast("double")
+    punct = (F.length("text")
+             - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))).cast("double")
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    stop = sum((_count_occurrences(padded, w) for w in STOPWORDS["en"][1:]),
+               _count_occurrences(padded, STOPWORDS["en"][0])).cast("double")
+    avg_wlen = (n_chars - (n_words - 1)) / n_words
+    punct_ratio = punct / n_chars
+    stop_ratio = stop / n_words
+    score = (F.lit(0.4) * F.least(n_words / F.lit(100.0), F.lit(1.0))
+             + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+             + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))))
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(avg_wlen, 4).alias("avg_word_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"))
+
+
+def _sql_quality() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    stop = " + ".join(_sql_count(padded, w) for w in STOPWORDS["en"])
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+         CAST({stop} AS DOUBLE) AS stop
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round((n_chars - (n_words - 1)) / n_words, 4) AS avg_word_len,
+       round(punct / n_chars, 4) AS punct_ratio,
+       round(stop / n_words, 4) AS stopword_ratio,
+       round(0.4 * least(n_words / 100.0, 1.0)
+           + 0.3 * least((stop / n_words) * 5, 1.0)
+           + 0.3 * (1.0 - least((punct / n_chars) * 10, 1.0)), 4) AS quality_score
+FROM q
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0))
+         .cast("bigint").alias("bpe_ish_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"))
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS bpe_ish_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant document fingerprint: md5 over the sorted distinct
+    lower-cased vocabulary — the cheap canonical-content hash."""
+    d = _docs(spark, sf_dir)
+    vocab = F.array_sort(F.array_distinct(F.split(F.lower("text"), " ", -1)))
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(vocab, " ")).alias("fingerprint"),
+        F.size(vocab).cast("bigint").alias("vocab_size"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
+       CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS vocab_size
+FROM documents
+"""
+
+
+QUERIES = {
+    "ta_langid": (q_langid, _sql_langid()),
+    "ta_quality": (q_quality, _sql_quality()),
+    "ta_token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "ta_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+}

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's correctness gate: run each __spark_entry__
+queries()[name] on Spark and oracle_sql()[name] on DuckDB over the same
+parquet tables, compare row count, column names, and order-insensitive
+values.
+
+Usage: python tools/check_correctness.py [--sf-dir /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(bool(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(normalize(x) for x in v) + "]"
+    return str(v)
+
+
+def row_key(row, cols):
+    return tuple(normalize(row[c]) for c in cols)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from document_processor_spark.session import build_spark
+
+    spark = build_spark(app="check-correctness", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{args.sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.names or list(qs)
+    failures = 0
+    for name in names:
+        fn = qs[name]
+        try:
+            sdf = fn(spark, args.sf_dir)
+            srows = sdf.collect()
+            scols = sorted(sdf.columns)
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {str(e).splitlines()[0][:200]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"WEAK {name}: rows-only check, {len(srows)} rows")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = sorted(rel.columns)
+            drows = rel.fetchall()
+            dcolidx = {c: i for i, c in enumerate(rel.columns)}
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:200]}")
+            failures += 1
+            continue
+        ok = True
+        if scols != dcols:
+            print(f"FAIL {name}: columns spark={scols} duckdb={dcols}")
+            ok = False
+        elif len(srows) != len(drows):
+            print(f"FAIL {name}: rows spark={len(srows)} duckdb={len(drows)}")
+            ok = False
+        else:
+            skeys = sorted(row_key(r, scols) for r in srows)
+            dkeys = sorted(tuple(normalize(r[dcolidx[c]]) for c in dcols)
+                           for r in drows)
+            if skeys != dkeys:
+                ok = False
+                diff = [(a, b) for a, b in zip(skeys, dkeys) if a != b][:3]
+                print(f"FAIL {name}: value mismatch; first diffs:")
+                for a, b in diff:
+                    print(f"   spark : {a}")
+                    print(f"   duckdb: {b}")
+        if ok:
+            print(f"OK   {name}: {len(srows)} rows, {len(scols)} cols")
+        else:
+            failures += 1
+    print(f"--- {len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
