@@ -17,15 +17,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .dedup import _SQL_DOT, _SQL_NORM, _dbl, _dot, _norm
+from .dedup import (_SQL_DOT, _SQL_NORM, _bucket_expr, _dbl, _dot, _norm,
+                    _sql_bucket)
 
 TOP_K = 5
 QUERY_MOD = 50          # vec_id % 50 == 0 → query set
-N_PLANES = 4            # 16 LSH buckets
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .repartition(spark.sparkContext.defaultParallelism)
             .select("vec_id", _dbl("embedding").alias("v")))
 
 
@@ -68,22 +69,6 @@ FROM ranked WHERE rank <= {TOP_K}
 
 # -- LSH-bucketed variant ---------------------------------------------------------
 
-def _bucket_expr(v):
-    """Deterministic random-hyperplane signature: plane j has components
-    h_j[i] = ((i*31 + j*17) % 7) - 3; bucket bit j = sign of <v, h_j>."""
-    bits = []
-    for j in range(N_PLANES):
-        proj = F.aggregate(
-            F.zip_with(v, F.sequence(F.lit(0), F.lit(63)),
-                       lambda x, i: x * (((i * 31 + j * 17) % 7) - 3).cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
-
-
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN: candidates restricted to the query's LSH bucket, then
     exact cosine rank within bucket."""
@@ -102,15 +87,6 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id",
                     F.col("rank").cast("bigint").alias("rank"),
                     F.round("cos", 6).alias("cosine")))
-
-
-def _sql_bucket(v: str) -> str:
-    terms = []
-    for j in range(N_PLANES):
-        proj = (f"list_reduce(list_transform(generate_series(1, 64), "
-                f"i -> {v}[i] * ((((i-1)*31 + {j}*17) % 7) - 3)), (x,y) -> x+y)")
-        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END")
-    return " + ".join(terms)
 
 
 SQL_ANN_LSH = f"""

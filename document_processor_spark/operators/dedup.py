@@ -33,11 +33,14 @@ COSINE_T = 0.4
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-file fixture scan -> fan out for the shingle/hash stages
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(spark.sparkContext.defaultParallelism))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .repartition(spark.sparkContext.defaultParallelism))
 
 
 # -- exact dedup ---------------------------------------------------------------
@@ -93,15 +96,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify.  min(md5(band || shingle)) is the lexicographic minhash; bands
     are independent permutations via the seed prefix."""
     d = _docs(spark, sf_dir)
+    # persist: the shingle set is referenced 4× in the final plan (signature
+    # build + both sides of the verify join); without it Catalyst recomputes
+    # the whole shingle derivation per reference.  One row per doc — bounded.
     sh = d.select("doc_id", _shingles_col().alias("shingles")) \
-          .filter(F.size("shingles") > 0)
+          .filter(F.size("shingles") > 0).persist()
     exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
     bands = exploded.select(
         "doc_id", "sh",
         F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"))
     sig = (bands.groupBy("doc_id", "band")
            .agg(F.min(F.md5(F.concat_ws(":", F.col("band"), F.col("sh"))))
-                .alias("mh")))
+                .alias("mh"))).persist()
     cand = (sig.alias("a").join(sig.alias("b"), ["band", "mh"])
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
@@ -154,7 +160,7 @@ WHERE round(CAST(inter AS DOUBLE) / CAST(un AS DOUBLE), 4) >= {MINHASH_JACCARD_T
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     sh = d.select("doc_id", "source", "lang", _shingles_col().alias("shingles")) \
-          .filter(F.size("shingles") > 0)
+          .filter(F.size("shingles") > 0).persist()
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (a.join(b, ["source", "lang"])
              .filter(F.col("a.doc_id") < F.col("b.doc_id")))
@@ -248,7 +254,7 @@ FROM votes GROUP BY doc_id
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ T (bit_count(xor))."""
-    sig = q_dedup_simhash(spark, sf_dir)
+    sig = q_dedup_simhash(spark, sf_dir).persist()
     a, b = sig.alias("a"), sig.alias("b")
     ham = F.expr(f"bit_count(a.simhash ^ b.simhash)")
     return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
@@ -290,7 +296,7 @@ _SQL_NORM = ("sqrt(list_reduce(list_transform({a}, v -> v * v), "
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("v"))
+    e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("v")).persist()
     a, b = e.alias("a"), e.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
     pairs = (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
@@ -314,8 +320,72 @@ FROM pairs WHERE cos >= {COSINE_T}
 """
 
 
+N_PLANES = 4            # 16 LSH buckets
+
+
+def _bucket_expr(v):
+    """Deterministic random-hyperplane signature: plane j has components
+    h_j[i] = ((i*31 + j*17) % 7) - 3; bucket bit j = sign of <v, h_j>."""
+    bits = []
+    for j in range(N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(v, F.sequence(F.lit(0), F.lit(63)),
+                       lambda x, i: x * (((i * 31 + j * 17) % 7) - 3).cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _sql_bucket(v: str) -> str:
+    terms = []
+    for j in range(N_PLANES):
+        proj = (f"list_reduce(list_transform(generate_series(1, 64), "
+                f"i -> {v}[i] * ((((i-1)*31 + {j}*17) % 7) - 3)), (x,y) -> x+y)")
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END")
+    return " + ".join(terms)
+
+
+def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane LSH bucket
+    prefilter, exact cosine only within buckets.  At 10^12 rows the
+    all-pairs variant is infeasible; the bucket join bounds the candidate
+    count (AQE splits hot buckets)."""
+    e = (_emb(spark, sf_dir)
+         .select("vec_id", _dbl("embedding").alias("v"))
+         .withColumn("bucket", _bucket_expr(F.col("v"))).persist())
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    pairs = (a.join(b, "bucket")
+             .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("v1"),
+                     F.col("b.vec_id").alias("v2"), cos.alias("cos")))
+    return (pairs.filter(F.col("cos") >= COSINE_T)
+            .select("v1", "v2", F.round("cos", 6).alias("cosine")))
+
+
+def _sql_embedding_lsh() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  {_sql_bucket("(embedding::DOUBLE[])")} AS bucket
+           FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         {_SQL_DOT.format(a="a.v", b="b.v")}
+           / ({_SQL_NORM.format(a="a.v")} * {_SQL_NORM.format(a="b.v")}) AS cos
+  FROM e a JOIN e b USING (bucket) WHERE a.vec_id < b.vec_id
+)
+SELECT v1, v2, round(cos, 6) AS cosine
+FROM pairs WHERE cos >= {COSINE_T}
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_embedding_cosine_lsh": (q_dedup_embedding_cosine_lsh,
+                                   _sql_embedding_lsh()),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),

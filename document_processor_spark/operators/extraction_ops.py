@@ -23,7 +23,11 @@ DOCS = "documents.parquet"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{DOCS}")
+    # the fixture table is one parquet file = one scan split; fan out so the
+    # regex-heavy derivations use every core (at 100 TB the scan has
+    # thousands of splits and this repartition is a no-op to remove)
+    return (spark.read.parquet(f"{sf_dir}/{DOCS}")
+            .repartition(spark.sparkContext.defaultParallelism))
 
 
 # -- S18/T3: glyph cleaning --------------------------------------------------

@@ -27,7 +27,8 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive an opaque-binary media table from the documents corpus:
     (doc_id, payload:binary, media_type, hint) — the input shape of a real
     multimodal pipeline."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .repartition(spark.sparkContext.defaultParallelism))
     return d.select(
         "doc_id",
         F.encode(F.substring("text", 1, 64), "UTF-8").alias("payload"),

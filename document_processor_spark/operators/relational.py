@@ -21,7 +21,9 @@ SESSION_GAP_S = 1800
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # fixture tables are single parquet files (one scan split each); fan out
+    return (spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            .repartition(spark.sparkContext.defaultParallelism))
 
 
 # -- TPC-H Q1-style aggregation -----------------------------------------------

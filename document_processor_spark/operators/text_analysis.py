@@ -22,7 +22,8 @@ BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(spark.sparkContext.defaultParallelism))
 
 
 def _count_occurrences(padded, word: str):

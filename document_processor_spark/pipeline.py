@@ -73,68 +73,207 @@ def _null_str() -> Column:
 
 
 def parse_sql(rows: DataFrame) -> DataFrame:
-    """Per-span extraction as pure Catalyst expressions."""
-    kind = F.col("raw_kind")
-    text = F.col("raw_text")
-    mref = F.col("raw_media_ref")
+    """Per-span extraction as pure Catalyst expressions, two stages:
 
-    # textual (pdf_text) -------------------------------------------------
+    stage A (pre-shuffle): one lazy CASE per heavy derivation — each
+    kind's regex battery appears exactly once, so common-subexpression
+    elimination cannot hoist another kind's work onto a row.  Output is the
+    normalized (cleaned, flags) form.
+
+    shuffle: explicit repartition on (doc_id, page).  This is the shuffle
+    the page aggregation needs anyway — materializing the cleaned columns
+    here (a) stops Project-collapse from re-inlining the heavy expressions
+    into every downstream use and (b) spreads a 1000-page skew document
+    evenly across the cluster for both classification and aggregation.
+
+    stage B (post-shuffle): cheap classification over materialized strings;
+    the page agg then runs without a second exchange (the partitioning
+    already satisfies groupBy(doc_id, page)).
+    """
+    text = F.col("raw_text")
+    kind = F.col("raw_kind")
+
+    # ---- stage A: heavy derivations, one lazy CASE occurrence each --------
+    t_clean = X.clean_text_col(text)
+    s_decoded = X.decode_scan_col(text)
+    s_clean = F.when(s_decoded.isNotNull(), X.clean_text_col(s_decoded))
+    h_raw = F.coalesce(text, F.lit(""))
+    h_clean = X.clean_text_col(X.strip_tags_col(h_raw))
+    h_keep = F.when(
+        (h_clean != "") & (X.html_density_col(h_raw, h_clean)
+                           >= F.lit(C.HTML_DENSITY_THRESHOLD)), h_clean)
+    tb_flat = X.flatten_table_col(text)
+    tb_keep = F.when(~X.is_blank_col(tb_flat), tb_flat)
+    m_alt = F.when(text.isNotNull(), X.clean_text_col(text))
+    m_keep = F.when(m_alt != "", m_alt)
+
+    cleaned = (F.when(kind == C.RAW_PDF_TEXT, F.when(t_clean != "", t_clean))
+                .when(kind == C.RAW_PDF_SCAN, F.when(s_clean != "", s_clean))
+                .when(kind == C.RAW_HTML, h_keep)
+                .when(kind == C.RAW_TABLE, tb_keep)
+                .when(kind == C.RAW_MEDIA, m_keep))
+    h_head = F.when(kind == C.RAW_HTML, X.html_is_heading_col(h_raw))
+
+    stage_a = rows.select(
+        "doc_id", "page", "block", "raw_kind", "raw_media_ref",
+        cleaned.alias("cleaned"), h_head.alias("h_head"))
+
+    # ---- the one data shuffle (page-balanced) ------------------------------
+    stage_a = stage_a.repartition("doc_id", "page")
+
+    # ---- stage B: cheap classification on materialized strings -------------
+    k2 = F.col("raw_kind")
+    cl = F.col("cleaned")
+    has = cl.isNotNull()
+    textual_kind = X.classify_textual_col(cl)
+    html_kind = F.when(F.col("h_head"), F.lit(C.KIND_HEADING)) \
+                 .otherwise(F.lit(C.KIND_PARAGRAPH))
+
+    full_kind = (F.when(k2 == C.RAW_PDF_TEXT, F.when(has, textual_kind))
+                  .when(k2 == C.RAW_PDF_SCAN, F.when(has, textual_kind))
+                  .when(k2 == C.RAW_HTML, F.when(has, html_kind))
+                  .when(k2 == C.RAW_TABLE, F.when(has, F.lit(C.KIND_TABLE)))
+                  .when(k2 == C.RAW_MEDIA,
+                        F.when(has, F.lit(C.KIND_FIGURE))
+                         .otherwise(F.lit(C.KIND_MEDIA_REF))))
+    full_text = F.when(k2 == C.RAW_MEDIA, F.when(has, cl)) \
+                 .otherwise(F.when(has, cl))
+    media_ref = F.when(k2 == C.RAW_MEDIA, F.col("raw_media_ref"))
+    # fast pipeline: identical except scan regions yield nothing (T4)
+    fast_kind = F.when(k2 == C.RAW_PDF_SCAN, _null_str()).otherwise(full_kind)
+    fast_text = F.when(k2 == C.RAW_PDF_SCAN, _null_str()).otherwise(full_text)
+
+    return stage_a.select(
+        "doc_id", "page", "block",
+        fast_kind.alias("fast_kind"), fast_text.alias("fast_text"),
+        media_ref.alias("fast_media_ref"),
+        full_kind.alias("full_kind"), full_text.alias("full_text"),
+        media_ref.alias("full_media_ref"))
+
+
+def parse_sql_union(rows: DataFrame) -> DataFrame:
+    """Union-of-filtered-branches variant (kept for comparison)."""
+    text = F.col("raw_text")
+    keys = ["doc_id", "page", "block"]
+
+    def out(df: DataFrame, fk: Column, ft: Column, fm: Column,
+            uk: Column, ut: Column, um: Column) -> DataFrame:
+        return df.select(
+            *keys,
+            fk.cast("string").alias("fast_kind"),
+            ft.cast("string").alias("fast_text"),
+            fm.cast("string").alias("fast_media_ref"),
+            uk.cast("string").alias("full_kind"),
+            ut.cast("string").alias("full_text"),
+            um.cast("string").alias("full_media_ref"))
+
+    ns = F.lit(None).cast("string")
+
+    # pdf_text → both pipelines
+    t = rows.filter(F.col("raw_kind") == C.RAW_PDF_TEXT)
     t_clean = X.clean_text_col(text)
     t_ok = t_clean != ""
     t_kind = F.when(t_ok, X.classify_textual_col(t_clean))
+    t_text = F.when(t_ok, t_clean)
+    b_text = out(t, t_kind, t_text, ns, t_kind, t_text, ns)
 
-    # scan (full pipeline only) ------------------------------------------
+    # pdf_scan → full pipeline only (T4)
+    s = rows.filter(F.col("raw_kind") == C.RAW_PDF_SCAN)
     s_decoded = X.decode_scan_col(text)
     s_clean = F.when(s_decoded.isNotNull(), X.clean_text_col(s_decoded))
     s_ok = s_clean.isNotNull() & (s_clean != "")
-    s_kind = F.when(s_ok, X.classify_textual_col(s_clean))
+    b_scan = out(s, ns, ns, ns,
+                 F.when(s_ok, X.classify_textual_col(s_clean)),
+                 F.when(s_ok, s_clean), ns)
 
-    # html ----------------------------------------------------------------
+    # html → boilerplate strip by text-density
+    h = rows.filter(F.col("raw_kind") == C.RAW_HTML)
     h_raw = F.coalesce(text, F.lit(""))
     h_clean = X.clean_text_col(X.strip_tags_col(h_raw))
     h_main = (h_clean != "") & (
         X.html_density_col(h_raw, h_clean) >= F.lit(C.HTML_DENSITY_THRESHOLD))
-    h_kind = F.when(h_main & X.html_is_heading_col(h_raw), F.lit(C.KIND_HEADING)) \
-              .when(h_main, F.lit(C.KIND_PARAGRAPH))
+    h_kind = (F.when(h_main & X.html_is_heading_col(h_raw), F.lit(C.KIND_HEADING))
+               .when(h_main, F.lit(C.KIND_PARAGRAPH)))
+    h_text = F.when(h_main, h_clean)
+    b_html = out(h, h_kind, h_text, ns, h_kind, h_text, ns)
 
-    # table ----------------------------------------------------------------
+    # table_raw → canonical flattening (T6)
+    tb = rows.filter(F.col("raw_kind") == C.RAW_TABLE)
     tb_flat = X.flatten_table_col(text)
     tb_ok = ~X.is_blank_col(tb_flat)
+    tb_kind = F.when(tb_ok, F.lit(C.KIND_TABLE))
+    tb_text = F.when(tb_ok, tb_flat)
+    b_table = out(tb, tb_kind, tb_text, ns, tb_kind, tb_text, ns)
 
-    # media ----------------------------------------------------------------
+    # media → figure / media_ref (T7)
+    m = rows.filter(F.col("raw_kind") == C.RAW_MEDIA)
+    m_alt = F.when(text.isNotNull(), X.clean_text_col(text)).otherwise(F.lit(""))
+    m_is_fig = m_alt != ""
+    m_kind = F.when(m_is_fig, F.lit(C.KIND_FIGURE)).otherwise(F.lit(C.KIND_MEDIA_REF))
+    m_text = F.when(m_is_fig, m_alt)
+    mr = F.col("raw_media_ref")
+    b_media = out(m, m_kind, m_text, mr, m_kind, m_text, mr)
+
+    # unknown raw kinds: keep the row (page inventory) but emit nothing (S28)
+    known = [C.RAW_PDF_TEXT, C.RAW_PDF_SCAN, C.RAW_HTML, C.RAW_TABLE, C.RAW_MEDIA]
+    u = rows.filter(~F.col("raw_kind").isin(*known) | F.col("raw_kind").isNull())
+    b_unknown = out(u, ns, ns, ns, ns, ns, ns)
+
+    return (b_text.unionByName(b_scan).unionByName(b_html)
+            .unionByName(b_table).unionByName(b_media).unionByName(b_unknown))
+
+
+def parse_sql_fused(rows: DataFrame) -> DataFrame:
+    """Single-projection variant of parse_sql: one pass over the exploded
+    rows (no 6× re-explode), kind dispatch via lazy CASE branches."""
+    kind = F.col("raw_kind")
+    text = F.col("raw_text")
+    mref = F.col("raw_media_ref")
+
+    t_clean = X.clean_text_col(text)
+    s_decoded = X.decode_scan_col(text)
+    s_clean = F.when(s_decoded.isNotNull(), X.clean_text_col(s_decoded))
+    s_ok = s_clean.isNotNull() & (s_clean != "")
+    h_raw = F.coalesce(text, F.lit(""))
+    h_clean = X.clean_text_col(X.strip_tags_col(h_raw))
+    h_main = (h_clean != "") & (
+        X.html_density_col(h_raw, h_clean) >= F.lit(C.HTML_DENSITY_THRESHOLD))
+    h_kind = (F.when(h_main & X.html_is_heading_col(h_raw), F.lit(C.KIND_HEADING))
+               .when(h_main, F.lit(C.KIND_PARAGRAPH)))
+    tb_flat = X.flatten_table_col(text)
+    tb_ok = ~X.is_blank_col(tb_flat)
     m_alt = F.when(text.isNotNull(), X.clean_text_col(text)).otherwise(F.lit(""))
     m_is_fig = m_alt != ""
 
-    def branch(scan_kind: Column | None, scan_text: Column | None) -> list[Column]:
-        """(kind, text, media_ref) triple for one pipeline variant."""
-        k = (F.when(kind == C.RAW_PDF_TEXT, t_kind)
+    def branch(full: bool) -> list[Column]:
+        k = (F.when(kind == C.RAW_PDF_TEXT,
+                    F.when(t_clean != "", X.classify_textual_col(t_clean)))
               .when(kind == C.RAW_HTML, h_kind)
               .when(kind == C.RAW_TABLE, F.when(tb_ok, F.lit(C.KIND_TABLE)))
               .when(kind == C.RAW_MEDIA,
                     F.when(m_is_fig, F.lit(C.KIND_FIGURE))
                      .otherwise(F.lit(C.KIND_MEDIA_REF))))
-        t = (F.when(kind == C.RAW_PDF_TEXT, F.when(t_ok, t_clean))
+        t = (F.when(kind == C.RAW_PDF_TEXT, F.when(t_clean != "", t_clean))
               .when(kind == C.RAW_HTML, F.when(h_main, h_clean))
               .when(kind == C.RAW_TABLE, F.when(tb_ok, tb_flat))
               .when(kind == C.RAW_MEDIA, F.when(m_is_fig, m_alt)))
         m = F.when(kind == C.RAW_MEDIA, mref)
-        if scan_kind is not None:
-            k = F.when(kind == C.RAW_PDF_SCAN, scan_kind).otherwise(k)
-            t = F.when(kind == C.RAW_PDF_SCAN, scan_text).otherwise(t)
+        if full:
+            k = F.when(kind == C.RAW_PDF_SCAN,
+                       F.when(s_ok, X.classify_textual_col(s_clean))).otherwise(k)
+            t = F.when(kind == C.RAW_PDF_SCAN, F.when(s_ok, s_clean)).otherwise(t)
         else:
             k = F.when(kind == C.RAW_PDF_SCAN, _null_str()).otherwise(k)
             t = F.when(kind == C.RAW_PDF_SCAN, _null_str()).otherwise(t)
         return [k, t, m]
 
-    fast = branch(None, None)
-    full = branch(F.when(s_ok, s_kind), F.when(s_ok, s_clean))
+    fast, full = branch(False), branch(True)
     return rows.select(
         "doc_id", "page", "block",
         fast[0].alias("fast_kind"), fast[1].alias("fast_text"),
         fast[2].alias("fast_media_ref"),
         full[0].alias("full_kind"), full[1].alias("full_text"),
-        full[2].alias("full_media_ref"),
-    )
+        full[2].alias("full_media_ref"))
 
 
 # ---------------------------------------------------------------------------
@@ -264,27 +403,38 @@ def parse_arrow(rows: DataFrame) -> DataFrame:
 # stage 3 — shared assembly: fallback decision, ordering, renumbering
 # ---------------------------------------------------------------------------
 
+def _cmp_int(key):
+    """array_sort comparator on a single int field: the generated comparator
+    stays tiny.  (sort_array over nested struct arrays makes Catalyst
+    generate and janino-compile a full deep-structural comparator — minutes
+    of compile time serialized behind the codegen cache lock, with every
+    executor thread blocked on it.)"""
+    def cmp(a, b):
+        return (F.when(a[key] < b[key], F.lit(-1))
+                 .when(a[key] > b[key], F.lit(1))
+                 .otherwise(F.lit(0)))
+    return cmp
+
+
 def assemble(parsed: DataFrame) -> DataFrame:
     """Page-level fallback choice (T4) then doc-level reading order (T1).
     Two-level aggregation = explicit skew salting by page."""
     fast_s = F.when(
         F.col("fast_kind").isNotNull(),
-        F.struct(F.col("fast_kind").alias("kind"),
+        F.struct(F.col("block"),
+                 F.col("fast_kind").alias("kind"),
                  F.col("fast_text").alias("text"),
                  F.col("fast_media_ref").alias("media_ref")))
     full_s = F.when(
         F.col("full_kind").isNotNull(),
-        F.struct(F.col("full_kind").alias("kind"),
+        F.struct(F.col("block"),
+                 F.col("full_kind").alias("kind"),
                  F.col("full_text").alias("text"),
                  F.col("full_media_ref").alias("media_ref")))
 
     page_level = (parsed.groupBy("doc_id", "page").agg(
-        F.sort_array(F.collect_list(
-            F.when(fast_s.isNotNull(), F.struct(F.col("block"), fast_s.alias("s"))))
-        ).alias("fast_arr"),
-        F.sort_array(F.collect_list(
-            F.when(full_s.isNotNull(), F.struct(F.col("block"), full_s.alias("s"))))
-        ).alias("full_arr"),
+        F.collect_list(fast_s).alias("fast_arr"),
+        F.collect_list(full_s).alias("full_arr"),
         F.max(F.when(F.col("fast_kind").isin(*C.TEXT_KINDS), 1).otherwise(0)
               ).alias("has_text"),
     ))
@@ -293,25 +443,30 @@ def assemble(parsed: DataFrame) -> DataFrame:
                .otherwise(F.col("full_arr")))
     page_level = page_level.select(
         "doc_id", "page",
-        chosen.alias("page_spans"),
+        F.array_sort(chosen, _cmp_int("block")).alias("page_spans"),
         (F.lit(1) - F.col("has_text")).alias("fallback"),
     )
 
     doc_level = (page_level.groupBy("doc_id").agg(
-        F.flatten(F.transform(
-            F.sort_array(F.collect_list(
-                F.struct(F.col("page"), F.col("page_spans").alias("ps")))),
-            lambda x: x["ps"])).alias("flat"),
+        F.collect_list(
+            F.struct(F.col("page"), F.col("page_spans").alias("ps")))
+         .alias("pages_arr"),
         F.sum("fallback").alias("fallback_pages"),
         F.count(F.lit(1)).alias("pages_in"),
-    ))
+    )).select(
+        "doc_id",
+        F.flatten(F.transform(
+            F.array_sort(F.col("pages_arr"), _cmp_int("page")),
+            lambda x: x["ps"])).alias("flat"),
+        "fallback_pages", "pages_in",
+    )
 
     spans = F.transform(
         F.col("flat"),
         lambda x, i: F.struct(
-            x["s"]["kind"].alias("kind"),
-            x["s"]["text"].alias("text"),
-            x["s"]["media_ref"].alias("media_ref"),
+            x["kind"].alias("kind"),
+            x["text"].alias("text"),
+            x["media_ref"].alias("media_ref"),
             i.cast("int").alias("offset")))
     return doc_level.select(
         "doc_id", spans.alias("spans"), "fallback_pages", "pages_in")
@@ -321,7 +476,8 @@ def assemble(parsed: DataFrame) -> DataFrame:
 # public API
 # ---------------------------------------------------------------------------
 
-ENGINES = {"sql": parse_sql, "arrow": parse_arrow}
+ENGINES = {"sql": parse_sql, "sql_union": parse_sql_union,
+           "sql_fused": parse_sql_fused, "arrow": parse_arrow}
 
 
 def extract_documents(docs: DataFrame, engine: str = "sql") -> DataFrame:
