@@ -21,9 +21,13 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def run_level(cpus: int, sf_dir: str, rep: int) -> dict:
+def run_level(executors: int, sf_dir: str, rep: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
-               SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_REP=str(rep))
+               SPARK_GRAFT_EXECUTORS=str(executors),
+               SPARK_GRAFT_EXEC_CORES="4",
+               SPARK_GRAFT_REP=str(rep),
+               SPARK_GRAFT_EXTRACT_ONLY="1",
+               SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "8g"))
     out = subprocess.run([sys.executable, str(REPO / "bench.py")],
                          env=env, capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -31,8 +35,12 @@ def run_level(cpus: int, sf_dir: str, rep: int) -> dict:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    rep = int(os.environ.get("SPARK_GRAFT_REP", "10"))
-    low, high = 8, 32
+    # rep=40 → ~2.6M spans: large enough that per-stage fixed overheads
+    # (scheduling, python worker fan-out) don't cap the 4N-level speedup
+    rep = int(os.environ.get("SPARK_GRAFT_REP", "40"))
+    # N vs 4N executors (north rule), same executor shape (4 cores / 6g),
+    # each a separate JVM via Spark local-cluster mode
+    low, high = 2, 8
 
     r_low = run_level(low, sf_dir, rep)
     r_high = run_level(high, sf_dir, rep)
@@ -51,13 +59,16 @@ def main() -> int:
 
 Methodology: identical extraction job, identical input (fixture corpus at
 {r_low['sf']} SF × rep={rep} → {r_low['docs']} documents,
-{r_low['spans_out']} output spans), run at `local[{low}]` and
-`local[{high}]` on the {os.cpu_count()}-core sandbox host — the sandbox
-proxy for N vs 4N executors.  Fresh JVM per level; steady-state times
-(2nd run of each plan; cold-run times reported by bench.py as extras —
-JVM/JIT warm-up amortizes to zero on real multi-hour jobs).
+{r_low['spans_out']} output spans), run at **{low} executors vs {high}
+executors** (N vs 4N, same 4-core/6 GiB executor shape) via Spark
+local-cluster mode on the {os.cpu_count()}-core sandbox host — each
+executor is a separate JVM with its own heap, GC, and Python workers,
+the honest single-machine proxy for a multi-executor cluster.  Fresh
+JVMs per level; steady-state times (min of repeated runs of the same
+plan; cold-run times reported by bench.py as extras — JVM/JIT warm-up
+amortizes to zero on real multi-hour jobs).
 
-| metric | local[{low}] | local[{high}] | scaling efficiency (target ≥ 0.8) |
+| metric | {low} executors | {high} executors | scaling efficiency (target ≥ 0.8) |
 |---|---|---|---|
 | extraction wall (catalyst engine) | {t_low:.2f} s | {t_high:.2f} s | **{eff:.3f}** |
 | extraction throughput | {thr_low:.1f} docs/s | {thr_high:.1f} docs/s | |

@@ -30,6 +30,8 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     rep = int(os.environ.get("SPARK_GRAFT_REP", "10"))
+    executors = int(os.environ.get("SPARK_GRAFT_EXECUTORS", "0")) or None
+    exec_cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "4"))
     sf = _sf_from_dir(sf_dir)
 
     from pyspark.sql import functions as F
@@ -38,8 +40,11 @@ def main() -> int:
     from document_processor_spark.operators import ann, dedup, relational, text_analysis
     from document_processor_spark.session import build_spark
 
+    if executors:
+        cpus = executors * exec_cores
     spark = build_spark(app="bench", cores=cpus,
-                        shuffle_partitions=max(cpus, 16))
+                        shuffle_partitions=max(cpus * 2, 16),
+                        executors=executors, exec_cores=exec_cores)
 
     # -- build the replicated corpus (cached: not part of measured time) ----
     base = fixtures.corpus_df(spark, sf, n_partitions=max(cpus, 16))
@@ -51,6 +56,9 @@ def main() -> int:
 
     queries: dict[str, float] = {}
     extras: dict[str, float] = {}
+    if executors:
+        extras["executors"] = executors
+        extras["exec_cores"] = exec_cores
 
     def timed(name: str, fn):
         print(f"[bench] {name} ...", file=sys.stderr, flush=True)
@@ -102,6 +110,15 @@ def main() -> int:
         m_sql["fallback_pages"] / max(m_sql["pages_in"], 1), 5)
 
     steady("extract_arrow", lambda: run_extract("arrow"), n=2)
+
+    if os.environ.get("SPARK_GRAFT_EXTRACT_ONLY"):
+        total = round(sum(queries.values()), 3)
+        print(json.dumps({
+            "metric": "end-to-end extraction wall time (steady state)",
+            "value": total, "unit": "sec", "queries": queries, "sf": sf,
+            "cpus": cpus, "rep": rep, **extras,
+        }))
+        return 0
 
     # -- training-data operators over the dir's tables ----------------------
     timed("dedup_minhash_lsh",

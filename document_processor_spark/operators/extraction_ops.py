@@ -317,8 +317,74 @@ FROM s
 """
 
 
+# -- S16: ref / parent-ref projection + hierarchy levels -------------------------
+
+def q_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic stable refs (`#/<group>/<idx>`, the analog of docling
+    self_ref, slice_extractor.py:87-103) and parent linkage: every block's
+    parent is the most recent heading before it in reading order (the
+    heading-level stack of SURVEY.md §1.1), headings parent to the doc root.
+    `level` mirrors docling's traversal depth (page_extractor.py:87-95)."""
+    from pyspark.sql import Window as W
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ", -1)
+    # six word-chunks per doc; every 3rd chunk is a planted heading
+    chunk = F.transform(
+        F.sequence(F.lit(0), F.lit(5)),
+        lambda i: F.array_join(F.slice(words, i * 4 + 1, 4), " "))
+    blocks = d.select("doc_id", F.posexplode(chunk).alias("ord", "block_text"))
+    is_head = F.col("ord") % 3 == 0
+    blocks = blocks.select(
+        "doc_id", "ord", "block_text",
+        F.when(is_head, F.lit("heading")).otherwise(F.lit("paragraph")).alias("kind"))
+    w = W.partitionBy("doc_id", "kind").orderBy("ord")
+    blocks = blocks.withColumn(
+        "ref", F.concat(F.lit("#/"), F.col("kind"), F.lit("/"),
+                        (F.row_number().over(w) - 1).cast("string")))
+    wseq = W.partitionBy("doc_id").orderBy("ord").rowsBetween(W.unboundedPreceding, -1)
+    last_head = F.last(F.when(F.col("kind") == "heading", F.col("ref")),
+                       ignorenulls=True).over(wseq)
+    return blocks.select(
+        "doc_id", F.col("ord").cast("bigint").alias("ord"), "kind", "ref",
+        F.when(F.col("kind") == "heading", F.lit("#/doc"))
+         .otherwise(F.coalesce(last_head, F.lit("#/doc"))).alias("parent_ref"),
+        F.when(F.col("kind") == "heading", F.lit(1))
+         .when(last_head.isNotNull(), F.lit(2)).otherwise(F.lit(1))
+         .cast("bigint").alias("level"))
+
+
+SQL_HIERARCHY = """
+WITH blocks AS (
+  SELECT doc_id, i AS ord,
+         array_to_string(list_slice(string_split(text,' '), i*4 + 1, i*4 + 4), ' ') AS block_text,
+         CASE WHEN i % 3 = 0 THEN 'heading' ELSE 'paragraph' END AS kind
+  FROM documents, unnest(generate_series(0, 5)) AS t(i)
+),
+refs AS (
+  SELECT doc_id, ord, kind,
+         '#/' || kind || '/' ||
+         CAST(row_number() OVER (PARTITION BY doc_id, kind ORDER BY ord) - 1 AS VARCHAR) AS ref
+  FROM blocks
+),
+linked AS (
+  SELECT doc_id, ord, kind, ref,
+         last_value(CASE WHEN kind = 'heading' THEN ref END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_head
+  FROM refs
+)
+SELECT doc_id, ord, kind, ref,
+       CASE WHEN kind = 'heading' THEN '#/doc'
+            ELSE coalesce(last_head, '#/doc') END AS parent_ref,
+       CASE WHEN kind = 'heading' THEN 1
+            WHEN last_head IS NOT NULL THEN 2 ELSE 1 END AS level
+FROM linked
+"""
+
+
 QUERIES = {
     "ext_glyph_clean": (q_glyph_clean, SQL_GLYPH_CLEAN),
+    "ext_hierarchy": (q_hierarchy, SQL_HIERARCHY),
     "ext_reading_order": (q_reading_order, SQL_READING_ORDER),
     "ext_slice_numbering": (q_slice_numbering, SQL_SLICE_NUMBERING),
     "ext_kind_classify": (q_kind_classify, SQL_KIND_CLASSIFY),

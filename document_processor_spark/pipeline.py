@@ -75,21 +75,22 @@ def _null_str() -> Column:
 def parse_sql(rows: DataFrame) -> DataFrame:
     """Per-span extraction as pure Catalyst expressions, two stages:
 
-    stage A (pre-shuffle): one lazy CASE per heavy derivation — each
+    shuffle first: explicit repartition on (doc_id, page) over the raw
+    exploded rows.  This is the shuffle the page aggregation needs anyway,
+    and doing it BEFORE the heavy expressions is the skew treatment: a
+    1000-page document (or several hashed into one input partition) spreads
+    across the whole cluster before any regex runs — the pre-shuffle work is
+    just explode + shuffle write of raw text.
+
+    stage A (post-shuffle): one lazy CASE per heavy derivation — each
     kind's regex battery appears exactly once, so common-subexpression
-    elimination cannot hoist another kind's work onto a row.  Output is the
-    normalized (cleaned, flags) form.
+    elimination cannot hoist another kind's work onto a row.
 
-    shuffle: explicit repartition on (doc_id, page).  This is the shuffle
-    the page aggregation needs anyway — materializing the cleaned columns
-    here (a) stops Project-collapse from re-inlining the heavy expressions
-    into every downstream use and (b) spreads a 1000-page skew document
-    evenly across the cluster for both classification and aggregation.
-
-    stage B (post-shuffle): cheap classification over materialized strings;
-    the page agg then runs without a second exchange (the partitioning
-    already satisfies groupBy(doc_id, page)).
+    stage B: cheap classification over the stage-A strings; the page agg
+    then runs without a second exchange (the (doc_id, page) partitioning
+    is preserved through both projections).
     """
+    rows = rows.repartition("doc_id", "page")
     text = F.col("raw_text")
     kind = F.col("raw_kind")
 
@@ -118,10 +119,7 @@ def parse_sql(rows: DataFrame) -> DataFrame:
         "doc_id", "page", "block", "raw_kind", "raw_media_ref",
         cleaned.alias("cleaned"), h_head.alias("h_head"))
 
-    # ---- the one data shuffle (page-balanced) ------------------------------
-    stage_a = stage_a.repartition("doc_id", "page")
-
-    # ---- stage B: cheap classification on materialized strings -------------
+    # ---- stage B: cheap classification on the stage-A strings --------------
     k2 = F.col("raw_kind")
     cl = F.col("cleaned")
     has = cl.isNotNull()
@@ -378,10 +376,6 @@ def _parse_pandas_batch(pdf):
 def parse_arrow(rows: DataFrame) -> DataFrame:
     import pyarrow as pa
 
-    import pandas as pd  # noqa: F401
-
-    target = None  # resolved lazily inside the worker from PARSED_DDL
-
     def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         schema = pa.schema([
             pa.field("doc_id", pa.string()), pa.field("page", pa.int32()),
@@ -395,8 +389,10 @@ def parse_arrow(rows: DataFrame) -> DataFrame:
             yield pa.RecordBatch.from_pandas(res, schema=schema,
                                              preserve_index=False)
 
-    _ = target
-    return rows.mapInArrow(fn, PARSED_DDL)
+    # same page-balancing shuffle as the sql engine (see parse_sql): the
+    # mapInArrow stage then runs on evenly-spread page groups
+    return (rows.repartition("doc_id", "page")
+            .mapInArrow(fn, PARSED_DDL))
 
 
 # ---------------------------------------------------------------------------
@@ -418,29 +414,30 @@ def _cmp_int(key):
 
 def assemble(parsed: DataFrame) -> DataFrame:
     """Page-level fallback choice (T4) then doc-level reading order (T1).
-    Two-level aggregation = explicit skew salting by page."""
-    fast_s = F.when(
-        F.col("fast_kind").isNotNull(),
-        F.struct(F.col("block"),
-                 F.col("fast_kind").alias("kind"),
-                 F.col("fast_text").alias("text"),
-                 F.col("fast_media_ref").alias("media_ref")))
-    full_s = F.when(
+    Two-level aggregation = explicit skew salting by page.
+
+    One collect_list per page, not two: a span's fast/full results differ
+    only on scan regions (fast = nothing), so each span is collected once
+    with a `scan_only` flag and the page picks `filter(arr, !scan_only)`
+    (fast accepted) or the whole array (full fallback) — half the
+    aggregation buffer memory and GC traffic of parallel fast/full arrays."""
+    span_s = F.when(
         F.col("full_kind").isNotNull(),
         F.struct(F.col("block"),
                  F.col("full_kind").alias("kind"),
                  F.col("full_text").alias("text"),
-                 F.col("full_media_ref").alias("media_ref")))
+                 F.col("full_media_ref").alias("media_ref"),
+                 F.col("fast_kind").isNull().alias("scan_only")))
 
     page_level = (parsed.groupBy("doc_id", "page").agg(
-        F.collect_list(fast_s).alias("fast_arr"),
-        F.collect_list(full_s).alias("full_arr"),
+        F.collect_list(span_s).alias("arr"),
         F.max(F.when(F.col("fast_kind").isin(*C.TEXT_KINDS), 1).otherwise(0)
               ).alias("has_text"),
     ))
 
-    chosen = (F.when(F.col("has_text") == 1, F.col("fast_arr"))
-               .otherwise(F.col("full_arr")))
+    chosen = (F.when(F.col("has_text") == 1,
+                     F.filter(F.col("arr"), lambda x: ~x["scan_only"]))
+               .otherwise(F.col("arr")))
     page_level = page_level.select(
         "doc_id", "page",
         F.array_sort(chosen, _cmp_int("block")).alias("page_spans"),

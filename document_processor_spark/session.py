@@ -19,12 +19,28 @@ from pyspark.sql import SparkSession
 def build_spark(app: str = "document-processor-spark",
                 cores: int | None = None,
                 shuffle_partitions: int | None = None,
+                executors: int | None = None,
+                exec_cores: int = 4,
+                exec_mem_mb: int = 6144,
                 extra_conf: dict | None = None) -> SparkSession:
+    """Local-mode session, or — with `executors` — a local-cluster session
+    that spawns real separate executor JVMs (own heap, own GC, own Python
+    workers): the honest sandbox proxy for an N-executor cluster, used by
+    the scaling bench (north rule: N vs 4N executors)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if executors:
+        os.environ.setdefault(
+            "SPARK_HOME",
+            os.path.dirname(__import__("pyspark").__file__))
+        master = f"local-cluster[{executors},{exec_cores},{exec_mem_mb}]"
+        cores = executors * exec_cores
+    else:
+        master = f"local[{cores}]"
     shuffle_partitions = shuffle_partitions or max(cores, 8)
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app)
+        .config("spark.executor.memory", f"{exec_mem_mb}m")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -34,6 +50,15 @@ def build_spark(app: str = "document-processor-spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # codegen-heavy workload: janino classes accumulate per session and a
+        # full JIT code cache silently disables compilation (10-30x slowdown)
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
+        # shuffle spill dir on tmpfs: the sandbox VM's /tmp is virtio-disk
+        # backed and becomes the scaling bottleneck once shuffle volume
+        # exceeds the page cache (a real cluster uses local NVMe)
+        .config("spark.local.dir",
+                os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
     )
@@ -41,4 +66,19 @@ def build_spark(app: str = "document-processor-spark",
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if executors:
+        # multi-JVM executors run their own Python workers: ship the engine
+        # exactly as a real cluster submit would (--py-files engine.zip)
+        spark.sparkContext.addPyFile(_engine_zip())
     return spark
+
+
+def _engine_zip() -> str:
+    import zipfile
+    from pathlib import Path
+    pkg = Path(__file__).resolve().parent
+    out = Path("/tmp/dps-engine.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for p in sorted(pkg.rglob("*.py")):
+            z.write(p, Path("document_processor_spark") / p.relative_to(pkg))
+    return str(out)

@@ -1,0 +1,56 @@
+"""Fuzz parity: arbitrary random raw spans (not the family-shaped fixture
+docs) through both Spark engines vs the oracle — catches contract drift on
+payload shapes the corpus generator never emits (garbage scans, markup
+edge cases, empty strings, exotic whitespace mixes)."""
+
+import base64
+import random
+
+import pytest
+
+from document_processor_spark import contract as C
+from document_processor_spark import fixtures, oracle, pipeline
+from tests.conftest import collect_spans
+
+_PIECES = [
+    "", " ", "\t", "\n", "x", "word", "H1:", "H1: t", "H2:x",
+    "glyph<1>", "glyph<c=2,font=/AB+F-G>", "GLYPH<>", "glyph<c=,font=/>",
+    "déjà\tüber", "a  b", "<p>body text here</p>", "<h3>t</h3>",
+    "<nav><a href='/'>x</a></nav>", "<p></p>", "<br>", "a\nb",
+    "h\tc\nv\t", "\t\n\t", "scan:", "scan:!!!", "scan:AAAA",
+    "scan:" + base64.b64encode("H2: decoded ok".encode()).decode(),
+    "scan:" + base64.b64encode(" glyph<9> ".encode()).decode(),
+]
+_KINDS = ["pdf_text", "pdf_scan", "html", "table_raw", "media", "junk_kind"]
+
+
+def _random_docs(seed: int, n_docs: int = 60) -> list[dict]:
+    rng = random.Random(seed)
+    docs = []
+    for i in range(n_docs):
+        n = rng.randint(0, 12)
+        offsets = rng.sample(range(4 * C.PAGE_STRIDE), n)  # unique, ≤4 pages
+        spans = []
+        for off in offsets:
+            kind = rng.choice(_KINDS)
+            text = rng.choice([None] + _PIECES) if kind == "media" \
+                else rng.choice(_PIECES)
+            mref = f"m-{rng.getrandbits(16):04x}" if kind == "media" else None
+            spans.append({"kind": kind, "text": text,
+                          "media_ref": mref, "offset": off})
+        rng.shuffle(spans)
+        docs.append({"doc_id": f"fuzz-{seed}-{i:04d}", "spans": spans})
+    return docs
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("engine", ["sql", "arrow"])
+def test_fuzz_spark_equals_oracle(spark, seed, engine):
+    docs = _random_docs(seed)
+    expected, _ = oracle.extract_corpus(docs)
+    rows = [(d["doc_id"],
+             [(s["kind"], s["text"], s["media_ref"], s["offset"])
+              for s in d["spans"]]) for d in docs]
+    df = spark.createDataFrame(rows, schema=fixtures.INPUT_DDL)
+    got = collect_spans(pipeline.extract_documents(df, engine=engine))
+    assert got == expected
