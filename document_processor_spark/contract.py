@@ -115,8 +115,17 @@ def classify_textual(cleaned: str) -> str:
 # ---------------------------------------------------------------------------
 
 SCAN_PREFIX = "scan:"
-# Guard used by the Spark engines before unbase64 under ANSI mode.
-SCAN_PAYLOAD_PATTERN = r"^scan:[A-Za-z0-9+/=\r\n]*$"
+# Full base64 grammar (canonical padding): the guard both Spark engines and
+# the oracle apply before decoding.  A loose charset-only guard is NOT
+# enough on the Spark side — unbase64('A') throws on invalid length and
+# decode(unbase64('/w=='), 'UTF-8') throws MALFORMED_CHARACTER_CODING even
+# with ANSI off, where the reference skips the region
+# (content_extractor.py:87-99).  Strict grammar makes unbase64 total; the
+# UTF-8 validity check (try_validate_utf8 / Python decode) nulls the rest.
+_B64_BODY = r"(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?"
+SCAN_PAYLOAD_PATTERN = rf"^scan:{_B64_BODY}$"
+
+_B64_BODY_RE = re.compile(_B64_BODY)
 
 
 def decode_scan(payload: str) -> str | None:
@@ -126,10 +135,10 @@ def decode_scan(payload: str) -> str | None:
     if not payload.startswith(SCAN_PREFIX):
         return None
     body = payload[len(SCAN_PREFIX):]
-    if not re.fullmatch(r"[A-Za-z0-9+/=\r\n]*", body):
+    if not _B64_BODY_RE.fullmatch(body):
         return None
     try:
-        return base64.b64decode(body, validate=False).decode("utf-8")
+        return base64.b64decode(body, validate=True).decode("utf-8")
     except (binascii.Error, UnicodeDecodeError, ValueError):
         return None
 

@@ -48,11 +48,17 @@ def html_density_col(raw: Column, cleaned: Column) -> Column:
 
 def decode_scan_col(text: Column) -> Column:
     """Deterministic synthetic OCR decode of 'scan:'+base64 payloads (T4).
-    Malformed payloads -> null (reference skips unparseable regions,
-    content_extractor.py:87-99); the rlike guard keeps unbase64 safe."""
+    Malformed payloads -> null, never an exception (reference skips
+    unparseable regions, content_extractor.py:87-99).  Two safety layers,
+    matching `contract.decode_scan` exactly: the strict full-base64 grammar
+    guard makes unbase64 total (charset alone is not — unbase64('A') throws
+    on invalid length), and try_validate_utf8 nulls byte sequences that are
+    not valid UTF-8 (decode(bin,'UTF-8') raises MALFORMED_CHARACTER_CODING
+    even with ANSI off)."""
     body = text.substr(F.lit(len(C.SCAN_PREFIX) + 1), F.length(text))
     return F.when(text.rlike(C.SCAN_PAYLOAD_PATTERN),
-                  F.decode(F.unbase64(body), "UTF-8")).otherwise(F.lit(None))
+                  F.try_validate_utf8(F.unbase64(body).cast("string"))
+                  ).otherwise(F.lit(None))
 
 
 def flatten_table_col(raw: Column) -> Column:

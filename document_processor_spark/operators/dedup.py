@@ -247,29 +247,66 @@ votes AS (
   FROM bits GROUP BY doc_id, b
 )
 SELECT doc_id,
-       sum(CASE WHEN vote > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 
 
+N_SIMHASH_CHUNKS = SIMHASH_HAMMING_T + 1  # pigeonhole: ≤T flips → ≥1 equal chunk
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ T (bit_count(xor))."""
-    sig = q_dedup_simhash(spark, sf_dir).persist()
-    a, b = sig.alias("a"), sig.alias("b")
-    ham = F.expr(f"bit_count(a.simhash ^ b.simhash)")
-    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    """Near-dup pairs by SimHash Hamming distance ≤ T via the pigeonhole
+    bucket join (NOT all-pairs): the 16-bit signature splits into
+    T+1 = {N_SIMHASH_CHUNKS} chunks; any pair within Hamming ≤ T must agree
+    on at least one chunk, so candidates come from an equi-join on
+    (chunk_idx, chunk_value) — a shuffle hash join whose fan-out is bounded
+    by chunk-bucket size, never O(N²).  Exact bit_count(xor) verifies, and
+    distinct collapses pairs that agree on several chunks."""
+    sig = q_dedup_simhash(spark, sf_dir)
+    bits_per = SIMHASH_BITS // N_SIMHASH_CHUNKS  # 16//3 = 5; last chunk gets the rest
+    chunked = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftright("simhash", c * bits_per).bitwiseAND(
+                    F.lit((1 << (bits_per if c < N_SIMHASH_CHUNKS - 1
+                                 else SIMHASH_BITS - bits_per * (N_SIMHASH_CHUNKS - 1))) - 1)
+                ).alias("chunk_val"))
+            for c in range(N_SIMHASH_CHUNKS)])).alias("ch")
+    ).select("doc_id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (a.join(b, ["chunk_idx", "chunk_val"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("d1"),
                     F.col("b.doc_id").alias("d2"),
                     ham.cast("bigint").alias("hamming"))
-            .filter(F.col("hamming") <= SIMHASH_HAMMING_T))
+            .filter(F.col("hamming") <= SIMHASH_HAMMING_T)
+            .distinct())
+
+
+def _sql_simhash_chunks() -> str:
+    bits_per = SIMHASH_BITS // N_SIMHASH_CHUNKS
+    parts = []
+    for c in range(N_SIMHASH_CHUNKS):
+        width = (bits_per if c < N_SIMHASH_CHUNKS - 1
+                 else SIMHASH_BITS - bits_per * (N_SIMHASH_CHUNKS - 1))
+        parts.append(
+            f"SELECT doc_id, simhash, {c} AS chunk_idx, "
+            f"(simhash >> {c * bits_per}) & {(1 << width) - 1} AS chunk_val FROM sig")
+    return " UNION ALL ".join(parts)
 
 
 SQL_DEDUP_SIMHASH_PAIRS = f"""
-WITH sig AS ({SQL_DEDUP_SIMHASH})
-SELECT a.doc_id AS d1, b.doc_id AS d2,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_T}
+WITH sig AS ({SQL_DEDUP_SIMHASH}),
+chunked AS ({_sql_simhash_chunks()})
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM chunked a JOIN chunked b USING (chunk_idx, chunk_val)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_T}
 """
 
 

@@ -174,18 +174,24 @@ def q_fallback_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ocr_fallback_rate ops metric (BASELINE.json:6)."""
     d = _docs(spark, sf_dir)
     scan = F.when(F.col("n_chars") % 7 == 0, 1).otherwise(0)
-    return (d.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("docs"),
-                 F.sum(scan).alias("fallback_docs"),
-                 F.round(F.avg(scan.cast("double")), 4).alias("fallback_rate"))
-            )
+    # rate derived from the two integer aggregates (one division per group):
+    # order-independent, bit-identical across engines — never avg() over
+    # doubles, whose partial-agg summation order differs
+    agg = (d.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("docs"),
+                F.sum(scan).alias("fallback_docs")))
+    return agg.select(
+        "source", "docs", "fallback_docs",
+        F.round(F.col("fallback_docs").cast("double") / F.col("docs"), 4)
+         .alias("fallback_rate"))
 
 
 SQL_FALLBACK_RATE = """
 SELECT source,
        count(*) AS docs,
-       sum(CASE WHEN n_chars % 7 = 0 THEN 1 ELSE 0 END) AS fallback_docs,
-       round(avg(CASE WHEN n_chars % 7 = 0 THEN 1.0 ELSE 0.0 END), 4) AS fallback_rate
+       CAST(sum(CASE WHEN n_chars % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fallback_docs,
+       round(CAST(sum(CASE WHEN n_chars % 7 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS fallback_rate
 FROM documents
 GROUP BY source
 """
@@ -266,8 +272,8 @@ def q_skip_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SKIP_GATES = """
 SELECT source,
-       sum(CASE WHEN length(trim(text)) > 0 AND n_chars >= 50 THEN 1 ELSE 0 END) AS accepted,
-       sum(CASE WHEN NOT (length(trim(text)) > 0 AND n_chars >= 50) THEN 1 ELSE 0 END) AS quarantined
+       CAST(sum(CASE WHEN length(trim(text)) > 0 AND n_chars >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS accepted,
+       CAST(sum(CASE WHEN NOT (length(trim(text)) > 0 AND n_chars >= 50) THEN 1 ELSE 0 END) AS BIGINT) AS quarantined
 FROM documents
 GROUP BY source
 """

@@ -90,12 +90,17 @@ GROUP BY c_mktsegment
 # -- deterministic top-k -----------------------------------------------------------
 
 def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed deterministic top-k: orderBy().limit(k) plans a
+    TakeOrderedAndProject (per-partition top-k + tiny driver merge) — never
+    a global single-task row_number window, which would shuffle every row
+    to one reducer.  The rank window afterwards runs on k rows only."""
     o = _t(spark, sf_dir, "orders")
-    w = W.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (o.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 10)
-            .select(F.col("rank").cast("bigint").alias("rank"),
-                    "o_orderkey", "o_totalprice", "o_orderpriority"))
+    order_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    top = (o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+           .orderBy(*order_cols).limit(10))
+    w = W.orderBy(*order_cols)
+    return (top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .select("rank", "o_orderkey", "o_totalprice", "o_orderpriority"))
 
 
 SQL_TOP_ORDERS = """
@@ -148,7 +153,7 @@ sess AS (
                              ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM flags
 )
-SELECT user_id, max(session_seq) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM sess GROUP BY user_id
 """
 

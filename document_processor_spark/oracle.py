@@ -9,6 +9,7 @@ and the Spark pipeline (BASELINE.json:14-15).
 
 from __future__ import annotations
 
+import zlib
 from dataclasses import dataclass, field
 
 from . import contract as C
@@ -82,10 +83,24 @@ def _extract_span(kind: str, text: str | None, media_ref: str | None,
     return None  # unknown raw kind: tolerated and dropped (S28)
 
 
+_TIE_NULL = "\x02"
+
+
+def span_tiebreak(kind: str, text: str | None, media_ref: str | None) -> int:
+    """Deterministic secondary sort key for spans sharing one (page, block):
+    crc32 of the extracted content.  Shared contract with both Spark engines
+    (pipeline.assemble computes the identical crc32 JVM-side), so reading
+    order is total and engine-independent even on duplicate offsets."""
+    key = f"{kind}\x1f{_TIE_NULL if text is None else text}" \
+          f"\x1f{_TIE_NULL if media_ref is None else media_ref}"
+    return zlib.crc32(key.encode("utf-8"))
+
+
 def extract_document(doc_id: str, spans: list[dict]) -> DocResult:
     """Run the full per-document contract: reading-order reconstruction (T1),
     per-page fast→full OCR fallback (T4), classification (T2), cleaning (T3),
-    renumbering, and skip semantics (T5)."""
+    renumbering, and skip semantics (T5).  Spans sharing one (page, block)
+    slot order by the content tie-break key (see span_tiebreak)."""
     if not spans:
         return DocResult(doc_id, [], skipped=True)
 
@@ -97,21 +112,22 @@ def extract_document(doc_id: str, spans: list[dict]) -> DocResult:
     out: list[tuple[str, str | None, str | None]] = []
     fallback_pages = 0
     for page in sorted(pages):
-        blocks = sorted(pages[page], key=lambda t: t[0])
+        blocks = pages[page]
         fast = [(b, _extract_span(s["kind"], s.get("text"), s.get("media_ref"), full=False))
                 for b, s in blocks]
         has_text = any(r is not None and r[0] in C.TEXT_KINDS for _, r in fast)
         if has_text:
-            accepted = [r for _, r in fast if r is not None]
+            pairs = [(b, r) for b, r in fast if r is not None]
         else:
             # last-converter rule: accept the full pass unconditionally
             fallback_pages += 1
-            accepted = [
-                r for b, s in blocks
+            pairs = [
+                (b, r) for b, s in blocks
                 if (r := _extract_span(s["kind"], s.get("text"), s.get("media_ref"), full=True))
                 is not None
             ]
-        out.extend(accepted)
+        pairs.sort(key=lambda t: (t[0], span_tiebreak(*t[1])))
+        out.extend(r for _, r in pairs)
 
     result = [(k, t, m, i) for i, (k, t, m) in enumerate(out)]
     return DocResult(doc_id, result, pages_in=len(pages),

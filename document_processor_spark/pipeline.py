@@ -399,17 +399,33 @@ def parse_arrow(rows: DataFrame) -> DataFrame:
 # stage 3 — shared assembly: fallback decision, ordering, renumbering
 # ---------------------------------------------------------------------------
 
-def _cmp_int(key):
-    """array_sort comparator on a single int field: the generated comparator
-    stays tiny.  (sort_array over nested struct arrays makes Catalyst
-    generate and janino-compile a full deep-structural comparator — minutes
-    of compile time serialized behind the codegen cache lock, with every
-    executor thread blocked on it.)"""
+def _cmp_int(*keys):
+    """array_sort comparator on one or two int fields: the generated
+    comparator stays tiny.  (sort_array over nested struct arrays makes
+    Catalyst generate and janino-compile a full deep-structural comparator —
+    minutes of compile time serialized behind the codegen cache lock, with
+    every executor thread blocked on it.)"""
     def cmp(a, b):
-        return (F.when(a[key] < b[key], F.lit(-1))
-                 .when(a[key] > b[key], F.lit(1))
-                 .otherwise(F.lit(0)))
+        c = F.lit(0)
+        for key in reversed(keys):
+            c = (F.when(a[key] < b[key], F.lit(-1))
+                  .when(a[key] > b[key], F.lit(1))
+                  .otherwise(c))
+        return c
     return cmp
+
+
+# must mirror oracle.span_tiebreak exactly (crc32 over the same key string)
+_TIE_NULL = "\x02"
+
+
+def _tiebreak_col() -> Column:
+    key = F.concat_ws(
+        "\x1f",
+        F.col("full_kind"),
+        F.coalesce(F.col("full_text"), F.lit(_TIE_NULL)),
+        F.coalesce(F.col("full_media_ref"), F.lit(_TIE_NULL)))
+    return F.crc32(F.encode(key, "UTF-8"))
 
 
 def assemble(parsed: DataFrame) -> DataFrame:
@@ -424,6 +440,7 @@ def assemble(parsed: DataFrame) -> DataFrame:
     span_s = F.when(
         F.col("full_kind").isNotNull(),
         F.struct(F.col("block"),
+                 _tiebreak_col().alias("tb"),
                  F.col("full_kind").alias("kind"),
                  F.col("full_text").alias("text"),
                  F.col("full_media_ref").alias("media_ref"),
@@ -440,7 +457,7 @@ def assemble(parsed: DataFrame) -> DataFrame:
                .otherwise(F.col("arr")))
     page_level = page_level.select(
         "doc_id", "page",
-        F.array_sort(chosen, _cmp_int("block")).alias("page_spans"),
+        F.array_sort(chosen, _cmp_int("block", "tb")).alias("page_spans"),
         (F.lit(1) - F.col("has_text")).alias("fallback"),
     )
 

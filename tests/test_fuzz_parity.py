@@ -18,6 +18,10 @@ _PIECES = [
     "déjà\tüber", "a  b", "<p>body text here</p>", "<h3>t</h3>",
     "<nav><a href='/'>x</a></nav>", "<p></p>", "<br>", "a\nb",
     "h\tc\nv\t", "\t\n\t", "scan:", "scan:!!!", "scan:AAAA",
+    # invalid base64 length / padding and invalid UTF-8 bytes: must yield
+    # null (dropped span), never an executor exception (ADVICE r1)
+    "scan:A", "scan:AB", "scan:/w==", "scan:AAA", "scan:AA=A",
+    "scan:====", "scan:AA==AA==", "scan:oA==",
     "scan:" + base64.b64encode("H2: decoded ok".encode()).decode(),
     "scan:" + base64.b64encode(" glyph<9> ".encode()).decode(),
 ]
@@ -29,7 +33,11 @@ def _random_docs(seed: int, n_docs: int = 60) -> list[dict]:
     docs = []
     for i in range(n_docs):
         n = rng.randint(0, 12)
-        offsets = rng.sample(range(4 * C.PAGE_STRIDE), n)  # unique, ≤4 pages
+        # duplicates allowed: spans sharing one (page, block) slot exercise
+        # the deterministic content tie-break (oracle.span_tiebreak)
+        offsets = [rng.randrange(4 * C.PAGE_STRIDE) for _ in range(n)]
+        if offsets:
+            offsets[0] = offsets[-1]  # force at least one duplicate slot
         spans = []
         for off in offsets:
             kind = rng.choice(_KINDS)
@@ -54,3 +62,28 @@ def test_fuzz_spark_equals_oracle(spark, seed, engine):
     df = spark.createDataFrame(rows, schema=fixtures.INPUT_DDL)
     got = collect_spans(pipeline.extract_documents(df, engine=engine))
     assert got == expected
+
+
+@pytest.mark.parametrize("engine", ["sql", "arrow"])
+def test_duplicate_offset_tiebreak(spark, engine):
+    """Spans sharing an exact (page, block) slot order deterministically by
+    the crc32 content key, identically in oracle and both engines."""
+    spans = [
+        {"kind": "pdf_text", "text": "zeta body", "media_ref": None, "offset": 5},
+        {"kind": "pdf_text", "text": "alpha body", "media_ref": None, "offset": 5},
+        {"kind": "pdf_text", "text": "H1: dup heading", "media_ref": None, "offset": 5},
+        {"kind": "media", "text": None, "media_ref": "m-1", "offset": 5},
+        {"kind": "media", "text": None, "media_ref": "m-0", "offset": 5},
+        {"kind": "pdf_text", "text": "anchor", "media_ref": None, "offset": 3},
+    ]
+    docs = [{"doc_id": "tie-0", "spans": spans}]
+    expected, _ = oracle.extract_corpus(docs)
+    rows = [("tie-0", [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                       for s in spans])]
+    df = spark.createDataFrame(rows, schema=fixtures.INPUT_DDL)
+    got = collect_spans(pipeline.extract_documents(df, engine=engine))
+    assert got == expected
+    # the tie group really is ordered by the crc32 key, not input order
+    tie_kinds = [s for s in expected["tie-0"] if s[3] >= 1]
+    keys = [oracle.span_tiebreak(k, t, m) for k, t, m, _ in tie_kinds]
+    assert keys == sorted(keys)

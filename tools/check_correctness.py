@@ -38,6 +38,42 @@ def row_key(row, cols):
     return tuple(normalize(row[c]) for c in cols)
 
 
+def _canon_type(t: str) -> str:
+    """Canonical type tag shared by Spark DDL names and Arrow type names —
+    the typed layer of the driver's value hash.  An un-cast DuckDB sum()
+    returns HUGEINT (arrow decimal128(38,0)) which stringifies like a
+    BIGINT but hashes differently: exactly the class of bug the r1 string-
+    only comparison missed."""
+    t = t.lower().strip()
+    alias = {
+        "utf8": "string", "large_string": "string", "large_utf8": "string",
+        "bool": "boolean", "int64": "bigint", "long": "bigint",
+        "int32": "int", "int16": "smallint", "int8": "tinyint",
+        "float64": "double", "float32": "float", "float": "float",
+        "halffloat": "float16", "binary": "binary", "large_binary": "binary",
+        "date32[day]": "date", "timestamp[us]": "timestamp",
+        "timestamp[ns]": "timestamp", "timestamp[us, tz=utc]": "timestamp",
+    }
+    if t in alias:
+        return alias[t]
+    t = t.replace("decimal128", "decimal").replace("decimal64", "decimal")
+    for pre_arrow, pre_ddl in (("list<item: ", "array<"), ("list<", "array<")):
+        if t.startswith(pre_arrow) and t.endswith(">"):
+            return f"array<{_canon_type(t[len(pre_arrow):-1])}>"
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{_canon_type(t[6:-1])}>"
+    return t
+
+
+def typed_cols(spark_df, duck_rel):
+    """(col -> canonical type) maps for both engines; DuckDB side goes
+    through Arrow so HUGEINT/DECIMAL widths surface."""
+    s = {f.name: _canon_type(f.dataType.simpleString()) for f in spark_df.schema.fields}
+    arr = duck_rel.fetch_arrow_table().schema
+    d = {f.name: _canon_type(str(f.type)) for f in arr}
+    return s, d
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -78,6 +114,7 @@ def main() -> int:
             dcols = sorted(rel.columns)
             drows = rel.fetchall()
             dcolidx = {c: i for i, c in enumerate(rel.columns)}
+            stypes, dtypes = typed_cols(sdf, rel)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:200]}")
             failures += 1
@@ -85,6 +122,11 @@ def main() -> int:
         ok = True
         if scols != dcols:
             print(f"FAIL {name}: columns spark={scols} duckdb={dcols}")
+            ok = False
+        elif stypes != dtypes:
+            bad = {c: (stypes.get(c), dtypes.get(c)) for c in stypes
+                   if stypes.get(c) != dtypes.get(c)}
+            print(f"FAIL {name}: column types differ (spark, duckdb): {bad}")
             ok = False
         elif len(srows) != len(drows):
             print(f"FAIL {name}: rows spark={len(srows)} duckdb={len(drows)}")
