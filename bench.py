@@ -42,20 +42,35 @@ def main() -> int:
 
     if executors:
         cpus = executors * exec_cores
+    # shuffle partitions scale with cores (a 4N cluster runs 4N-proportional
+    # partitioning); AQE coalesces the small ones back together
     spark = build_spark(app="bench", cores=cpus,
-                        shuffle_partitions=max(cpus * 2, 16),
+                        shuffle_partitions=max(cpus * 8, 64),
                         executors=executors, exec_cores=exec_cores)
 
-    # -- build the replicated corpus (cached: not part of measured time) ----
-    base = fixtures.corpus_df(spark, sf, n_partitions=max(cpus, 16))
-    corpus = (base.crossJoin(spark.range(rep).select(F.col("id").alias("rep")))
-              .select(F.concat_ws("#", "doc_id", "rep").alias("doc_id"), "spans")
-              .repartition(max(cpus * 2, 16), "doc_id")
-              .persist())
-    n_docs = corpus.count()  # materialize cache before timing
+    # -- build the replicated corpora (cached: not part of measured time) ---
+    # `corpus` is the measured input; `warm_corpus` is a small same-shaped
+    # corpus used only for JIT warm-up: the generated whole-stage code is
+    # identical for any rep (same plan/schema), so warming on 1/8 of the
+    # data compiles every hot method without paying interpreted execution
+    # over the full input (cold-vs-steady is ~15x here).
+    def replicated(n_rep: int):
+        base = fixtures.corpus_df(spark, sf, n_partitions=max(cpus, 16))
+        c = (base.crossJoin(spark.range(n_rep).select(F.col("id").alias("rep")))
+             .select(F.concat_ws("#", "doc_id", "rep").alias("doc_id"), "spans")
+             .repartition(max(cpus * 2, 16), "doc_id")
+             .persist())
+        return c, c.count()
+
+    corpus, n_docs = replicated(rep)
+    # C2 compile thresholds are invocation-based (~10k calls), not
+    # data-size-based: a tiny corpus triggers every compile while paying
+    # interpreted execution over 1/100 of the rows
+    rep_warm = max(2, rep // 64)
+    warm_corpus = corpus if rep_warm >= rep else replicated(rep_warm)[0]
 
     queries: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict = {}
     if executors:
         extras["executors"] = executors
         extras["exec_cores"] = exec_cores
@@ -69,38 +84,51 @@ def main() -> int:
         return out
 
     # -- headline: end-to-end extraction, both engines ----------------------
-    # Steady-state methodology (BASELINE.md): the first execution of a plan
-    # pays one-time JVM/JIT warm-up of the generated code (~40s here,
-    # irrelevant at real job scale where a run is hours); each engine runs
-    # twice and the second, steady-state time is recorded.  Cold times are
-    # reported alongside as extras.
-    def run_extract(engine: str):
+    def run_extract(engine: str, on=None):
         result, in_obs, out_obs = pipeline.extract_with_metrics(
-            corpus, engine=engine)
+            on if on is not None else corpus, engine=engine)
         result.write.format("noop").mode("overwrite").save()
         return out_obs.get
 
-    t0 = time.perf_counter()
-    m_sql = run_extract("sql")
-    extras["extract_catalyst_cold"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    run_extract("arrow")
-    extras["extract_arrow_cold"] = round(time.perf_counter() - t0, 3)
+    # Steady-state methodology (BENCH/BASELINE.md): generated code runs
+    # interpreted until C2 JIT compiles it (up to ~15x slower, and it takes
+    # several executions to fully converge), which is irrelevant at real job
+    # scale where one run is hours.  Warm-up therefore loops on the small
+    # corpus until the wall time plateaus, then the measured runs hit fully
+    # compiled code; steady state = min of the measured runs (min is the
+    # standard noise-robust estimator on a shared/virtualized host).
+    def warmup(engine: str, max_runs: int = 10) -> list[float]:
+        series, best, stall = [], None, 0
+        for _ in range(max_runs):
+            t0 = time.perf_counter()
+            run_extract(engine, on=warm_corpus)
+            dt = time.perf_counter() - t0
+            series.append(round(dt, 2))
+            if best is not None and dt > best * 0.92:
+                stall += 1
+                if stall >= 2:
+                    break
+            else:
+                stall = 0
+            best = dt if best is None or dt < best else best
+        print(f"[bench] warmup[{engine}]: {series}", file=sys.stderr, flush=True)
+        return series
 
-    # steady state = min of repeated runs (min is the standard noise-robust
-    # estimator; the sandbox VM sees transient host interference)
-    def steady(name: str, fn, n: int = 3):
-        best = None
+    def steady(name: str, engine: str, n: int = 3):
+        runs = []
+        last = None
         for _ in range(n):
             t0 = time.perf_counter()
-            fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        queries[name] = round(best, 3)
-        print(f"[bench] {name}: {queries[name]}s (min of {n})",
+            last = run_extract(engine)
+            runs.append(round(time.perf_counter() - t0, 3))
+        queries[name] = min(runs)
+        extras[f"{name}_runs"] = runs
+        print(f"[bench] {name}: {queries[name]}s (runs {runs})",
               file=sys.stderr, flush=True)
+        return last
 
-    steady("extract_catalyst", lambda: run_extract("sql"))
+    extras["warmup_catalyst"] = warmup("sql")
+    m_sql = steady("extract_catalyst", "sql")
     extras["docs_per_sec"] = round(n_docs / queries["extract_catalyst"], 1)
     extras["spans_per_sec"] = round(
         m_sql["spans_out"] / queries["extract_catalyst"], 1)
@@ -109,7 +137,8 @@ def main() -> int:
     extras["ocr_fallback_rate"] = round(
         m_sql["fallback_pages"] / max(m_sql["pages_in"], 1), 5)
 
-    steady("extract_arrow", lambda: run_extract("arrow"), n=2)
+    extras["warmup_arrow"] = warmup("arrow", max_runs=4)
+    steady("extract_arrow", "arrow", n=2)
 
     if os.environ.get("SPARK_GRAFT_EXTRACT_ONLY"):
         total = round(sum(queries.values()), 3)

@@ -184,6 +184,51 @@ TABLE_CELL_SEP = "\t"
 TABLE_ROW_SEP = "\n"
 
 
+# ---------------------------------------------------------------------------
+# S21/S22 — positions + page dimensions (lineage-metadata struct).
+#
+# The reference emits per-slice Position(page_num, top/right/bottom/left
+# rounded to 2 decimals, coord_origin) (slice_extractor.py:18-54,
+# models.py:33-40) and per-page width/height (page_extractor.py:39-49),
+# both read from the real PDF geometry.  The fixture corpus has no
+# geometry, so the contract fixes a deterministic synthetic layout — a pure
+# function of (page, block) — that every engine and the oracle derive
+# identically: A4 portrait on even pages / landscape on odd pages, 1-inch
+# margins, a fixed line grid of LINES_PER_PAGE slots.
+# ---------------------------------------------------------------------------
+
+PAGE_W_PORTRAIT, PAGE_H_PORTRAIT = 595.28, 841.89   # A4 in points
+MARGIN_PT = 72.0
+LINE_H_PT = 28.35
+LINE_GAP_PT = 3.5
+LINES_PER_PAGE = 24
+COORD_ORIGIN = "TOPLEFT"
+
+
+def page_dims(page: int) -> tuple[float, float]:
+    """(width, height): portrait on even pages, landscape on odd."""
+    if page % 2 == 0:
+        return PAGE_W_PORTRAIT, PAGE_H_PORTRAIT
+    return PAGE_H_PORTRAIT, PAGE_W_PORTRAIT
+
+
+def position_for(page: int, block: int) -> dict:
+    """The Position struct of a block (rounded to 2 decimals, T-rule of
+    slice_extractor.py:36-50)."""
+    w, _h = page_dims(page)
+    top = round(MARGIN_PT + (block % LINES_PER_PAGE) * LINE_H_PT, 2)
+    return {
+        "page_num": page + 1,
+        "top": top,
+        "right": round(w - MARGIN_PT, 2),
+        # parenthesized so the double op order matches the Spark expression
+        # (top + <precomputed line-height-minus-gap>) exactly
+        "bottom": round(top + (LINE_H_PT - LINE_GAP_PT), 2),
+        "left": MARGIN_PT,
+        "coord_origin": COORD_ORIGIN,
+    }
+
+
 def flatten_table(raw: str) -> str:
     rows = raw.split(TABLE_ROW_SEP)
     out_rows = [

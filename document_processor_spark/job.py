@@ -65,6 +65,10 @@ def _partition_metrics(input_batch: DataFrame, written: DataFrame) -> dict[int, 
                  fallback_docs=r["fallback_docs"] or 0)
     for d in m.values():
         d["skipped_docs"] = d.get("docs_in", 0) - d.get("docs_out", 0)
+        # S29 reason codes (reference: 400-empty vs unprocessable,
+        # app/api.py:86-98,137-139): every quarantined doc is attributed
+        d["reason_empty_payload"] = d.get("empty_docs", 0)
+        d["reason_no_content"] = d["skipped_docs"] - d["reason_empty_payload"]
     return m
 
 
@@ -80,6 +84,15 @@ def run_extraction_job(spark: SparkSession, docs: DataFrame, warehouse: str,
     max_commits: stop after N commits (used by resume tests to simulate a
     mid-job kill between snapshots)."""
     table = IceLite(warehouse, SPANS_TABLE)
+    # resume safety: committed partition ids are only meaningful under the
+    # SAME bucketing — resuming with a different n_parts would skip wrong
+    # buckets (silently dropping or duplicating documents)
+    for s in table.snapshots():
+        if "n_parts" in s and s["n_parts"] != n_parts:
+            raise ValueError(
+                f"warehouse {warehouse} was written with n_parts="
+                f"{s['n_parts']} (snapshot {s['snapshot_id']}); "
+                f"cannot resume with n_parts={n_parts}")
     docs = with_part(docs, n_parts)
     done = table.committed_partitions()
     todo = [p for p in range(n_parts) if p not in done]
@@ -102,8 +115,11 @@ def run_extraction_job(spark: SparkSession, docs: DataFrame, warehouse: str,
         # app/api.py:86-98) and are filtered out by read_spans.  Per-partition
         # metrics then come from the written snapshot, so the extraction runs
         # exactly once per batch.
+        skip_reason = (F.when(F.size("spans") > 0, F.lit(None).cast("string"))
+                        .otherwise(F.lit("no_extractable_content")))
         result = detailed.select("doc_id", "spans", "fallback_pages",
-                                 "pages_in", PART_COL)
+                                 "pages_in", skip_reason.alias("skip_reason"),
+                                 PART_COL)
         manifest = table.append(result, run_id, partitions=batch,
                                 extra={"engine": engine, "n_parts": n_parts})
         if collect_metrics:

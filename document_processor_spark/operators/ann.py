@@ -25,20 +25,23 @@ QUERY_MOD = 50          # vec_id % 50 == 0 → query set
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # norm materialized once per vector (never recomputed per candidate pair)
     return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
             .repartition(spark.sparkContext.defaultParallelism)
-            .select("vec_id", _dbl("embedding").alias("v")))
+            .select("vec_id", _dbl("embedding").alias("v"))
+            .withColumn("nrm", _norm(F.col("v"))))
 
 
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") % QUERY_MOD == 0) \
-         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                 F.col("nrm").alias("qnrm"))
     # corpus side is the big side; the query side broadcasts
     pairs = (e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
              .select("query_id", "vec_id",
                      (_dot(F.col("qv"), F.col("v"))
-                      / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("cos")))
+                      / (F.col("qnrm") * F.col("nrm"))).alias("cos")))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOP_K)
@@ -48,12 +51,14 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ANN_BRUTEFORCE = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  {_SQL_NORM.format(a="(embedding::DOUBLE[])")} AS nrm
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e
+      WHERE vec_id % {QUERY_MOD} = 0),
 pairs AS (
   SELECT q.query_id, e.vec_id,
-         {_SQL_DOT.format(a="q.qv", b="e.v")}
-           / ({_SQL_NORM.format(a="q.qv")} * {_SQL_NORM.format(a="e.v")}) AS cos
+         {_SQL_DOT.format(a="q.qv", b="e.v")} / (q.qnrm * e.nrm) AS cos
   FROM e JOIN q ON e.vec_id <> q.query_id
 ),
 ranked AS (
@@ -75,12 +80,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("v")))
     q = e.filter(F.col("vec_id") % QUERY_MOD == 0) \
          .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-                 F.col("bucket"))
+                 F.col("nrm").alias("qnrm"), F.col("bucket"))
     pairs = (e.join(F.broadcast(q), "bucket")
              .filter(F.col("vec_id") != F.col("query_id"))
              .select("query_id", "vec_id",
                      (_dot(F.col("qv"), F.col("v"))
-                      / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("cos")))
+                      / (F.col("qnrm") * F.col("nrm"))).alias("cos")))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOP_K)
@@ -92,15 +97,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ANN_LSH = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
-         {_sql_bucket("(embedding::DOUBLE[])")} AS bucket
+         {_sql_bucket("(embedding::DOUBLE[])")} AS bucket,
+         {_SQL_NORM.format(a="(embedding::DOUBLE[])")} AS nrm
   FROM embeddings
 ),
-q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e
+q AS (SELECT vec_id AS query_id, v AS qv, bucket, nrm AS qnrm FROM e
       WHERE vec_id % {QUERY_MOD} = 0),
 pairs AS (
   SELECT q.query_id, e.vec_id,
-         {_SQL_DOT.format(a="q.qv", b="e.v")}
-           / ({_SQL_NORM.format(a="q.qv")} * {_SQL_NORM.format(a="e.v")}) AS cos
+         {_SQL_DOT.format(a="q.qv", b="e.v")} / (q.qnrm * e.nrm) AS cos
   FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.query_id
 ),
 ranked AS (

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 N_BANDS = 8
+MINHASH_ROWS_PER_BAND = 2   # r>=2: band collision needs r hash agreements,
+                            # cutting the false-candidate rate at scale
 MINHASH_JACCARD_T = 0.5
 NGRAM_JACCARD_T = 0.3
 SIMHASH_BITS = 16
@@ -36,6 +38,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file fixture scan -> fan out for the shingle/hash stages
     return (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .repartition(spark.sparkContext.defaultParallelism))
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialization pin for an intermediate referenced by several plan
+    branches.  Lazy localCheckpoint instead of persist(): the backing RDD
+    blocks are released by the ContextCleaner as soon as the DataFrame is
+    garbage-collected, so repeated driver queries in a long-lived session
+    don't accumulate pinned caches (persist() entries sit in the
+    CacheManager until manually unpersisted — the r1 cache leak).  At
+    10^12-row scale the equivalent pin is a checkpoint table."""
+    return df.localCheckpoint(eager=False)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,23 +104,35 @@ _SQL_SHINGLES = """
 
 # -- MinHash + LSH near-dup --------------------------------------------------------
 
+def _band_sigs_col():
+    """Per-document LSH band signatures computed NARROWLY (no explode, no
+    groupBy shuffle): band b's signature is the '|'-join of r lexicographic
+    minhashes min(md5(k ':' shingle)) with salts k = b*r .. b*r+r-1.  One
+    projection over the shingle array replaces the r1 design's 8× row
+    explode + hash-shuffle aggregation — the signature stage is now
+    embarrassingly parallel and shuffles nothing."""
+    def mh(k: int):
+        return F.array_min(F.transform(
+            F.col("shingles"),
+            lambda s: F.md5(F.concat_ws(":", F.lit(k), s))))
+    return F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("|", *[mh(b * MINHASH_ROWS_PER_BAND + i)
+                                    for i in range(MINHASH_ROWS_PER_BAND)])
+                 .alias("mh"))
+        for b in range(N_BANDS)])
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """shingle → per-band minhash → bucket-join candidates → exact Jaccard
-    verify.  min(md5(band || shingle)) is the lexicographic minhash; bands
-    are independent permutations via the seed prefix."""
+    """shingle → per-band (r=2) minhash signatures (narrow) → bucket-join
+    candidates → exact Jaccard verify.  The pin on the shingle sets serves
+    the signature build and both sides of the verify join."""
     d = _docs(spark, sf_dir)
-    # persist: the shingle set is referenced 4× in the final plan (signature
-    # build + both sides of the verify join); without it Catalyst recomputes
-    # the whole shingle derivation per reference.  One row per doc — bounded.
-    sh = d.select("doc_id", _shingles_col().alias("shingles")) \
-          .filter(F.size("shingles") > 0).persist()
-    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    bands = exploded.select(
-        "doc_id", "sh",
-        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"))
-    sig = (bands.groupBy("doc_id", "band")
-           .agg(F.min(F.md5(F.concat_ws(":", F.col("band"), F.col("sh"))))
-                .alias("mh"))).persist()
+    sh = _pin(d.select("doc_id", _shingles_col().alias("shingles"))
+              .filter(F.size("shingles") > 0))
+    sig = (sh.select("doc_id", F.explode(_band_sigs_col()).alias("bs"))
+           .select("doc_id", F.col("bs.band").alias("band"),
+                   F.col("bs.mh").alias("mh")))
     cand = (sig.alias("a").join(sig.alias("b"), ["band", "mh"])
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
@@ -123,17 +148,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("jaccard") >= MINHASH_JACCARD_T))
 
 
+_SQL_MINHASH_BAND_SIG = " || '|' || ".join(
+    "list_aggregate(list_transform(shingles, s -> "
+    f"md5(CAST(b.band * {MINHASH_ROWS_PER_BAND} + {i} AS VARCHAR) || ':' || s)), 'min')"
+    for i in range(MINHASH_ROWS_PER_BAND))
+
 SQL_DEDUP_MINHASH_LSH = f"""
 WITH sh AS ({_SQL_SHINGLES}),
 nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0),
-exploded AS (SELECT doc_id, unnest(shingles) AS s FROM nonempty),
-bands AS (
-  SELECT doc_id, s, unnest(generate_series(0, {N_BANDS - 1})) AS band
-  FROM exploded
-),
 sig AS (
-  SELECT doc_id, band, min(md5(band || ':' || s)) AS mh
-  FROM bands GROUP BY doc_id, band
+  SELECT doc_id, b.band AS band, {_SQL_MINHASH_BAND_SIG} AS mh
+  FROM nonempty, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -159,8 +184,9 @@ WHERE round(CAST(inter AS DOUBLE) / CAST(un AS DOUBLE), 4) >= {MINHASH_JACCARD_T
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    sh = d.select("doc_id", "source", "lang", _shingles_col().alias("shingles")) \
-          .filter(F.size("shingles") > 0).persist()
+    sh = _pin(d.select("doc_id", "source", "lang",
+                       _shingles_col().alias("shingles"))
+              .filter(F.size("shingles") > 0))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (a.join(b, ["source", "lang"])
              .filter(F.col("a.doc_id") < F.col("b.doc_id")))
@@ -263,7 +289,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (chunk_idx, chunk_value) — a shuffle hash join whose fan-out is bounded
     by chunk-bucket size, never O(N²).  Exact bit_count(xor) verifies, and
     distinct collapses pairs that agree on several chunks."""
-    sig = q_dedup_simhash(spark, sf_dir)
+    sig = _pin(q_dedup_simhash(spark, sf_dir))
     bits_per = SIMHASH_BITS // N_SIMHASH_CHUNKS  # 16//3 = 5; last chunk gets the rest
     chunked = sig.select(
         "doc_id", "simhash",
@@ -333,9 +359,14 @@ _SQL_NORM = ("sqrt(list_reduce(list_transform({a}, v -> v * v), "
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir).select("vec_id", _dbl("embedding").alias("v")).persist()
+    """All-pairs baseline (the oracle shape for the LSH variant below —
+    O(N²) by definition, never the scale path).  Norms are materialized
+    once per vector before the join, not recomputed per pair."""
+    e = _pin(_emb(spark, sf_dir)
+             .select("vec_id", _dbl("embedding").alias("v"))
+             .withColumn("nrm", _norm(F.col("v"))))
     a, b = e.alias("a"), e.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     pairs = (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
              .select(F.col("a.vec_id").alias("v1"),
                      F.col("b.vec_id").alias("v2"),
@@ -345,11 +376,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_EMBEDDING_COSINE = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  {_SQL_NORM.format(a="(embedding::DOUBLE[])")} AS nrm
+           FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS v1, b.vec_id AS v2,
-         {_SQL_DOT.format(a="a.v", b="b.v")}
-           / ({_SQL_NORM.format(a="a.v")} * {_SQL_NORM.format(a="b.v")}) AS cos
+         {_SQL_DOT.format(a="a.v", b="b.v")} / (a.nrm * b.nrm) AS cos
   FROM e a JOIN e b ON a.vec_id < b.vec_id
 )
 SELECT v1, v2, round(cos, 6) AS cosine
@@ -390,11 +422,12 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefilter, exact cosine only within buckets.  At 10^12 rows the
     all-pairs variant is infeasible; the bucket join bounds the candidate
     count (AQE splits hot buckets)."""
-    e = (_emb(spark, sf_dir)
-         .select("vec_id", _dbl("embedding").alias("v"))
-         .withColumn("bucket", _bucket_expr(F.col("v"))).persist())
+    e = _pin(_emb(spark, sf_dir)
+             .select("vec_id", _dbl("embedding").alias("v"))
+             .withColumn("bucket", _bucket_expr(F.col("v")))
+             .withColumn("nrm", _norm(F.col("v"))))
     a, b = e.alias("a"), e.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     pairs = (a.join(b, "bucket")
              .filter(F.col("a.vec_id") < F.col("b.vec_id"))
              .select(F.col("a.vec_id").alias("v1"),
@@ -406,12 +439,12 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_embedding_lsh() -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                  {_sql_bucket("(embedding::DOUBLE[])")} AS bucket
+                  {_sql_bucket("(embedding::DOUBLE[])")} AS bucket,
+                  {_SQL_NORM.format(a="(embedding::DOUBLE[])")} AS nrm
            FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS v1, b.vec_id AS v2,
-         {_SQL_DOT.format(a="a.v", b="b.v")}
-           / ({_SQL_NORM.format(a="a.v")} * {_SQL_NORM.format(a="b.v")}) AS cos
+         {_SQL_DOT.format(a="a.v", b="b.v")} / (a.nrm * b.nrm) AS cos
   FROM e a JOIN e b USING (bucket) WHERE a.vec_id < b.vec_id
 )
 SELECT v1, v2, round(cos, 6) AS cosine

@@ -388,8 +388,69 @@ FROM linked
 """
 
 
+# -- S21/S22: positions + page dimensions (synthetic layout contract) ----------
+
+def q_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six word-chunk blocks per doc laid out on the synthetic grid
+    (contract.position_for / page_dims): Position fields rounded to 2
+    decimals + per-page width/height — the lineage-metadata projection the
+    reference emits per slice (slice_extractor.py:18-54,
+    page_extractor.py:39-49)."""
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ", -1)
+    chunk = F.transform(
+        F.sequence(F.lit(0), F.lit(5)),
+        lambda i: F.array_join(F.slice(words, i * 4 + 1, 4), " "))
+    blocks = d.select("doc_id", F.posexplode(chunk).alias("ord", "block_text"))
+    page = F.expr("ord div 3")
+    block = (F.col("ord") % 3) * 7
+    portrait = page % 2 == 0
+    width = F.when(portrait, F.lit(C.PAGE_W_PORTRAIT)) \
+             .otherwise(F.lit(C.PAGE_H_PORTRAIT))
+    height = F.when(portrait, F.lit(C.PAGE_H_PORTRAIT)) \
+              .otherwise(F.lit(C.PAGE_W_PORTRAIT))
+    top = F.round(F.lit(C.MARGIN_PT)
+                  + F.pmod(block, F.lit(C.LINES_PER_PAGE)) * F.lit(C.LINE_H_PT), 2)
+    return blocks.select(
+        "doc_id", F.col("ord").cast("bigint").alias("ord"), "block_text",
+        (page + 1).cast("bigint").alias("page_num"),
+        top.alias("top"),
+        F.round(width - F.lit(C.MARGIN_PT), 2).alias("right"),
+        F.round(top + F.lit(C.LINE_H_PT - C.LINE_GAP_PT), 2).alias("bottom"),
+        F.lit(C.MARGIN_PT).alias("left"),
+        F.lit(C.COORD_ORIGIN).alias("coord_origin"),
+        width.alias("page_width"), height.alias("page_height"))
+
+
+SQL_POSITIONS = f"""
+WITH blocks AS (
+  SELECT doc_id, i AS ord,
+         array_to_string(list_slice(string_split(text,' '), i*4 + 1, i*4 + 4), ' ') AS block_text,
+         i // 3 AS page, (i % 3) * 7 AS block
+  FROM documents, unnest(generate_series(0, 5)) AS t(i)
+),
+geo AS (
+  SELECT doc_id, ord, block_text, page, block,
+         CASE WHEN page % 2 = 0 THEN {C.PAGE_W_PORTRAIT!r} ELSE {C.PAGE_H_PORTRAIT!r} END AS page_width,
+         CASE WHEN page % 2 = 0 THEN {C.PAGE_H_PORTRAIT!r} ELSE {C.PAGE_W_PORTRAIT!r} END AS page_height,
+         round({C.MARGIN_PT!r} + (block % {C.LINES_PER_PAGE}) * {C.LINE_H_PT!r}, 2) AS top
+  FROM blocks
+)
+SELECT doc_id, ord, block_text,
+       CAST(page + 1 AS BIGINT) AS page_num,
+       top,
+       round(page_width - {C.MARGIN_PT!r}, 2) AS "right",
+       round(top + {C.LINE_H_PT - C.LINE_GAP_PT!r}, 2) AS bottom,
+       {C.MARGIN_PT!r} AS "left",
+       '{C.COORD_ORIGIN}' AS coord_origin,
+       page_width, page_height
+FROM geo
+"""
+
+
 QUERIES = {
     "ext_glyph_clean": (q_glyph_clean, SQL_GLYPH_CLEAN),
+    "ext_positions": (q_positions, SQL_POSITIONS),
     "ext_hierarchy": (q_hierarchy, SQL_HIERARCHY),
     "ext_reading_order": (q_reading_order, SQL_READING_ORDER),
     "ext_slice_numbering": (q_slice_numbering, SQL_SLICE_NUMBERING),

@@ -39,13 +39,48 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, media_type: str):
-    """Decode stub: real decoders (PIL/libav) are not in this container.
-    Raises NotImplementedError for real codecs; the deterministic fake
-    codec below keeps the pipeline testable end-to-end."""
-    raise NotImplementedError(
-        f"no decoder for {media_type} in this environment; "
-        "use extract_media_features (deterministic metadata path)")
+# --------------------------------------------------------------------------
+# The deterministic fake codec (S25 analog of the reference's screenshot
+# transcode, image_extractor.py:30-64).  Container format:
+#
+#     b"FAKE|" + media_type + b"|" + <width> + b"x" + <height> + b"|" + pixels
+#
+# widths/heights are ASCII decimal; `pixels` is an opaque byte run whose
+# length plays the role of the decoded frame buffer.  Real codecs (PNG/WAV/
+# MP4 magic) still raise NotImplementedError — the decode libraries are not
+# in this container — but the fake-codec path exercises the identical Spark
+# plumbing: binary column in, mapInPandas batch decode, typed feature rows
+# out, deterministic downscale (the reference's image_scale param).
+# --------------------------------------------------------------------------
+
+_FAKE_MAGIC = b"FAKE|"
+_REAL_MAGICS = (b"\x89PNG", b"RIFF", b"\x00\x00\x00", b"\xff\xd8")
+
+
+def encode_fake_media(media_type: str, width: int, height: int,
+                      pixels: bytes) -> bytes:
+    return (_FAKE_MAGIC + media_type.encode("ascii")
+            + b"|%dx%d|" % (width, height) + pixels)
+
+
+def decode_media(payload: bytes, media_type: str) -> dict:
+    """Decode one media payload.  Fake-codec payloads decode for real
+    (parse header, return frame geometry + pixel run); genuine codec magic
+    raises NotImplementedError (no PIL/libav in this container — swap this
+    branch for the real decoder on a full image)."""
+    b = bytes(payload)
+    if b.startswith(_FAKE_MAGIC):
+        try:
+            _, mt, dims, pixels = b.split(b"|", 3)
+            w, h = dims.split(b"x", 1)
+            return {"media_type": mt.decode("ascii"),
+                    "width": int(w), "height": int(h), "pixels": pixels}
+        except (ValueError, UnicodeDecodeError) as e:
+            raise ValueError(f"malformed fake-codec payload: {e}") from e
+    if b.startswith(_REAL_MAGICS):
+        raise NotImplementedError(
+            f"real codec for {media_type} not available in this environment")
+    raise ValueError(f"unrecognized media container for {media_type}")
 
 
 def _feature_batches(it: Iterator["object"]) -> Iterator["object"]:
@@ -76,6 +111,56 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media_table(spark, sf_dir))
 
 
+# -- S25: decode + downscale over the fake codec -----------------------------
+
+DECODE_SCHEMA = ("doc_id bigint, media_type string, width bigint, "
+                 "height bigint, thumb_w bigint, thumb_h bigint, "
+                 "n_pixel_bytes bigint, pixel_hash string")
+
+
+def fake_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table whose payloads are real fake-codec containers (binary
+    column built JVM-side with concat over encoded parts)."""
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .repartition(spark.sparkContext.defaultParallelism))
+    mt = (F.when(F.col("n_chars") % 3 == 0, "image/png")
+           .when(F.col("n_chars") % 3 == 1, "audio/wav")
+           .otherwise("video/mp4"))
+    width = (F.lit(64) + F.col("n_chars") % 640).cast("long")
+    height = (F.lit(64) + (F.col("n_chars") * 7) % 480).cast("long")
+    header = F.concat(mt, F.lit("|"), width.cast("string"), F.lit("x"),
+                      height.cast("string"), F.lit("|"))
+    payload = F.concat(F.lit(_FAKE_MAGIC),
+                       F.encode(header, "UTF-8"),
+                       F.encode(F.substring("text", 1, 32), "UTF-8"))
+    return d.select("doc_id", payload.alias("payload"),
+                    mt.alias("media_type"))
+
+
+def _decode_batches(it: Iterator["object"]) -> Iterator["object"]:
+    """mapInPandas worker: genuinely parses the payload bytes (NOT the
+    source columns) via decode_media, then derives thumbnail geometry —
+    the decode/resize/feature-extract stage of SURVEY.md S25."""
+    import pandas as pd
+    for pdf in it:
+        rows = []
+        for doc_id, payload, mt in zip(pdf["doc_id"], pdf["payload"],
+                                       pdf["media_type"]):
+            d = decode_media(payload, mt)
+            rows.append((doc_id, d["media_type"], d["width"], d["height"],
+                         max(1, d["width"] // 2), max(1, d["height"] // 2),
+                         len(d["pixels"]),
+                         hashlib.md5(d["pixels"]).hexdigest()))
+        yield pd.DataFrame(rows, columns=["doc_id", "media_type", "width",
+                                          "height", "thumb_w", "thumb_h",
+                                          "n_pixel_bytes", "pixel_hash"])
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fake_media_table(spark, sf_dir).mapInPandas(
+        _decode_batches, DECODE_SCHEMA)
+
+
 SQL_MEDIA_FEATURES = """
 SELECT doc_id,
        'm-' || CAST(doc_id AS VARCHAR) AS media_ref,
@@ -90,6 +175,22 @@ FROM documents
 """
 
 
+SQL_MEDIA_DECODE = """
+SELECT doc_id,
+       CASE WHEN n_chars % 3 = 0 THEN 'image/png'
+            WHEN n_chars % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       64 + n_chars % 640 AS width,
+       64 + (n_chars * 7) % 480 AS height,
+       greatest(1, (64 + n_chars % 640) // 2) AS thumb_w,
+       greatest(1, (64 + (n_chars * 7) % 480) // 2) AS thumb_h,
+       CAST(octet_length(encode(substr(text, 1, 32))) AS BIGINT) AS n_pixel_bytes,
+       md5(substr(text, 1, 32)) AS pixel_hash
+FROM documents
+"""
+
+
 QUERIES = {
     "mm_media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "mm_media_decode": (q_media_decode, SQL_MEDIA_DECODE),
 }

@@ -1,11 +1,23 @@
-"""The full extraction pipeline exposed as driver queries.
+"""The full extraction pipeline exposed as driver queries — WITH a real
+DuckDB oracle.
 
-These run the real dataflow (explode → parse → fallback → assembly) over
-the deterministic fixture corpus.  They are NOT SQL-expressible as a single
-DuckDB statement (two-level page/doc aggregation with per-page pipeline
-choice), so they take the driver's rows-only check; strict span-sequence
-equality vs the pure-Python oracle is enforced by pytest
-(tests/test_pipeline_e2e.py).
+`pipe_extract_catalyst` / `pipe_extract_arrow` derive a deterministic
+interleaved (doc_id, spans[]) corpus from the `documents` parquet table
+(every raw kind: pdf_text heading+body, html main/boilerplate/heading,
+pdf_scan with and without page fallback, table_raw, media with/without alt
+— SURVEY.md §2.1 S2-S28), run the REAL dataflow (explode → parse →
+per-page fast→full fallback → reading order → renumber,
+pipeline.extract_documents), and explode the result back to rows.  The
+oracle re-states both the derivation and the whole extraction contract in
+ANSI SQL: per-span extraction as CASE + regexp chains, the page-level
+fallback decision as bool_or over fast text spans, reading order +
+renumbering as one row_number window.  Blocks are unique per (doc, page)
+by construction, so the crc32 tie-break never fires and (page, block)
+ordering is total.
+
+The fixture-corpus variants (generated input incl. the 50k-span skew doc)
+stay under pytest (tests/test_pipeline_e2e.py) where the pure-Python
+oracle checks them span-for-span.
 """
 
 from __future__ import annotations
@@ -13,28 +25,162 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import fixtures, pipeline
+from .. import contract as C
+from .. import pipeline
 
-_FIXTURE_SF = 0.002  # ~20 docs: fast enough for the per-round driver check
+_BOILER = '<nav class="m"><a href="/a">a</a><a href="/b">b</a></nav>'
 
 
-def _run(spark: SparkSession, engine: str) -> DataFrame:
-    docs = fixtures.corpus_df(spark, _FIXTURE_SF, include_skew=False,
-                              n_partitions=8)
-    out = pipeline.extract_documents(docs, engine=engine)
+def derived_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved input derived from the documents table: 7-8 spans per
+    doc across 2 pages, every raw kind, unique (page, block) slots."""
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .repartition(spark.sparkContext.defaultParallelism))
+    w = F.split("text", " ", -1)
+    w4 = F.array_join(F.slice(w, 1, 4), " ")
+    h60 = F.substring("text", 1, 60)
+    html_main = F.when(F.col("n_chars") % 5 == 0,
+                       F.concat(F.lit("<h2>"), h60, F.lit("</h2>"))) \
+                 .otherwise(F.concat(F.lit("<p>"), h60, F.lit("</p>")))
+    table_payload = F.concat(F.lit("h1\th2\n"),
+                             F.array_join(F.slice(w, 1, 2), "\t"))
+    alt = F.when(F.col("n_chars") % 2 == 0, F.substring("text", 1, 12))
+    scan_payload = F.concat(
+        F.lit(C.SCAN_PREFIX),
+        F.base64(F.encode(F.substring("text", 1, 40), "UTF-8")))
+    tail = F.when(F.col("n_chars") % 3 != 0,
+                  F.concat(F.lit("tail "), F.substring("text", 1, 20)))
+
+    ns = F.lit(None).cast("string")
+
+    def span(kind, text, mref, page, block):
+        return F.struct(
+            F.lit(kind).alias("kind"), text.alias("text"),
+            mref.alias("media_ref"),
+            F.lit(page * C.PAGE_STRIDE + block).cast("int").alias("offset"))
+
+    spans = F.array(
+        span("pdf_text", F.concat(F.lit("H1: "), w4), ns, 0, 0),
+        span("pdf_text", F.col("text"), ns, 0, 1),
+        span("html", html_main, ns, 0, 2),
+        span("html", F.lit(_BOILER), ns, 0, 3),
+        span("table_raw", table_payload, ns, 0, 4),
+        span("media", alt, F.concat(F.lit("m-"), F.col("doc_id")), 0, 5),
+        span("pdf_scan", scan_payload, ns, 1, 0),
+        # present only when n_chars % 3 != 0: those docs keep page 1 on the
+        # fast path; the others are scan-only on page 1 → full fallback
+        F.when(F.col("n_chars") % 3 != 0,
+               span("pdf_text", tail, ns, 1, 1)),
+    )
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.filter(spans, lambda s: s.isNotNull()).alias("spans"))
+
+
+def _run(spark: SparkSession, sf_dir: str, engine: str) -> DataFrame:
+    out = pipeline.extract_documents(derived_corpus(spark, sf_dir),
+                                     engine=engine)
     return (out.select("doc_id", F.explode("spans").alias("s"))
             .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"))
 
 
 def q_extract_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run(spark, "sql")
+    return _run(spark, sf_dir, "sql")
 
 
 def q_extract_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run(spark, "arrow")
+    return _run(spark, sf_dir, "arrow")
+
+
+# --------------------------------------------------------------------------
+# The ANSI-SQL restatement of derivation + extraction contract.
+# The scan span's payload is stored already-decoded (the oracle knows the
+# base64 round-trip is the identity); everything else mirrors contract.py.
+# --------------------------------------------------------------------------
+
+_CLEAN = ("regexp_replace(regexp_replace(regexp_replace({x}, "
+          f"'{C.GLYPH_PATTERN}', ' ', 'g'), "
+          r"'[ \t]+', ' ', 'g'), '^\s+|\s+$', '', 'g')")
+
+_FLAT_TABLE = (
+    "array_to_string(list_transform(string_split({x}, E'\\n'), row -> "
+    "array_to_string(list_transform(string_split(row, E'\\t'), cell -> "
+    + _CLEAN.format(x="cell") + "), E'\\t')), E'\\n')")
+
+SQL_PIPE_EXTRACT = f"""
+WITH raw AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, n_chars,
+         string_split(text, ' ') AS w
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, 0 AS page, 0 AS block, 'pdf_text' AS kind,
+         'H1: ' || array_to_string(list_slice(w, 1, 4), ' ') AS payload,
+         NULL AS mref FROM raw
+  UNION ALL SELECT doc_id, 0, 1, 'pdf_text', text, NULL FROM raw
+  UNION ALL SELECT doc_id, 0, 2, 'html',
+         CASE WHEN n_chars % 5 = 0 THEN '<h2>' || substr(text, 1, 60) || '</h2>'
+              ELSE '<p>' || substr(text, 1, 60) || '</p>' END, NULL FROM raw
+  UNION ALL SELECT doc_id, 0, 3, 'html', '{_BOILER}', NULL FROM raw
+  UNION ALL SELECT doc_id, 0, 4, 'table_raw',
+         'h1' || E'\\t' || 'h2' || E'\\n'
+         || array_to_string(list_slice(w, 1, 2), E'\\t'), NULL FROM raw
+  UNION ALL SELECT doc_id, 0, 5, 'media',
+         CASE WHEN n_chars % 2 = 0 THEN substr(text, 1, 12) END,
+         'm-' || doc_id FROM raw
+  UNION ALL SELECT doc_id, 1, 0, 'pdf_scan', substr(text, 1, 40), NULL FROM raw
+  UNION ALL SELECT doc_id, 1, 1, 'pdf_text', 'tail ' || substr(text, 1, 20),
+         NULL FROM raw WHERE n_chars % 3 != 0
+),
+c1 AS (
+  SELECT doc_id, page, block, kind, payload, mref,
+         {_CLEAN.format(x="CASE WHEN kind = 'html' THEN regexp_replace(payload, '<[^>]*>', ' ', 'g') ELSE payload END")} AS cleaned,
+         CASE WHEN kind = 'table_raw' THEN {_FLAT_TABLE.format(x="payload")} END AS flat
+  FROM spans
+),
+ext AS (
+  SELECT doc_id, page, block, kind,
+    CASE
+      WHEN kind IN ('pdf_text', 'pdf_scan') AND cleaned <> ''
+        THEN CASE WHEN cleaned LIKE 'H1:%' OR cleaned LIKE 'H2:%'
+                  THEN 'heading' ELSE 'paragraph' END
+      WHEN kind = 'html' AND cleaned <> ''
+           AND CAST(length(cleaned) AS DOUBLE) / length(payload) >= {C.HTML_DENSITY_THRESHOLD}
+        THEN CASE WHEN regexp_matches(payload, '(?i)^\\s*<h[1-6][\\s>]')
+                  THEN 'heading' ELSE 'paragraph' END
+      WHEN kind = 'table_raw' AND regexp_replace(flat, '\\s', '', 'g') <> ''
+        THEN 'table'
+      WHEN kind = 'media'
+        THEN CASE WHEN payload IS NOT NULL AND cleaned <> ''
+                  THEN 'figure' ELSE 'media_ref' END
+    END AS full_kind,
+    CASE
+      WHEN kind IN ('pdf_text', 'pdf_scan', 'html') THEN nullif(cleaned, '')
+      WHEN kind = 'table_raw' THEN flat
+      WHEN kind = 'media' AND payload IS NOT NULL AND cleaned <> '' THEN cleaned
+    END AS full_text,
+    CASE WHEN kind = 'media' THEN mref END AS out_mref
+  FROM c1
+),
+page_pick AS (
+  SELECT doc_id, page,
+         bool_or(full_kind IN ('heading', 'paragraph')
+                 AND kind <> 'pdf_scan') AS has_text
+  FROM ext GROUP BY doc_id, page
+),
+chosen AS (
+  SELECT e.doc_id, e.page, e.block, e.full_kind, e.full_text, e.out_mref
+  FROM ext e JOIN page_pick p USING (doc_id, page)
+  WHERE e.full_kind IS NOT NULL AND (NOT p.has_text OR e.kind <> 'pdf_scan')
+)
+SELECT doc_id, full_kind AS kind, full_text AS text, out_mref AS media_ref,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY page, block) - 1
+            AS INTEGER) AS offset
+FROM chosen
+"""
 
 
 QUERIES = {
-    "pipe_extract_catalyst": (q_extract_sql, None),
-    "pipe_extract_arrow": (q_extract_arrow, None),
+    "pipe_extract_catalyst": (q_extract_sql, SQL_PIPE_EXTRACT),
+    "pipe_extract_arrow": (q_extract_arrow, SQL_PIPE_EXTRACT),
 }

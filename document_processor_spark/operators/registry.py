@@ -14,15 +14,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
+    # imports fail LOUDLY: a broken operator module must surface as a
+    # driver error, not silently shrink the query surface
+    import importlib
+
     from . import extraction_ops
     out: dict[str, tuple[QueryFn, str | None]] = {}
     out.update(extraction_ops.QUERIES)
     for mod_name in ("dedup", "ann", "text_analysis", "relational",
                      "multimodal", "pipeline_ops"):
-        try:
-            import importlib
-            mod = importlib.import_module(f".{mod_name}", __package__)
-            out.update(mod.QUERIES)
-        except ImportError:
-            pass
+        mod = importlib.import_module(f".{mod_name}", __package__)
+        out.update(mod.QUERIES)
     return out

@@ -24,6 +24,9 @@ class DocResult:
     pages_in: int = 0
     fallback_pages: int = 0
     skipped: bool = False
+    # (page, block) slot of each output span, aligned with `spans` —
+    # the inputs to the S21/S22 layout derivation (contract.position_for)
+    slots: list[tuple[int, int]] = field(default_factory=list)
 
 
 @dataclass
@@ -110,6 +113,7 @@ def extract_document(doc_id: str, spans: list[dict]) -> DocResult:
         pages.setdefault(page, []).append((block, s))
 
     out: list[tuple[str, str | None, str | None]] = []
+    slots: list[tuple[int, int]] = []
     fallback_pages = 0
     for page in sorted(pages):
         blocks = pages[page]
@@ -128,10 +132,12 @@ def extract_document(doc_id: str, spans: list[dict]) -> DocResult:
             ]
         pairs.sort(key=lambda t: (t[0], span_tiebreak(*t[1])))
         out.extend(r for _, r in pairs)
+        slots.extend((page, b) for b, _ in pairs)
 
     result = [(k, t, m, i) for i, (k, t, m) in enumerate(out)]
     return DocResult(doc_id, result, pages_in=len(pages),
-                     fallback_pages=fallback_pages, skipped=not result)
+                     fallback_pages=fallback_pages, skipped=not result,
+                     slots=slots)
 
 
 def extract_corpus(docs: list[dict]) -> tuple[dict[str, list[Span]], CorpusMetrics]:

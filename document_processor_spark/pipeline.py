@@ -428,9 +428,11 @@ def _tiebreak_col() -> Column:
     return F.crc32(F.encode(key, "UTF-8"))
 
 
-def assemble(parsed: DataFrame) -> DataFrame:
+def assemble(parsed: DataFrame, with_layout: bool = False) -> DataFrame:
     """Page-level fallback choice (T4) then doc-level reading order (T1).
     Two-level aggregation = explicit skew salting by page.
+    with_layout=True additionally emits the S21/S22 lineage-metadata
+    fields per span: Position struct + page dimensions (contract.py).
 
     One collect_list per page, not two: a span's fast/full results differ
     only on scan regions (fast = nothing), so each span is collected once
@@ -440,6 +442,7 @@ def assemble(parsed: DataFrame) -> DataFrame:
     span_s = F.when(
         F.col("full_kind").isNotNull(),
         F.struct(F.col("block"),
+                 F.col("page").alias("pg"),
                  _tiebreak_col().alias("tb"),
                  F.col("full_kind").alias("kind"),
                  F.col("full_text").alias("text"),
@@ -475,13 +478,43 @@ def assemble(parsed: DataFrame) -> DataFrame:
         "fallback_pages", "pages_in",
     )
 
-    spans = F.transform(
-        F.col("flat"),
-        lambda x, i: F.struct(
-            x["kind"].alias("kind"),
-            x["text"].alias("text"),
-            x["media_ref"].alias("media_ref"),
-            i.cast("int").alias("offset")))
+    if with_layout:
+        # S21/S22: synthetic-layout Position struct + page dimensions —
+        # deterministic functions of (page, block), contract.position_for
+        def mk(x, i):
+            portrait = x["pg"] % 2 == 0
+            width = F.when(portrait, F.lit(C.PAGE_W_PORTRAIT)) \
+                     .otherwise(F.lit(C.PAGE_H_PORTRAIT))
+            height = F.when(portrait, F.lit(C.PAGE_H_PORTRAIT)) \
+                      .otherwise(F.lit(C.PAGE_W_PORTRAIT))
+            top = F.round(F.lit(C.MARGIN_PT)
+                          + F.pmod(x["block"], F.lit(C.LINES_PER_PAGE))
+                          * F.lit(C.LINE_H_PT), 2)
+            return F.struct(
+                x["kind"].alias("kind"),
+                x["text"].alias("text"),
+                x["media_ref"].alias("media_ref"),
+                i.cast("int").alias("offset"),
+                F.struct(
+                    (x["pg"] + 1).cast("int").alias("page_num"),
+                    top.alias("top"),
+                    F.round(width - F.lit(C.MARGIN_PT), 2).alias("right"),
+                    F.round(top + F.lit(C.LINE_H_PT - C.LINE_GAP_PT), 2)
+                     .alias("bottom"),
+                    F.lit(C.MARGIN_PT).alias("left"),
+                    F.lit(C.COORD_ORIGIN).alias("coord_origin"),
+                ).alias("position"),
+                width.alias("page_width"),
+                height.alias("page_height"))
+        spans = F.transform(F.col("flat"), mk)
+    else:
+        spans = F.transform(
+            F.col("flat"),
+            lambda x, i: F.struct(
+                x["kind"].alias("kind"),
+                x["text"].alias("text"),
+                x["media_ref"].alias("media_ref"),
+                i.cast("int").alias("offset")))
     return doc_level.select(
         "doc_id", spans.alias("spans"), "fallback_pages", "pages_in")
 
@@ -494,11 +527,13 @@ ENGINES = {"sql": parse_sql, "sql_union": parse_sql_union,
            "sql_fused": parse_sql_fused, "arrow": parse_arrow}
 
 
-def extract_documents(docs: DataFrame, engine: str = "sql") -> DataFrame:
+def extract_documents(docs: DataFrame, engine: str = "sql",
+                      with_layout: bool = False) -> DataFrame:
     """input (doc_id, spans) -> extracted (doc_id, spans) per the contract.
-    Docs with zero surviving spans are excluded (T5)."""
+    Docs with zero surviving spans are excluded (T5).  with_layout=True
+    widens each output span with position/page_width/page_height (S21/S22)."""
     parsed = ENGINES[engine](explode_spans(docs))
-    return (assemble(parsed)
+    return (assemble(parsed, with_layout=with_layout)
             .filter(F.size("spans") > 0)
             .select("doc_id", "spans"))
 

@@ -28,6 +28,37 @@ from ..io.icelite import IceLite, with_part
 from ..job import SPANS_TABLE
 
 
+def make_batch_processor(table: IceLite, run_id: str, engine: str,
+                         n_parts: int):
+    """The foreachBatch body, idempotent on (run_id, batch_id) replay.
+
+    Spark commits the source checkpoint only AFTER foreachBatch returns;
+    a crash between our snapshot commit and that checkpoint commit replays
+    the micro-batch with the same batch_id.  table.append always allocates
+    a fresh snapshot, so an unguarded replay would double-commit the same
+    documents.  The guard scans committed manifests for this run's
+    streaming_batch_id and skips the append — making the
+    snapshot-commit/checkpoint-commit pair effectively exactly-once."""
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        for s in table.snapshots():
+            if (s.get("stream_run_id") == run_id
+                    and s.get("streaming_batch_id") == batch_id):
+                return  # replayed batch: snapshot already committed
+        parsed = pipeline.ENGINES[engine](pipeline.explode_spans(batch_df))
+        detailed = with_part(pipeline.assemble(parsed), n_parts)
+        from pyspark.sql import functions as F
+        skip_reason = (F.when(F.size("spans") > 0, F.lit(None).cast("string"))
+                        .otherwise(F.lit("no_extractable_content")))
+        result = detailed.select("doc_id", "spans", "fallback_pages",
+                                 "pages_in", skip_reason.alias("skip_reason"),
+                                 "part")
+        table.append(result, run_id=f"{run_id}-b{batch_id}",
+                     extra={"engine": engine, "n_parts": n_parts,
+                            "stream_run_id": run_id,
+                            "streaming_batch_id": batch_id})
+    return process_batch
+
+
 def start_extract_stream(spark: SparkSession, input_dir: str, warehouse: str,
                          checkpoint_dir: str, run_id: str = "stream",
                          engine: str = "sql", n_parts: int = 32,
@@ -39,18 +70,8 @@ def start_extract_stream(spark: SparkSession, input_dir: str, warehouse: str,
               .option("maxFilesPerTrigger", max_files_per_trigger or 16)
               .parquet(input_dir))
     table = IceLite(warehouse, SPANS_TABLE)
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        parsed = pipeline.ENGINES[engine](pipeline.explode_spans(batch_df))
-        detailed = with_part(pipeline.assemble(parsed), n_parts)
-        result = detailed.select("doc_id", "spans", "fallback_pages",
-                                 "pages_in", "part")
-        table.append(result, run_id=f"{run_id}-b{batch_id}",
-                     extra={"engine": engine, "n_parts": n_parts,
-                            "streaming_batch_id": batch_id})
-
     writer = (reader.writeStream
-              .foreachBatch(process_batch)
+              .foreachBatch(make_batch_processor(table, run_id, engine, n_parts))
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
         writer = writer.trigger(availableNow=True)

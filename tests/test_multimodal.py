@@ -6,9 +6,28 @@ import pytest
 from document_processor_spark.operators import multimodal
 
 
-def test_decode_stub_is_gated():
-    with pytest.raises(NotImplementedError, match="no decoder for image/png"):
-        multimodal.decode_media(b"\x89PNG...", "image/png")
+def test_real_codecs_stay_gated():
+    with pytest.raises(NotImplementedError, match="image/png"):
+        multimodal.decode_media(b"\x89PNG\r\n\x1a\n...", "image/png")
+    with pytest.raises(ValueError, match="unrecognized"):
+        multimodal.decode_media(b"garbage", "image/png")
+
+
+def test_fake_codec_roundtrip():
+    payload = multimodal.encode_fake_media("image/png", 320, 200, b"pixels!")
+    d = multimodal.decode_media(payload, "image/png")
+    assert d == {"media_type": "image/png", "width": 320, "height": 200,
+                 "pixels": b"pixels!"}
+
+
+def test_media_decode_pipeline(spark):
+    out = multimodal.q_media_decode(spark, "/root/testdata/sf0.001")
+    rows = out.limit(8).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["thumb_w"] == max(1, r["width"] // 2)
+        assert r["thumb_h"] == max(1, r["height"] // 2)
+        assert len(r["pixel_hash"]) == 32 and r["n_pixel_bytes"] > 0
 
 
 def test_media_table_and_features(spark):

@@ -34,6 +34,21 @@ def test_single_run_equals_oracle(spark, input_df, golden, tmp_path):
     assert sum(r.get("spans_out", 0) for r in lineage) == om.spans_out
     assert sum(r.get("fallback_pages", 0) for r in lineage) == om.fallback_pages
     assert sum(r.get("skipped_docs", 0) for r in lineage) == om.skipped_docs
+    # S29: every quarantined doc is attributed to a reason code
+    assert sum(r.get("reason_empty_payload", 0) + r.get("reason_no_content", 0)
+               for r in lineage) == om.skipped_docs
+    # quarantine rows in the table carry the reason
+    quarantined = (IceLite(str(tmp_path), SPANS_TABLE).read(spark)
+                   .filter(F.size("spans") <= 0))
+    assert quarantined.filter(F.col("skip_reason").isNull()).count() == 0
+
+
+def test_resume_rejects_changed_n_parts(spark, input_df, tmp_path):
+    wh = str(tmp_path)
+    run_extraction_job(spark, input_df, wh, "r1", n_parts=N_PARTS,
+                       partitions_per_commit=2, max_commits=1)
+    with pytest.raises(ValueError, match="n_parts"):
+        run_extraction_job(spark, input_df, wh, "r2", n_parts=N_PARTS * 2)
 
 
 def test_kill_and_resume(spark, input_df, golden, tmp_path):

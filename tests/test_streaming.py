@@ -9,7 +9,8 @@ from pyspark.sql import functions as F
 from document_processor_spark import fixtures
 from document_processor_spark.io.icelite import IceLite, with_part
 from document_processor_spark.job import SPANS_TABLE
-from document_processor_spark.streaming.extract_stream import start_extract_stream
+from document_processor_spark.streaming.extract_stream import (
+    make_batch_processor, start_extract_stream)
 from tests.conftest import collect_spans
 
 
@@ -58,3 +59,29 @@ def test_stream_restart_no_duplicates(spark, input_dir, golden, tmp_path):
     out = t.read(spark).filter(F.size("spans") > 0)
     assert out.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
     assert collect_spans(out.select("doc_id", "spans")) == expected
+
+
+def test_batch_replay_is_idempotent(spark, corpus, golden, tmp_path):
+    """Crash window between snapshot commit and checkpoint commit: Spark
+    replays the micro-batch with the SAME batch_id.  The processor must
+    recognize the committed streaming_batch_id and skip the append."""
+    expected, _ = golden
+    rows = [(d["doc_id"],
+             [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+            for d in corpus]
+    df = spark.createDataFrame(rows, schema=fixtures.INPUT_DDL)
+    t = IceLite(str(tmp_path / "wh"), SPANS_TABLE)
+    process = make_batch_processor(t, run_id="crashy", engine="sql", n_parts=8)
+
+    process(df, 0)
+    after_first = t.current_snapshot_id()
+    # simulated replay: foreachBatch called again with the same batch_id
+    # (exactly what happens when the checkpoint commit was never reached)
+    process(df, 0)
+    assert t.current_snapshot_id() == after_first
+    out = t.read(spark).filter(F.size("spans") > 0)
+    assert out.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    assert collect_spans(out.select("doc_id", "spans")) == expected
+    # a NEW batch id still commits
+    process(df.limit(0), 1)
+    assert t.current_snapshot_id() == after_first + 1
