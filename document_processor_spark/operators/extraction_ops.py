@@ -382,8 +382,8 @@ linked AS (
 SELECT doc_id, ord, kind, ref,
        CASE WHEN kind = 'heading' THEN '#/doc'
             ELSE coalesce(last_head, '#/doc') END AS parent_ref,
-       CASE WHEN kind = 'heading' THEN 1
-            WHEN last_head IS NOT NULL THEN 2 ELSE 1 END AS level
+       CAST(CASE WHEN kind = 'heading' THEN 1
+                 WHEN last_head IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS level
 FROM linked
 """
 
@@ -425,7 +425,7 @@ def q_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_POSITIONS = f"""
 WITH blocks AS (
   SELECT doc_id, i AS ord,
-         array_to_string(list_slice(string_split(text,' '), i*4 + 1, i*4 + 4), ' ') AS block_text,
+         coalesce(array_to_string(list_slice(string_split(text,' '), i*4 + 1, i*4 + 4), ' '), '') AS block_text,
          i // 3 AS page, (i % 3) * 7 AS block
   FROM documents, unnest(generate_series(0, 5)) AS t(i)
 ),
@@ -438,12 +438,13 @@ geo AS (
 )
 SELECT doc_id, ord, block_text,
        CAST(page + 1 AS BIGINT) AS page_num,
-       top,
-       round(page_width - {C.MARGIN_PT!r}, 2) AS "right",
-       round(top + {C.LINE_H_PT - C.LINE_GAP_PT!r}, 2) AS bottom,
-       {C.MARGIN_PT!r} AS "left",
+       CAST(top AS DOUBLE) AS top,
+       CAST(round(page_width - {C.MARGIN_PT!r}, 2) AS DOUBLE) AS "right",
+       CAST(round(top + {C.LINE_H_PT - C.LINE_GAP_PT!r}, 2) AS DOUBLE) AS bottom,
+       CAST({C.MARGIN_PT!r} AS DOUBLE) AS "left",
        '{C.COORD_ORIGIN}' AS coord_origin,
-       page_width, page_height
+       CAST(page_width AS DOUBLE) AS page_width,
+       CAST(page_height AS DOUBLE) AS page_height
 FROM geo
 """
 
