@@ -114,7 +114,7 @@ def main() -> int:
         print(f"[bench] warmup[{engine}]: {series}", file=sys.stderr, flush=True)
         return series
 
-    def steady(name: str, engine: str, n: int = 3):
+    def steady(name: str, engine: str, n: int = 5):
         runs = []
         last = None
         for _ in range(n):
@@ -138,7 +138,7 @@ def main() -> int:
         m_sql["fallback_pages"] / max(m_sql["pages_in"], 1), 5)
 
     extras["warmup_arrow"] = warmup("arrow", max_runs=4)
-    steady("extract_arrow", "arrow", n=2)
+    steady("extract_arrow", "arrow", n=3)
 
     if os.environ.get("SPARK_GRAFT_EXTRACT_ONLY"):
         total = round(sum(queries.values()), 3)

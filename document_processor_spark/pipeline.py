@@ -46,6 +46,22 @@ PARSED_DDL = ("doc_id string, page int, block int, "
               "fast_kind string, fast_text string, fast_media_ref string, "
               "full_kind string, full_text string, full_media_ref string")
 
+# The (doc_id, page) shuffle ahead of the parse stage gets an EXPLICIT
+# partition count: repartition(cols) without one lets AQE coalesce by byte
+# size (64 MB advisory), which on a CPU-bound stage yields too few tasks —
+# measured 47 tasks on 32 cores = 2 scheduling waves with the second wave
+# half empty (~30% of the cluster idle).  cores × WAVES gives every core
+# WAVES uniform task slots, so the tail is one short task, not half a wave.
+# A cluster submit can override via spark.document_processor.parse.factor.
+_PARSE_WAVE_FACTOR = 6
+
+
+def _parse_partitions(df: DataFrame) -> int:
+    sc = df.sparkSession.sparkContext
+    factor = int(df.sparkSession.conf.get(
+        "spark.document_processor.parse.factor", str(_PARSE_WAVE_FACTOR)))
+    return max(sc.defaultParallelism * factor, 48)
+
 OUTPUT_SPAN_DDL = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
 
 
@@ -90,7 +106,7 @@ def parse_sql(rows: DataFrame) -> DataFrame:
     then runs without a second exchange (the (doc_id, page) partitioning
     is preserved through both projections).
     """
-    rows = rows.repartition("doc_id", "page")
+    rows = rows.repartition(_parse_partitions(rows), "doc_id", "page")
     text = F.col("raw_text")
     kind = F.col("raw_kind")
 
@@ -391,7 +407,7 @@ def parse_arrow(rows: DataFrame) -> DataFrame:
 
     # same page-balancing shuffle as the sql engine (see parse_sql): the
     # mapInArrow stage then runs on evenly-spread page groups
-    return (rows.repartition("doc_id", "page")
+    return (rows.repartition(_parse_partitions(rows), "doc_id", "page")
             .mapInArrow(fn, PARSED_DDL))
 
 
