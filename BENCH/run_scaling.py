@@ -64,6 +64,9 @@ def _bw_worker(q, n_iter):
     import numpy as np
     a = np.random.rand(40_000_000 // 8)  # 40 MB
     b = np.empty_like(a)
+    for _ in range(4):  # touch both buffers / warm the pages
+        np.copyto(b, a)
+        np.copyto(a, b)
     t0 = time.perf_counter()
     for _ in range(n_iter):
         np.copyto(b, a)
@@ -71,15 +74,20 @@ def _bw_worker(q, n_iter):
     q.put(2 * n_iter * a.nbytes / (time.perf_counter() - t0))
 
 
-def bandwidth_probe(levels=(2, 8, 32)) -> dict[int, float]:
-    """Aggregate host copy bandwidth (GB/s) at each thread count."""
+def bandwidth_probe(levels=(2, 8, 32), trials: int = 3) -> dict[int, float]:
+    """Aggregate host copy bandwidth (GB/s) at each thread count; best of
+    `trials` per level (max = the least-scheduler-interference estimate)."""
     out = {}
     for nproc in levels:
-        q = mp.Queue()
-        ps = [mp.Process(target=_bw_worker, args=(q, 40)) for _ in range(nproc)]
-        [p.start() for p in ps]
-        out[nproc] = round(sum(q.get() for _ in ps) / 1e9, 1)
-        [p.join() for p in ps]
+        best = 0.0
+        for _ in range(trials):
+            q = mp.Queue()
+            ps = [mp.Process(target=_bw_worker, args=(q, 40))
+                  for _ in range(nproc)]
+            [p.start() for p in ps]
+            best = max(best, sum(q.get() for _ in ps) / 1e9)
+            [p.join() for p in ps]
+        out[nproc] = round(best, 1)
     return out
 
 
