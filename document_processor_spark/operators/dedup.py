@@ -77,16 +77,23 @@ GROUP BY md5(text)
 # -- shingles (shared by minhash + jaccard) --------------------------------------
 
 def _shingles_col():
-    """Distinct 3-word shingles of the text, [] when under 3 words."""
+    """Distinct 3-word shingles of the text, [] when under 3 words.
+
+    Built with slice + zip_with rather than element_at inside a transform
+    lambda: higher-order functions run on the interpreted eval path (no
+    whole-stage codegen), where every expression INSIDE the lambda body is
+    re-evaluated per element — the r1 formulation re-ran split(text) three
+    times per shingle, O(words²) per document.  zip_with's array arguments
+    are evaluated once per row; the lambda touches only its variables."""
     arr = F.split("text", " ", -1)
-    return F.when(
-        F.size(arr) >= 3,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.size(arr) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(arr, i),
-                                  F.element_at(arr, i + 1),
-                                  F.element_at(arr, i + 2))))
-    ).otherwise(F.array().cast("array<string>"))
+    n = F.size(arr) - 2
+    w1 = F.slice(arr, 1, n)
+    w2 = F.slice(F.split("text", " ", -1), 2, n)
+    w3 = F.slice(F.split("text", " ", -1), 3, n)
+    pair = F.zip_with(w1, w2, lambda x, y: F.concat(x, F.lit(" "), y))
+    tri = F.zip_with(pair, w3, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.when(F.size(F.split("text", " ", -1)) >= 3, F.array_distinct(tri)) \
+        .otherwise(F.array().cast("array<string>"))
 
 
 _SQL_SHINGLES = """
@@ -104,20 +111,41 @@ _SQL_SHINGLES = """
 
 # -- MinHash + LSH near-dup --------------------------------------------------------
 
+# One strong hash per shingle, then k-th minhash = min over shingles of the
+# linear permutation (a_k*x + b_k) mod P — the classic universal-hash family.
+# Cuts hashing from (bands*r) md5 passes per shingle array (the r1.5 design,
+# whose giant generated method ran interpreted for the first several calls —
+# 90s cold vs 20s steady) to ONE md5 pass plus cheap integer transforms.
+# P = 2^31-1 (Mersenne prime): a*x < 2^62 never overflows int64.
+MINHASH_P = 2_147_483_647
+# fixed odd multipliers/offsets (Knuth multiplicative constants, mod P);
+# literals shared verbatim by the Spark and DuckDB sides
+_MINHASH_AB = [((k * 2_654_435_761 + 1) % MINHASH_P or 1,
+                (k * 40_503 * 65_537 + 12_345) % MINHASH_P)
+               for k in range(N_BANDS * MINHASH_ROWS_PER_BAND)]
+
+
+def _shingle_ints_col():
+    """array<bigint>: first 60 bits of md5(shingle), mod P."""
+    return F.transform(
+        F.col("shingles"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("bigint") % MINHASH_P)
+
+
 def _band_sigs_col():
     """Per-document LSH band signatures computed NARROWLY (no explode, no
-    groupBy shuffle): band b's signature is the '|'-join of r lexicographic
-    minhashes min(md5(k ':' shingle)) with salts k = b*r .. b*r+r-1.  One
-    projection over the shingle array replaces the r1 design's 8× row
-    explode + hash-shuffle aggregation — the signature stage is now
-    embarrassingly parallel and shuffles nothing."""
+    groupBy shuffle): band b's signature joins r minhashes
+    min((a_k*x + b_k) mod P) with k = b*r .. b*r+r-1 over the per-shingle
+    ints `xs`.  One projection replaces the r1 design's 8× row explode +
+    hash-shuffle aggregation — the signature stage shuffles nothing."""
     def mh(k: int):
+        a, b = _MINHASH_AB[k]
         return F.array_min(F.transform(
-            F.col("shingles"),
-            lambda s: F.md5(F.concat_ws(":", F.lit(k), s))))
+            F.col("xs"), lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P))
     return F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 F.concat_ws("|", *[mh(b * MINHASH_ROWS_PER_BAND + i)
+                 F.concat_ws("|", *[mh(b * MINHASH_ROWS_PER_BAND + i).cast("string")
                                     for i in range(MINHASH_ROWS_PER_BAND)])
                  .alias("mh"))
         for b in range(N_BANDS)])
@@ -130,7 +158,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     sh = _pin(d.select("doc_id", _shingles_col().alias("shingles"))
               .filter(F.size("shingles") > 0))
-    sig = (sh.select("doc_id", F.explode(_band_sigs_col()).alias("bs"))
+    sig = (sh.withColumn("xs", _shingle_ints_col())
+           .select("doc_id", F.explode(_band_sigs_col()).alias("bs"))
            .select("doc_id", F.col("bs.band").alias("band"),
                    F.col("bs.mh").alias("mh")))
     cand = (sig.alias("a").join(sig.alias("b"), ["band", "mh"])
@@ -148,16 +177,27 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("jaccard") >= MINHASH_JACCARD_T))
 
 
-_SQL_MINHASH_BAND_SIG = " || '|' || ".join(
-    "list_aggregate(list_transform(shingles, s -> "
-    f"md5(CAST(b.band * {MINHASH_ROWS_PER_BAND} + {i} AS VARCHAR) || ':' || s)), 'min')"
-    for i in range(MINHASH_ROWS_PER_BAND))
+def _sql_band_sig(b: int) -> str:
+    parts = []
+    for i in range(MINHASH_ROWS_PER_BAND):
+        a, c = _MINHASH_AB[b * MINHASH_ROWS_PER_BAND + i]
+        parts.append(
+            "CAST(list_aggregate(list_transform(xs, "
+            f"x -> ({a} * x + {c}) % {MINHASH_P}), 'min') AS VARCHAR)")
+    return " || '|' || ".join(parts)
+
 
 SQL_DEDUP_MINHASH_LSH = f"""
 WITH sh AS ({_SQL_SHINGLES}),
-nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0),
+nonempty AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles,
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P}) AS xs
+  FROM sh WHERE len(shingles) > 0),
 sig AS (
-  SELECT doc_id, b.band AS band, {_SQL_MINHASH_BAND_SIG} AS mh
+  SELECT doc_id, b.band AS band,
+         CASE {' '.join(f'WHEN b.band = {b} THEN {_sql_band_sig(b)}' for b in range(N_BANDS))}
+         END AS mh
   FROM nonempty, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
 ),
 cand AS (
