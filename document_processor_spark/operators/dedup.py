@@ -223,19 +223,33 @@ WHERE round(CAST(inter AS DOUBLE) / CAST(un AS DOUBLE), 4) >= {MINHASH_JACCARD_T
 # -- n-gram Jaccard within (source, lang) groups ------------------------------------
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard within (source, lang) groups via an inverted
+    shingle index — never an all-pairs group cross-join.  Shingle arrays
+    are distinct, so after exploding to postings the number of join hits
+    per document pair IS |intersection|; one count aggregation and the
+    carried set sizes give Jaccard.  Any pair with Jaccard >= T (> 0)
+    shares at least one shingle, so the posting join loses nothing.  Join
+    fan-out is bounded by posting-list length (AQE skew-join splits hot
+    shingles; at corpus scale ultra-frequent shingles would additionally
+    be stop-listed)."""
     d = _docs(spark, sf_dir)
     sh = _pin(d.select("doc_id", "source", "lang",
                        _shingles_col().alias("shingles"))
               .filter(F.size("shingles") > 0))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (a.join(b, ["source", "lang"])
-             .filter(F.col("a.doc_id") < F.col("b.doc_id")))
-    inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
-    union = F.size("a.shingles") + F.size("b.shingles") - inter
-    jac = inter.cast("double") / union.cast("double")
-    return (pairs.select(F.col("a.doc_id").alias("d1"),
-                         F.col("b.doc_id").alias("d2"),
-                         F.round(jac, 4).alias("jaccard"))
+    post = sh.select("source", "lang", "doc_id",
+                     F.size("shingles").alias("n"),
+                     F.explode("shingles").alias("s"))
+    a = post.select("source", "lang", "s", F.col("doc_id").alias("d1"),
+                    F.col("n").alias("n1"))
+    b = post.select("source", "lang", "s", F.col("doc_id").alias("d2"),
+                    F.col("n").alias("n2"))
+    inter = (a.join(b, ["source", "lang", "s"])
+             .filter(F.col("d1") < F.col("d2"))
+             .groupBy("d1", "d2", "n1", "n2")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    union = F.col("n1") + F.col("n2") - F.col("inter")
+    jac = F.col("inter").cast("double") / union.cast("double")
+    return (inter.select("d1", "d2", F.round(jac, 4).alias("jaccard"))
             .filter(F.col("jaccard") >= NGRAM_JACCARD_T))
 
 
@@ -398,18 +412,42 @@ _SQL_NORM = ("sqrt(list_reduce(list_transform({a}, v -> v * v), "
              "(x, y) -> x + y))")
 
 
+COSINE_BLOCKS = 8
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs baseline (the oracle shape for the LSH variant below —
-    O(N²) by definition, never the scale path).  Norms are materialized
-    once per vector before the join, not recomputed per pair."""
+    """EXACT all-pairs cosine as a block-pair EQUI-join (no cartesian / no
+    BroadcastNestedLoopJoin).  Every vector gets a hash block g in [0,B);
+    the unordered pair {v,w} is owned by the block-pair key
+    (min(g_v,g_w), max(g_v,g_w)): the lower-block member fans out to keys
+    (g, g..B-1), the higher-block member to keys (0..g, g).  The shuffle
+    is N*(B+1) rows into B*(B+1)/2 co-located block-pair tasks of
+    ~(N/B)^2 comparisons — the standard way to distribute an exact
+    similarity self-join; B scales with cluster size.  O(N^2) total work
+    remains by definition (this is the exact baseline; the LSH/IVF
+    variants are the approximate scale path).  Norms are materialized
+    once per vector before the join, not recomputed per pair; cosine is
+    orientation-independent bit-for-bit (IEEE multiply is commutative),
+    so emitting least/greatest vec_id preserves oracle parity."""
+    B = COSINE_BLOCKS
     e = _pin(_emb(spark, sf_dir)
              .select("vec_id", _dbl("embedding").alias("v"))
+             .withColumn("g", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int"))
              .withColumn("nrm", _norm(F.col("v"))))
-    a, b = e.alias("a"), e.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    pairs = (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-             .select(F.col("a.vec_id").alias("v1"),
-                     F.col("b.vec_id").alias("v2"),
+    lo = (e.withColumn("gb", F.explode(F.sequence(F.col("g"), F.lit(B - 1))))
+          .select(F.col("g").alias("ga"), "gb",
+                  F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"),
+                  F.col("nrm").alias("nrm_a")))
+    hi = (e.withColumn("ga", F.explode(F.sequence(F.lit(0), F.col("g"))))
+          .select("ga", F.col("g").alias("gb"),
+                  F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"),
+                  F.col("nrm").alias("nrm_b")))
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    pairs = (lo.join(hi, ["ga", "gb"])
+             .filter((F.col("ga") != F.col("gb"))
+                     | (F.col("id_a") < F.col("id_b")))
+             .select(F.least("id_a", "id_b").alias("v1"),
+                     F.greatest("id_a", "id_b").alias("v2"),
                      cos.alias("cos")))
     return (pairs.filter(F.col("cos") >= COSINE_T)
             .select("v1", "v2", F.round("cos", 6).alias("cosine")))
