@@ -44,9 +44,13 @@ def main() -> int:
         cpus = executors * exec_cores
     # shuffle partitions scale with cores (a 4N cluster runs 4N-proportional
     # partitioning); AQE coalesces the small ones back together
+    # pretouch: fault the whole heap in during (untimed) session start —
+    # lazy heap growth on this VM causes kernel page-fault storms that
+    # poison measured runs (see session.build_spark)
     spark = build_spark(app="bench", cores=cpus,
                         shuffle_partitions=max(cpus * 8, 64),
-                        executors=executors, exec_cores=exec_cores)
+                        executors=executors, exec_cores=exec_cores,
+                        pretouch=True)
 
     # -- build the replicated corpora (cached: not part of measured time) ---
     # `corpus` is the measured input; `warm_corpus` is a small same-shaped

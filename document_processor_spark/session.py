@@ -22,6 +22,7 @@ def build_spark(app: str = "document-processor-spark",
                 executors: int | None = None,
                 exec_cores: int = 4,
                 exec_mem_mb: int = 6144,
+                pretouch: bool = False,
                 extra_conf: dict | None = None) -> SparkSession:
     """Local-mode session, or — with `executors` — a local-cluster session
     that spawns real separate executor JVMs (own heap, own GC, own Python
@@ -49,11 +50,19 @@ def build_spark(app: str = "document-processor-spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEM", "24g" if pretouch else "48g"))
         # codegen-heavy workload: janino classes accumulate per session and a
-        # full JIT code cache silently disables compilation (10-30x slowdown)
+        # full JIT code cache silently disables compilation (10-30x slowdown).
+        # pretouch: fault the whole fixed-size heap in at JVM start (untimed)
+        # — on this VM, lazy heap expansion mid-job triggers multi-10s
+        # kernel page-fault storms (observed: 90% sys time, 45s walls on a
+        # 3s query while the heap grew 8G->16G); a real cluster sets the
+        # same flags via spark-submit --conf
         .config("spark.driver.extraJavaOptions",
-                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
+                + (" -Xms" + os.environ.get("SPARK_DRIVER_MEM", "24g")
+                   + " -XX:+AlwaysPreTouch" if pretouch else ""))
         # shuffle spill dir on tmpfs: the sandbox VM's /tmp is virtio-disk
         # backed and becomes the scaling bottleneck once shuffle volume
         # exceeds the page cache (a real cluster uses local NVMe)
@@ -62,6 +71,9 @@ def build_spark(app: str = "document-processor-spark",
         .config("spark.ui.enabled", "false")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
     )
+    if pretouch:
+        b = b.config("spark.executor.extraJavaOptions",
+                     f"-Xms{exec_mem_mb}m -XX:+AlwaysPreTouch")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
