@@ -161,6 +161,115 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode_batches, DECODE_SCHEMA)
 
 
+# -- S25b: aspect-fit resize (reference image_extractor.py:30-64 exposes an
+# image_scale param; this is the scale stage as a standalone operator).
+# Integer-exact math so the DuckDB oracle matches bit-for-bit: fit into a
+# RESIZE_BOX x RESIZE_BOX square, never upscale, floor division.
+
+RESIZE_BOX = 256
+
+RESIZE_SCHEMA = ("doc_id bigint, media_type string, width bigint, "
+                 "height bigint, out_w bigint, out_h bigint, "
+                 "is_downscaled boolean, n_out_pixels bigint, "
+                 "pixel_hash string")
+
+
+def _resize_geometry(w: int, h: int, box: int = RESIZE_BOX) -> tuple[int, int]:
+    """Aspect-preserving fit into a box x box square using only integer
+    arithmetic (exact in any engine).  Never upscales."""
+    if w <= box and h <= box:
+        return w, h
+    if w >= h:
+        return box, max(1, h * box // w)
+    return max(1, w * box // h), box
+
+
+def _resize_batches(it: Iterator["object"]) -> Iterator["object"]:
+    """mapInPandas worker: decode the payload, then aspect-fit-resize the
+    decoded frame geometry.  The pixel resample itself is geometry-only on
+    the fake codec (a real codec swaps in an actual rescale kernel here —
+    same schema, same batching)."""
+    import pandas as pd
+    for pdf in it:
+        rows = []
+        for doc_id, payload, mt in zip(pdf["doc_id"], pdf["payload"],
+                                       pdf["media_type"]):
+            d = decode_media(payload, mt)
+            w, h = d["width"], d["height"]
+            ow, oh = _resize_geometry(w, h)
+            rows.append((doc_id, d["media_type"], w, h, ow, oh,
+                         (ow, oh) != (w, h), ow * oh,
+                         hashlib.md5(d["pixels"]).hexdigest()))
+        yield pd.DataFrame(rows, columns=["doc_id", "media_type", "width",
+                                          "height", "out_w", "out_h",
+                                          "is_downscaled", "n_out_pixels",
+                                          "pixel_hash"])
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fake_media_table(spark, sf_dir).mapInPandas(
+        _resize_batches, RESIZE_SCHEMA)
+
+
+# -- S25c: video frame sampling — every FRAME_STRIDE-th frame of the decoded
+# pixel run, one output row per sampled frame (fan-out inside mapInPandas).
+# Frame geometry on the fake codec: the pixel run is a sequence of
+# FRAME_BYTES-byte frames (trailing partial frame dropped); a sampled frame
+# emits (frame_idx, ts_ms at 25 fps, md5 of the frame's bytes).
+
+FRAME_BYTES = 4
+FRAME_STRIDE = 3
+FRAME_MS = 40  # 25 fps
+
+FRAME_SCHEMA = ("doc_id bigint, frame_idx bigint, ts_ms bigint, "
+                "n_frames bigint, frame_hash string")
+
+
+def video_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-codec table with a document-dependent pixel-run length
+    (16 + n_chars % 24 bytes → 4..9 frames) so frame counts vary."""
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .repartition(spark.sparkContext.defaultParallelism))
+    mt = (F.when(F.col("n_chars") % 3 == 0, "image/png")
+           .when(F.col("n_chars") % 3 == 1, "audio/wav")
+           .otherwise("video/mp4"))
+    width = (F.lit(64) + F.col("n_chars") % 640).cast("long")
+    height = (F.lit(64) + (F.col("n_chars") * 7) % 480).cast("long")
+    header = F.concat(mt, F.lit("|"), width.cast("string"), F.lit("x"),
+                      height.cast("string"), F.lit("|"))
+    payload = F.concat(F.lit(_FAKE_MAGIC),
+                       F.encode(header, "UTF-8"),
+                       F.encode(F.expr("substring(text, 1, 16 + n_chars % 24)"),
+                                "UTF-8"))
+    return d.select("doc_id", payload.alias("payload"),
+                    mt.alias("media_type"))
+
+
+def _frame_sample_batches(it: Iterator["object"]) -> Iterator["object"]:
+    import pandas as pd
+    for pdf in it:
+        rows = []
+        for doc_id, payload, mt in zip(pdf["doc_id"], pdf["payload"],
+                                       pdf["media_type"]):
+            px = decode_media(payload, mt)["pixels"]
+            n_frames = len(px) // FRAME_BYTES
+            for f in range(0, n_frames, FRAME_STRIDE):
+                frame = px[f * FRAME_BYTES:(f + 1) * FRAME_BYTES]
+                rows.append((doc_id, f, f * FRAME_MS, n_frames,
+                             hashlib.md5(frame).hexdigest()))
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "ts_ms",
+                                          "n_frames", "frame_hash"])
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the video subset only — the media_type filter
+    sits BEFORE the mapInPandas so Catalyst prunes non-video rows (and at
+    a real scale, partitions) out of the Python stage entirely."""
+    return (video_media_table(spark, sf_dir)
+            .filter(F.col("media_type") == "video/mp4")
+            .mapInPandas(_frame_sample_batches, FRAME_SCHEMA))
+
+
 SQL_MEDIA_FEATURES = """
 SELECT doc_id,
        'm-' || CAST(doc_id AS VARCHAR) AS media_ref,
@@ -190,7 +299,59 @@ FROM documents
 """
 
 
+# Oracle geometry mirrors _resize_geometry: integer floor division only.
+SQL_MEDIA_RESIZE = """
+WITH geo AS (
+  SELECT doc_id,
+         CASE WHEN n_chars % 3 = 0 THEN 'image/png'
+              WHEN n_chars % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         64 + n_chars % 640 AS width,
+         64 + (n_chars * 7) % 480 AS height,
+         md5(substr(text, 1, 32)) AS pixel_hash
+  FROM documents
+)
+SELECT doc_id, media_type, width, height,
+       CASE WHEN width <= 256 AND height <= 256 THEN width
+            WHEN width >= height THEN 256
+            ELSE greatest(1, width * 256 // height) END AS out_w,
+       CASE WHEN width <= 256 AND height <= 256 THEN height
+            WHEN width >= height THEN greatest(1, height * 256 // width)
+            ELSE 256 END AS out_h,
+       NOT (width <= 256 AND height <= 256) AS is_downscaled,
+       (CASE WHEN width <= 256 AND height <= 256 THEN width
+             WHEN width >= height THEN 256
+             ELSE greatest(1, width * 256 // height) END)
+       * (CASE WHEN width <= 256 AND height <= 256 THEN height
+               WHEN width >= height THEN greatest(1, height * 256 // width)
+               ELSE 256 END) AS n_out_pixels,
+       pixel_hash
+FROM geo
+"""
+
+# documents.text is ASCII (fixture contract), so the VARCHAR substr on the
+# oracle side slices the same bytes the Spark worker slices from the
+# decoded binary pixel run.
+SQL_FRAME_SAMPLE = """
+WITH vids AS (
+  SELECT doc_id,
+         substr(text, 1, 16 + n_chars % 24) AS px,
+         (16 + n_chars % 24) // 4 AS n_frames
+  FROM documents
+  WHERE n_chars % 3 = 2
+)
+SELECT doc_id,
+       f AS frame_idx,
+       f * 40 AS ts_ms,
+       n_frames,
+       md5(substr(px, 1 + f * 4, 4)) AS frame_hash
+FROM vids, unnest(range(0, n_frames, 3)) AS t(f)
+"""
+
+
 QUERIES = {
     "mm_media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "mm_media_decode": (q_media_decode, SQL_MEDIA_DECODE),
+    "mm_media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
+    "mm_frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
 }

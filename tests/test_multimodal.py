@@ -30,6 +30,46 @@ def test_media_decode_pipeline(spark):
         assert len(r["pixel_hash"]) == 32 and r["n_pixel_bytes"] > 0
 
 
+def test_resize_geometry_exact():
+    g = multimodal._resize_geometry
+    assert g(100, 200) == (100, 200)          # fits: untouched (no upscale)
+    assert g(256, 256) == (256, 256)
+    assert g(512, 256) == (256, 128)          # landscape downscale
+    assert g(100, 1000) == (25, 256)          # portrait downscale
+    assert g(10000, 1) == (256, 1)            # extreme aspect clamps to >=1
+    assert g(1, 10000) == (1, 256)
+    # integer floor semantics, not round: 543*256//703 == 197
+    assert g(703, 543) == (256, 543 * 256 // 703)
+
+
+def test_media_resize_pipeline(spark):
+    out = multimodal.q_media_resize(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert (r["out_w"], r["out_h"]) == multimodal._resize_geometry(
+            r["width"], r["height"])
+        assert r["is_downscaled"] == (max(r["width"], r["height"]) > 256)
+        assert r["n_out_pixels"] == r["out_w"] * r["out_h"]
+
+
+def test_frame_sample_fanout(spark):
+    out = multimodal.q_frame_sample(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        assert r["ts_ms"] == r["frame_idx"] * multimodal.FRAME_MS
+        assert r["frame_idx"] % multimodal.FRAME_STRIDE == 0
+        assert len(r["frame_hash"]) == 32
+    for doc_rows in by_doc.values():
+        n_frames = doc_rows[0]["n_frames"]
+        # every stride-th frame of the run sampled, nothing else
+        want = list(range(0, n_frames, multimodal.FRAME_STRIDE))
+        assert sorted(r["frame_idx"] for r in doc_rows) == want
+
+
 def test_media_table_and_features(spark):
     media = multimodal.media_table(spark, "/root/testdata/sf0.001")
     assert dict(media.dtypes)["payload"] == "binary"
