@@ -173,9 +173,73 @@ FROM documents
 """
 
 
+# -- winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03) -------------
+# Position-robust content fingerprint: hash every K-char k-gram, then keep
+# the minimum hash of each W-hash window ("local minima" selection) — the
+# guarantee is that any match of length >= W+K-1 shares a fingerprint.  Both
+# sides run the identical integer pipeline (md5 -> first 60 bits -> mod P),
+# entirely as array expressions: Catalyst whole-stage codegen on the Spark
+# side, list comprehensions on the DuckDB side — no UDF, one narrow pass,
+# no shuffle; scales as a pure map stage.
+
+WINNOW_K = 8   # k-gram length in chars
+WINNOW_W = 4   # window of consecutive k-gram hashes
+WINNOW_P = 2_147_483_647
+
+
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    # CASE guards: Spark's sequence(1, 0) yields a DESCENDING [1,0], not an
+    # empty array, so short texts must short-circuit to array() explicitly.
+    hs = f"""CASE WHEN length(lower(text)) >= {WINNOW_K}
+        THEN transform(sequence(1, length(lower(text)) - {WINNOW_K - 1}),
+                       i -> cast(conv(substring(md5(substring(lower(text), i, {WINNOW_K})), 1, 15), 16, 10) AS bigint) % {WINNOW_P})
+        ELSE array() END"""
+    fps = f"""CASE WHEN size(hs) >= {WINNOW_W}
+        THEN array_sort(array_distinct(transform(
+                 sequence(1, size(hs) - {WINNOW_W - 1}),
+                 j -> array_min(slice(hs, j, {WINNOW_W})))))
+        ELSE array_sort(array_distinct(hs)) END"""
+    return (d.select("doc_id", F.expr(hs).alias("hs"))
+            .select("doc_id", F.expr(fps).alias("fps"))
+            .select(
+                "doc_id",
+                F.size("fps").cast("bigint").alias("n_fingerprints"),
+                F.coalesce(F.array_min("fps"), F.lit(-1)).alias("min_fp"),
+                F.md5(F.array_join(F.transform(
+                    "fps", lambda x: x.cast("string")), ",")).alias("winnow_digest")))
+
+
+SQL_WINNOW = f"""
+WITH hs AS (
+  SELECT doc_id,
+         CASE WHEN length(lower(text)) >= {WINNOW_K}
+              THEN list_transform(
+                     generate_series(1, length(lower(text)) - {WINNOW_K - 1}),
+                     i -> ('0x' || substr(md5(substr(lower(text), CAST(i AS INTEGER), {WINNOW_K})), 1, 15))::BIGINT % {WINNOW_P})
+              ELSE [] END AS hs
+  FROM documents
+), fps AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {WINNOW_W}
+              THEN list_sort(list_distinct(list_transform(
+                     generate_series(1, len(hs) - {WINNOW_W - 1}),
+                     j -> list_min(list_slice(hs, j, j + {WINNOW_W - 1})))))
+              ELSE list_sort(list_distinct(hs)) END AS fps
+  FROM hs
+)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       coalesce(list_min(fps), -1) AS min_fp,
+       md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',')) AS winnow_digest
+FROM fps
+"""
+
+
 QUERIES = {
     "ta_langid": (q_langid, _sql_langid()),
     "ta_quality": (q_quality, _sql_quality()),
     "ta_token_count": (q_token_count, SQL_TOKEN_COUNT),
     "ta_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "ta_winnow": (q_winnow, SQL_WINNOW),
 }
