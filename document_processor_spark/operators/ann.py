@@ -77,7 +77,7 @@ FROM ranked WHERE rank <= {TOP_K}
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN: candidates restricted to the query's LSH bucket, then
     exact cosine rank within bucket."""
-    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("v")))
+    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("v"), 0))
     q = e.filter(F.col("vec_id") % QUERY_MOD == 0) \
          .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
                  F.col("nrm").alias("qnrm"), F.col("bucket"))
@@ -97,7 +97,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ANN_LSH = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
-         {_sql_bucket("(embedding::DOUBLE[])")} AS bucket,
+         {_sql_bucket("(embedding::DOUBLE[])", 0)} AS bucket,
          {_SQL_NORM.format(a="(embedding::DOUBLE[])")} AS nrm
   FROM embeddings
 ),

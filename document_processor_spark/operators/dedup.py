@@ -467,17 +467,30 @@ FROM pairs WHERE cos >= {COSINE_T}
 """
 
 
-N_PLANES = 4            # 16 LSH buckets
+# Multi-table random-hyperplane LSH: N_TABLES independent tables of
+# N_PLANES planes each.  A pair at angle θ collides in one table with
+# p = (1-θ/π)^P and overall with 1-(1-p)^T: per-table bucket population
+# shrinks geometrically with plane count (2^P buckets/table) while recall
+# is recovered by the extra tables.  At 10^12 vectors a production near-dup
+# run (cos >= 0.9, θ <= 26°: p-per-table stays high) raises N_PLANES to
+# ~28-32 (10^8-10^9 buckets/table); the demo threshold here is a much
+# harder cos >= 0.4, hence few planes + more tables.  Both are literals
+# shared with the oracle, so the scheme stays exactly mirrored at any
+# setting.
+N_PLANES = 5            # 32 buckets per table
+N_TABLES = 6
 
 
-def _bucket_expr(v):
-    """Deterministic random-hyperplane signature: plane j has components
-    h_j[i] = ((i*31 + j*17) % 7) - 3; bucket bit j = sign of <v, h_j>."""
+def _bucket_expr(v, t: int):
+    """Deterministic random-hyperplane signature for table t: plane j has
+    components h_j[i] = ((i*31 + j*17 + t*53) % 7) - 3; bucket bit j = sign
+    of <v, h_j>."""
     bits = []
     for j in range(N_PLANES):
         proj = F.aggregate(
             F.zip_with(v, F.sequence(F.lit(0), F.lit(63)),
-                       lambda x, i: x * (((i * 31 + j * 17) % 7) - 3).cast("double")),
+                       lambda x, i:
+                       x * (((i * 31 + j * 17 + t * 53) % 7) - 3).cast("double")),
             F.lit(0.0), lambda acc, x: acc + x)
         bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
     out = bits[0]
@@ -486,46 +499,60 @@ def _bucket_expr(v):
     return out
 
 
-def _sql_bucket(v: str) -> str:
+def _sql_bucket(v: str, t: int) -> str:
     terms = []
     for j in range(N_PLANES):
         proj = (f"list_reduce(list_transform(generate_series(1, 64), "
-                f"i -> {v}[i] * ((((i-1)*31 + {j}*17) % 7) - 3)), (x,y) -> x+y)")
+                f"i -> {v}[i] * ((((i-1)*31 + {j}*17 + {t}*53) % 7) - 3)), "
+                f"(x,y) -> x+y)")
         terms.append(f"CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END")
     return " + ".join(terms)
 
 
 def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for embedding near-dup: random-hyperplane LSH bucket
-    prefilter, exact cosine only within buckets.  At 10^12 rows the
-    all-pairs variant is infeasible; the bucket join bounds the candidate
-    count (AQE splits hot buckets)."""
+    """Scale path for embedding near-dup: multi-table random-hyperplane LSH
+    bucket prefilter, exact cosine only within buckets.  At 10^12 rows the
+    all-pairs variant is infeasible; each vector lands in one bucket per
+    table, the self-equi-join on (table, bucket) bounds candidates, AQE
+    splits hot buckets, and a pair colliding in several tables is deduped
+    by the final distinct (identical doubles -> identical rounded rows)."""
     e = _pin(_emb(spark, sf_dir)
              .select("vec_id", _dbl("embedding").alias("v"))
-             .withColumn("bucket", _bucket_expr(F.col("v")))
              .withColumn("nrm", _norm(F.col("v"))))
-    a, b = e.alias("a"), e.alias("b")
+    sig = e.select(
+        "vec_id", "v", "nrm",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"),
+                     _bucket_expr(F.col("v"), t).alias("bucket"))
+            for t in range(N_TABLES)])).alias("tb"),
+    ).select("vec_id", "v", "nrm", F.col("tb.t").alias("t"),
+             F.col("tb.bucket").alias("bucket"))
+    a, b = sig.alias("a"), sig.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    pairs = (a.join(b, "bucket")
+    pairs = (a.join(b, ["t", "bucket"])
              .filter(F.col("a.vec_id") < F.col("b.vec_id"))
              .select(F.col("a.vec_id").alias("v1"),
                      F.col("b.vec_id").alias("v2"), cos.alias("cos")))
     return (pairs.filter(F.col("cos") >= COSINE_T)
-            .select("v1", "v2", F.round("cos", 6).alias("cosine")))
+            .select("v1", "v2", F.round("cos", 6).alias("cosine"))
+            .distinct())
 
 
 def _sql_embedding_lsh() -> str:
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, nrm, {t} AS t, {_sql_bucket('v', t)} AS bucket FROM e"
+        for t in range(N_TABLES))
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                  {_sql_bucket("(embedding::DOUBLE[])")} AS bucket,
                   {_SQL_NORM.format(a="(embedding::DOUBLE[])")} AS nrm
            FROM embeddings),
+sig AS ({per_table}),
 pairs AS (
   SELECT a.vec_id AS v1, b.vec_id AS v2,
          {_SQL_DOT.format(a="a.v", b="b.v")} / (a.nrm * b.nrm) AS cos
-  FROM e a JOIN e b USING (bucket) WHERE a.vec_id < b.vec_id
+  FROM sig a JOIN sig b USING (t, bucket) WHERE a.vec_id < b.vec_id
 )
-SELECT v1, v2, round(cos, 6) AS cosine
+SELECT DISTINCT v1, v2, round(cos, 6) AS cosine
 FROM pairs WHERE cos >= {COSINE_T}
 """
 
