@@ -101,10 +101,45 @@ def main() -> int:
     if cluster:
         r_low = run_level(sf_dir, rep, executors=2)
         r_high = run_level(sf_dir, rep, executors=8)
-        eff = (r_low["queries"]["extract_catalyst"]
-               / r_high["queries"]["extract_catalyst"]) / 4
-        print(json.dumps({"mode": "local-cluster", "efficiency": round(eff, 3),
+
+        def ceff(engine):
+            return (r_low["queries"][engine] / r_high["queries"][engine]) / 4
+
+        e_c, e_a = ceff("extract_catalyst"), ceff("extract_arrow")
+        print(json.dumps({"mode": "local-cluster",
+                          "efficiency_catalyst": round(e_c, 3),
+                          "efficiency_arrow": round(e_a, 3),
                           "low": r_low, "high": r_high}))
+        md = f"""
+## Multi-JVM cross-check: local-cluster, 2x4 -> 8x4 executors
+
+The same job on `local-cluster` — real SEPARATE executor JVMs (own heap,
+own GC, own Python workers, engine shipped via addPyFile exactly as
+`spark-submit --py-files` would), N=2 executors x 4 cores -> 4N=8
+executors x 4 cores, per-executor resources fixed:
+
+| engine | wall 2x4 | wall 8x4 | scaling efficiency |
+|---|---|---|---|
+| catalyst | {r_low['queries']['extract_catalyst']:.2f} s | {r_high['queries']['extract_catalyst']:.2f} s | **{e_c:.3f}** |
+| arrow | {r_low['queries']['extract_arrow']:.2f} s | {r_high['queries']['extract_arrow']:.2f} s | {e_a:.3f} |
+
+Per-level catalyst run series: 2x4 {r_low.get('extract_catalyst_runs')} /
+8x4 {r_high.get('extract_catalyst_runs')}.  Throughput
+{r_low['docs_per_sec']:.0f} -> {r_high['docs_per_sec']:.0f} docs/s
+({r_low['spans_per_sec']:.0f} -> {r_high['spans_per_sec']:.0f} spans/s).
+OCR fallback rate identical: {r_low['ocr_fallback_rate']} /
+{r_high['ocr_fallback_rate']}.
+
+Raw bench lines:
+
+```json
+{json.dumps(r_low)}
+{json.dumps(r_high)}
+```
+"""
+        out_path = REPO / "BENCH" / "BASELINE.md"
+        out_path.write_text(out_path.read_text() + md)
+        print(f"appended multi-JVM section: {out_path}")
         return 0
 
     bw = bandwidth_probe()
