@@ -79,12 +79,21 @@ def main() -> int:
         extras["executors"] = executors
         extras["exec_cores"] = exec_cores
 
-    def timed(name: str, fn):
+    def timed(name: str, fn, reps: int = 3):
+        # min-of-reps: single-shot walls on this virtualized host vary 2-3x
+        # run-to-run (noisy neighbors); min is the same noise-robust
+        # steady-state estimator the extract phases use
         print(f"[bench] {name} ...", file=sys.stderr, flush=True)
-        t0 = time.perf_counter()
-        out = fn()
-        queries[name] = round(time.perf_counter() - t0, 3)
-        print(f"[bench] {name}: {queries[name]}s", file=sys.stderr, flush=True)
+        out, best, runs = None, None, []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = round(time.perf_counter() - t0, 3)
+            runs.append(dt)
+            best = dt if best is None or dt < best else best
+        queries[name] = best
+        print(f"[bench] {name}: {best}s (runs {runs})", file=sys.stderr,
+              flush=True)
         return out
 
     # -- headline: end-to-end extraction, both engines ----------------------
