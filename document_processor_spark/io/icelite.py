@@ -159,6 +159,16 @@ class IceLite:
             out = out.unionByName(other)
         return out
 
+    def read_spans(self, spark: SparkSession,
+                   as_of: int | None = None) -> DataFrame:
+        """Extraction output only: `read` minus the quarantine rows the job
+        keeps for lineage (skip_reason set, empty spans — the reference's
+        counted-and-skipped docs, app/api.py:86-98)."""
+        df = self.read(spark, as_of)
+        if "skip_reason" in df.columns:
+            df = df.filter(F.col("skip_reason").isNull())
+        return df
+
     def lineage(self) -> list[dict]:
         """Flat per-(snapshot, partition) lineage/metrics rows
         (FIXTURES.md §5)."""

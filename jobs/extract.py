@@ -33,13 +33,19 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--partitions-per-commit", type=int, default=None)
     ap.add_argument("--max-commits", type=int, default=None)
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--executors", type=int, default=None,
+                    help="run on local-cluster[N,exec-cores,mem] — real "
+                         "separate executor JVMs, the sandbox stand-in for "
+                         "a multi-executor cluster submit")
+    ap.add_argument("--exec-cores", type=int, default=4)
     args = ap.parse_args(argv)
 
     from document_processor_spark import fixtures
     from document_processor_spark.job import run_extraction_job
     from document_processor_spark.session import build_spark
 
-    spark = build_spark(app=f"extract-{args.run_id}", cores=args.cores)
+    spark = build_spark(app=f"extract-{args.run_id}", cores=args.cores,
+                        executors=args.executors, exec_cores=args.exec_cores)
     if args.input:
         docs = spark.read.parquet(args.input)
     else:
