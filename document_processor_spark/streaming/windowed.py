@@ -38,6 +38,22 @@ def windowed_event_counts(events: DataFrame, *, window: str = "1 hour",
                     "n_events", "total_value"))
 
 
+def dedup_stream(events: DataFrame, *, key: str = "event_id",
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact-dedup — the live-ingest counterpart of the batch
+    ``dedup_exact`` operator: drop repeated `key` values arriving within
+    the watermark interval via ``dropDuplicatesWithinWatermark``.  Unlike
+    plain ``dropDuplicates`` (whose state grows with the stream forever),
+    state per key is evicted once the event-time watermark passes its ts —
+    O(keys within the watermark window), the only shape that survives an
+    unbounded 10^12-event feed.  On a batch DataFrame falls back to plain
+    dropDuplicates, so the same function is its own batch oracle."""
+    if not events.isStreaming:
+        return events.dropDuplicates([key])
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark([key]))
+
+
 def start_windowed_stream(spark: SparkSession, input_dir: str,
                           checkpoint_dir: str, query_name: str,
                           *, window: str = "1 hour",
