@@ -11,10 +11,11 @@ parallelism levels and reports the north-rule N -> 4N efficiency twice:
 * **local[8] -> local[32]** — the stress pair, reported alongside a
   STREAM-style memory-bandwidth probe of the same host.  String-heavy
   extraction is bandwidth-bound, and the host's aggregate copy bandwidth
-  itself scales at ~0.57 from 8 to 32 threads (one shared memory bus);
-  a single-box thread scale-up conflates that hardware ceiling with
-  dataflow scaling.  On a real 4N-executor cluster every node brings its
-  own memory bus — which the 2 -> 8 pair models honestly.
+  scales sub-linearly from 8 to 32 threads (one shared memory bus; the
+  probe measures the day's actual ceiling); a single-box thread scale-up
+  conflates that hardware ceiling with dataflow scaling.  On a real
+  4N-executor cluster every node brings its own memory bus — which the
+  2 -> 8 pair models honestly.
 
 Each level runs bench.py in a fresh process (its own JVM, re-warmed from
 scratch); bench.py warms generated code on a small same-plan corpus, then
