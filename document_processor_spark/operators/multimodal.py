@@ -332,20 +332,20 @@ FROM geo
 # documents.text is ASCII (fixture contract), so the VARCHAR substr on the
 # oracle side slices the same bytes the Spark worker slices from the
 # decoded binary pixel run.
-SQL_FRAME_SAMPLE = """
+SQL_FRAME_SAMPLE = f"""
 WITH vids AS (
   SELECT doc_id,
          substr(text, 1, 16 + n_chars % 24) AS px,
-         (16 + n_chars % 24) // 4 AS n_frames
+         (16 + n_chars % 24) // {FRAME_BYTES} AS n_frames
   FROM documents
   WHERE n_chars % 3 = 2
 )
 SELECT doc_id,
        f AS frame_idx,
-       f * 40 AS ts_ms,
+       f * {FRAME_MS} AS ts_ms,
        n_frames,
-       md5(substr(px, 1 + f * 4, 4)) AS frame_hash
-FROM vids, unnest(range(0, n_frames, 3)) AS t(f)
+       md5(substr(px, 1 + f * {FRAME_BYTES}, {FRAME_BYTES})) AS frame_hash
+FROM vids, unnest(range(0, n_frames, {FRAME_STRIDE})) AS t(f)
 """
 
 
