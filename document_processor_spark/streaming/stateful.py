@@ -15,6 +15,14 @@ aggregation, so a 4N-executor cluster splits both the shuffle and the
 state store 4N ways; per-user state is O(1) (five longs), not O(events).
 The operator body is Arrow-batched pandas (one call per user per
 micro-batch), never per-row Python.
+
+The per-user ``session_seq`` counter must survive a timeout flush: the
+batch contract numbers a user's sessions 1..k for the lifetime of the
+stream, so a timed-out user who later returns continues at seq+1, never
+restarts at 1.  The flush therefore leaves a SENTINEL state
+``(0, 0, n_events=0, seq)`` behind (n_events == 0 ⇔ "no open session")
+instead of ``state.remove()``.  That sentinel is four longs per ever-seen
+user — the same O(users) state bound the seq contract itself requires.
 """
 
 from __future__ import annotations
@@ -62,8 +70,12 @@ def _sessionize_group(key, pdfs: Iterator["object"],
     if state.hasTimedOut:
         if state.exists:
             start, last, n, seq = state.get
-            closed.append(emit_row(start, last, n, seq))
-            state.remove()
+            if n > 0:
+                closed.append(emit_row(start, last, n, seq))
+            # keep seq across the flush (sentinel: n_events == 0 == no open
+            # session); no new timeout — the sentinel just persists until
+            # the user returns
+            state.update((0, 0, 0, seq))
     else:
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
@@ -71,6 +83,8 @@ def _sessionize_group(key, pdfs: Iterator["object"],
 
         if state.exists:
             start, last, n, seq = state.get
+            if n == 0:  # sentinel left by a timeout flush
+                start, last = None, None
         else:
             start, last, n, seq = None, None, 0, 0
 
@@ -82,11 +96,18 @@ def _sessionize_group(key, pdfs: Iterator["object"],
                 closed.append(emit_row(start, last, n, seq))
                 start, last, n, seq = t, t, 1, seq + 1
             else:
-                last, n = t, n + 1
-        state.update((start, last, n, seq))
-        # close the open session once the event-time watermark passes
-        # last_ts + gap (setTimeoutTimestamp takes epoch millis)
-        state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_S * 1000)
+                # absorb an in-gap event; events may arrive out of order
+                # ACROSS micro-batches (within allowed lateness), so the
+                # session window only ever widens — never rewinds
+                start, last, n = min(start, t), max(last, t), n + 1
+        if start is not None:
+            state.update((start, last, n, seq))
+            # close the open session once the event-time watermark passes
+            # last_ts + gap (setTimeoutTimestamp takes epoch millis; must
+            # stay strictly above the current watermark)
+            state.setTimeoutTimestamp(
+                max(last // 1000 + SESSION_GAP_S * 1000,
+                    state.getCurrentWatermarkMs() + 1))
 
     if closed:
         yield pd.DataFrame(closed, columns=[f.name for f in OUTPUT_SCHEMA])

@@ -82,3 +82,62 @@ def test_stateful_sessionize_equals_oracle(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sessions_out").collect()
         if r["user_id"] != SENTINEL_USER)
     assert got == py_sessions(rows)
+
+
+@pytest.mark.timeout(600)
+def test_timeout_preserves_seq_and_out_of_order_absorbs(spark, tmp_path):
+    """Two live-stream cases the corpus replay can't hit:
+
+    1. a user's open session is flushed by the EventTime timeout BETWEEN
+       micro-batches and the user later returns — session_seq must continue
+       (2, 3, ...), never restart at 1 (the batch-contract numbering);
+    2. an event arrives out of order ACROSS micro-batches (older than the
+       session's last_ts but within allowed lateness) — it must absorb into
+       the session without rewinding last_ts, so a later in-gap-of-true-last
+       event does not falsely split the session."""
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    s = pd.Timedelta(seconds=1)
+    gap = SESSION_GAP_S * s
+    t9 = t0 + gap + 3600 * s          # advances watermark past user 1's timeout
+    t1r = t0 + gap + 7200 * s         # user 1 returns after being flushed
+    t6 = t1r + 60 * s + gap - 10 * s  # in-gap of true last (t1r+60), out-of-gap
+    #                                   of the rewound last (t1r+30) — detects
+    #                                   a last_ts rewind as a false split
+    batches = [
+        [(1, t0, 1), (2, t0 + 10 * s, 1), (3, t0 + 100 * s, 2)],
+        [(4, t9, 9)],
+        [(5, t1r, 1)],
+        [(6, t1r + 60 * s, 1)],
+        [(7, t1r + 30 * s, 1)],       # out-of-order, within 120 s lateness
+        [(8, t6, 1)],
+        [(9, t6 + pd.Timedelta(days=2), SENTINEL_USER)],
+    ]
+
+    src = tmp_path / "stream-in"
+    src.mkdir()
+    ddl = "event_id bigint, ts timestamp, user_id bigint"
+    for i, b in enumerate(batches):
+        d = tmp_path / "w" / f"b{i}"
+        (spark.createDataFrame([(e, t.to_pydatetime(), u) for e, t, u in b], ddl)
+         .coalesce(1).write.parquet(str(d)))
+        next(d.glob("part-*.parquet")).rename(src / f"b{i:03d}.parquet")
+
+    stream = (spark.readStream.schema(ddl)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (sessionize_stream(stream, watermark="120 seconds")
+         .writeStream.format("memory").queryName("sessions_seq_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = sorted(
+        (r["user_id"], r["session_seq"], r["session_start"],
+         r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_seq_out").collect()
+        if r["user_id"] != SENTINEL_USER)
+    assert got == [
+        (1, 1, t0, t0 + 10 * s, 2),       # flushed by timeout after batch 2
+        (1, 2, t1r, t6, 4),               # seq CONTINUES; one unsplit session
+        (2, 1, t0 + 100 * s, t0 + 100 * s, 1),
+        (9, 1, t9, t9, 1),
+    ]
