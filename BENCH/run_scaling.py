@@ -139,7 +139,14 @@ Raw bench lines:
 ```
 """
         out_path = REPO / "BENCH" / "BASELINE.md"
-        out_path.write_text(out_path.read_text() + md)
+        # idempotent: replace any existing multi-JVM section (the section
+        # always sits at the end — the thread-level path rewrites the whole
+        # file), so repeated --cluster runs never accumulate duplicates
+        text = out_path.read_text()
+        idx = text.find("## Multi-JVM cross-check")
+        if idx != -1:
+            text = text[:idx].rstrip() + "\n"
+        out_path.write_text(text + md)
         print(f"appended multi-JVM section: {out_path}")
         return 0
 

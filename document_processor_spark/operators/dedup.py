@@ -19,6 +19,8 @@ Spark-first design notes (what survives a 1000-executor scale-up):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -222,7 +224,14 @@ WHERE round(CAST(inter AS DOUBLE) / CAST(un AS DOUBLE), 4) >= {MINHASH_JACCARD_T
 
 # -- n-gram Jaccard within (source, lang) groups ------------------------------------
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+NGRAM_HOT_SHINGLE_MAX = 50_000
+
+_log = logging.getLogger(__name__)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
+                          hot_shingle_max: int = NGRAM_HOT_SHINGLE_MAX
+                          ) -> DataFrame:
     """EXACT n-gram Jaccard within (source, lang) groups via an inverted
     shingle index — never an all-pairs group cross-join.  Shingle arrays
     are distinct, so after exploding to postings the number of join hits
@@ -230,8 +239,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried set sizes give Jaccard.  Any pair with Jaccard >= T (> 0)
     shares at least one shingle, so the posting join loses nothing.  Join
     fan-out is bounded by posting-list length (AQE skew-join splits hot
-    shingles; at corpus scale ultra-frequent shingles would additionally
-    be stop-listed)."""
+    shingles), and ultra-frequent shingles — whose posting lists would
+    produce O(len²) candidate fan-out at corpus scale — are STOP-LISTED:
+    any shingle appearing in more than `hot_shingle_max` documents of a
+    (source, lang) group is dropped from the index, and the number of
+    dropped shingles is logged (never silent).  The default threshold
+    exceeds any fixture posting length, so small-scale results are exact;
+    at 10^12 docs the stoplist is what bounds the worst-case join."""
     d = _docs(spark, sf_dir)
     sh = _pin(d.select("doc_id", "source", "lang",
                        _shingles_col().alias("shingles"))
@@ -239,6 +253,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = sh.select("source", "lang", "doc_id",
                      F.size("shingles").alias("n"),
                      F.explode("shingles").alias("s"))
+    hot = _pin(post.groupBy("source", "lang", "s")
+               .agg(F.count(F.lit(1)).alias("df_s"))
+               .filter(F.col("df_s") > hot_shingle_max))
+    n_hot = hot.count()  # tiny by construction (shingles above the cap)
+    if n_hot:
+        _log.warning(
+            "ngram-jaccard stoplist: dropping %d hot shingles "
+            "(> %d postings each) from the inverted index",
+            n_hot, hot_shingle_max)
+        post = post.join(F.broadcast(hot.select("source", "lang", "s")),
+                         ["source", "lang", "s"], "left_anti")
     a = post.select("source", "lang", "s", F.col("doc_id").alias("d1"),
                     F.col("n").alias("n1"))
     b = post.select("source", "lang", "s", F.col("doc_id").alias("d2"),
@@ -285,7 +310,13 @@ WHERE round(CAST(inter AS DOUBLE) / CAST(un AS DOUBLE), 4) >= {NGRAM_JACCARD_T}
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash: per distinct word, a 16-bit hash from the first 4 hex
     digits of md5(word); per bit, majority vote across words; signature =
-    sum of winning bits."""
+    sum of winning bits.
+
+    All 16 bit-votes are conditional SUM aggregates in ONE groupBy(doc_id)
+    over the word rows (whole-stage-codegen hash agg, map-side partial agg
+    collapses each partition to one 16-counter row per document).  The
+    earlier words × 16-bit-positions double explode shuffled 16× the rows
+    through a (doc_id, bit) aggregation for the same result."""
     d = _docs(spark, sf_dir)
     words = (d.select("doc_id",
                       F.explode(F.array_distinct(F.split("text", " ", -1)))
@@ -293,16 +324,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hexpos = lambda k: (F.instr(F.lit("0123456789abcdef"),  # noqa: E731
                                 F.substring(F.md5("w"), k + 1, 1)) - 1)
     h16 = (hexpos(0) * 4096 + hexpos(1) * 256 + hexpos(2) * 16 + hexpos(3))
-    bits = (words.select("doc_id", h16.alias("h"),
-                         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)))
-                         .alias("b")))
-    votes = (bits.groupBy("doc_id", "b")
-             .agg(F.sum(F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1))
-                  .alias("vote")))
-    return (votes.groupBy("doc_id")
-            .agg(F.sum(F.when(F.col("vote") > 0,
-                              F.expr("CAST(1 AS BIGINT) << b")).otherwise(0))
-                 .alias("simhash")))
+    votes = (words.select("doc_id", h16.alias("h"))
+             .groupBy("doc_id")
+             .agg(*[F.sum(F.when(F.expr(f"(h >> {b}) & 1") == 1, 1)
+                          .otherwise(-1)).alias(f"v{b}")
+                    for b in range(SIMHASH_BITS)]))
+    sim = F.lit(0).cast("bigint")
+    for b in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"v{b}") > 0,
+                           F.lit(1 << b).cast("bigint")).otherwise(0)
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 SQL_DEDUP_SIMHASH = f"""

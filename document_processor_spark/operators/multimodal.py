@@ -211,6 +211,74 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _resize_batches, RESIZE_SCHEMA)
 
 
+# -- S25d: transcode to format/quality — the tail of the reference's screenshot
+# re-encode (image_extractor.py:42-64 `get_data(image_format, image_quality)`;
+# `ImageFormat` JPEG/PNG/WEBP, app/models.py:20-23; the `image_format` /
+# `image_quality` request params, app/api.py:76-78).  The fake codec models
+# compression deterministically: PNG is lossless (pixel run kept whole);
+# JPEG/WEBP keep a quality-proportional prefix of the pixel run
+# (min(n, max(1, n*quality // divisor)) bytes, WEBP's larger divisor =
+# smaller output at equal quality — the reason it is the reference default).
+# Output mirrors the reference's Image model: re-encoded container bytes as
+# base64 `data` + content_type + geometry (models.py:26-31, S26 encode).
+
+TRANSCODE_DIVISORS = {"jpeg": 100, "png": None, "webp": 125}
+DEFAULT_IMAGE_FORMAT = "webp"   # reference default, image_extractor.py:44
+DEFAULT_IMAGE_QUALITY = 80      # reference default, image_extractor.py:45
+
+TRANSCODE_SCHEMA = ("doc_id bigint, content_type string, width bigint, "
+                    "height bigint, quality int, n_pixel_bytes bigint, "
+                    "n_out_bytes bigint, data_b64 string")
+
+
+def transcode_pixels(pixels: bytes, image_format: str, quality: int) -> bytes:
+    """Deterministic quality/format-dependent re-encode of a decoded pixel
+    run (the fake-codec stand-in for PIL `save(format=..., quality=...)`)."""
+    div = TRANSCODE_DIVISORS[image_format]
+    if div is None:  # lossless
+        return pixels
+    return pixels[:min(len(pixels), max(1, len(pixels) * quality // div))]
+
+
+def _transcode_batches(image_format: str, quality: int):
+    import base64
+
+    import pandas as pd
+
+    def fn(it: Iterator["object"]) -> Iterator["object"]:
+        ct = f"image/{image_format}"
+        for pdf in it:
+            rows = []
+            for doc_id, payload, mt in zip(pdf["doc_id"], pdf["payload"],
+                                           pdf["media_type"]):
+                d = decode_media(payload, mt)
+                kept = transcode_pixels(d["pixels"], image_format, quality)
+                out = encode_fake_media(ct, d["width"], d["height"], kept)
+                rows.append((doc_id, ct, d["width"], d["height"], quality,
+                             len(d["pixels"]), len(out),
+                             base64.b64encode(out).decode("ascii")))
+            yield pd.DataFrame(rows, columns=["doc_id", "content_type",
+                                              "width", "height", "quality",
+                                              "n_pixel_bytes", "n_out_bytes",
+                                              "data_b64"])
+    return fn
+
+
+def transcode_media(media: DataFrame,
+                    image_format: str = DEFAULT_IMAGE_FORMAT,
+                    quality: int = DEFAULT_IMAGE_QUALITY) -> DataFrame:
+    if image_format not in TRANSCODE_DIVISORS:
+        raise ValueError(f"unsupported image format: {image_format!r}")
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality out of range 1-100: {quality}")
+    return media.mapInPandas(_transcode_batches(image_format, quality),
+                             TRANSCODE_SCHEMA)
+
+
+def q_media_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcode_media(fake_media_table(spark, sf_dir))
+
+
 # -- S25c: video frame sampling — every FRAME_STRIDE-th frame of the decoded
 # pixel run, one output row per sampled frame (fan-out inside mapInPandas).
 # Frame geometry on the fake codec: the pixel run is a sequence of
@@ -329,14 +397,18 @@ SELECT doc_id, media_type, width, height,
 FROM geo
 """
 
-# documents.text is ASCII (fixture contract), so the VARCHAR substr on the
-# oracle side slices the same bytes the Spark worker slices from the
-# decoded binary pixel run.
+# n_frames derives from the MATERIALIZED pixel run (octet_length of the
+# encoded slice), exactly as the Spark worker computes len(pixels) //
+# FRAME_BYTES — the formula (16 + n_chars % 24) // 4 would diverge whenever
+# substr truncates (text shorter than the requested run) or a character
+# encodes to more than one byte.  Only frame_hash still assumes ASCII text
+# (VARCHAR substr slices chars; the worker slices bytes).
 SQL_FRAME_SAMPLE = f"""
 WITH vids AS (
   SELECT doc_id,
          substr(text, 1, 16 + n_chars % 24) AS px,
-         (16 + n_chars % 24) // {FRAME_BYTES} AS n_frames
+         octet_length(encode(substr(text, 1, 16 + n_chars % 24)))
+           // {FRAME_BYTES} AS n_frames
   FROM documents
   WHERE n_chars % 3 = 2
 )
@@ -349,9 +421,41 @@ FROM vids, unnest(range(0, n_frames, {FRAME_STRIDE})) AS t(f)
 """
 
 
+# Oracle builds the identical re-encoded container as VARCHAR (fixture
+# pixels are an ASCII text slice, so char slicing == the worker's byte
+# slicing) and base64-encodes its bytes; byte counts use octet_length.
+SQL_MEDIA_TRANSCODE = f"""
+WITH geo AS (
+  SELECT doc_id,
+         64 + n_chars % 640 AS width,
+         64 + (n_chars * 7) % 480 AS height,
+         substr(text, 1, 32) AS px
+  FROM documents
+), t AS (
+  SELECT doc_id, width, height,
+         octet_length(encode(px)) AS n_px,
+         'FAKE|image/{DEFAULT_IMAGE_FORMAT}|' || width || 'x' || height || '|'
+           || substr(px, 1, least(length(px),
+                greatest(1, length(px) * {DEFAULT_IMAGE_QUALITY}
+                            // {TRANSCODE_DIVISORS[DEFAULT_IMAGE_FORMAT]})))
+           AS container
+  FROM geo
+)
+SELECT doc_id,
+       'image/{DEFAULT_IMAGE_FORMAT}' AS content_type,
+       width, height,
+       {DEFAULT_IMAGE_QUALITY} AS quality,
+       CAST(n_px AS BIGINT) AS n_pixel_bytes,
+       CAST(octet_length(encode(container)) AS BIGINT) AS n_out_bytes,
+       to_base64(encode(container)) AS data_b64
+FROM t
+"""
+
+
 QUERIES = {
     "mm_media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "mm_media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     "mm_media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "mm_frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    "mm_media_transcode": (q_media_transcode, SQL_MEDIA_TRANSCODE),
 }

@@ -82,3 +82,42 @@ def test_media_table_and_features(spark):
         assert len(r["payload_hash"]) == 32
         assert r["media_type"] in ("image/png", "audio/wav", "video/mp4")
         assert r["n_bytes"] > 0
+
+
+def test_media_transcode_formats_and_quality(spark):
+    import base64
+
+    import pytest
+
+    media = multimodal.fake_media_table(spark, "/root/testdata/sf0.001")
+    webp = {r["doc_id"]: r for r in
+            multimodal.transcode_media(media).collect()}
+    png = {r["doc_id"]: r for r in
+           multimodal.transcode_media(media, image_format="png").collect()}
+    jp40 = {r["doc_id"]: r for r in
+            multimodal.transcode_media(media, image_format="jpeg",
+                                       quality=40).collect()}
+    assert webp and set(webp) == set(png) == set(jp40)
+    for doc_id, w in webp.items():
+        n_px = w["n_pixel_bytes"]
+        # png is lossless: full pixel run survives the re-encode
+        p = png[doc_id]
+        raw = base64.b64decode(p["data_b64"])
+        d = multimodal.decode_media(raw, p["content_type"])
+        assert (d["media_type"], d["width"], d["height"]) == (
+            "image/png", p["width"], p["height"])
+        assert len(d["pixels"]) == n_px
+        # lossy formats keep a quality-proportional prefix
+        kept_w = multimodal.decode_media(
+            base64.b64decode(w["data_b64"]), w["content_type"])["pixels"]
+        assert len(kept_w) == min(n_px, max(1, n_px * 80 // 125))
+        kept_j = multimodal.decode_media(
+            base64.b64decode(jp40[doc_id]["data_b64"]),
+            "image/jpeg")["pixels"]
+        assert len(kept_j) == min(n_px, max(1, n_px * 40 // 100))
+        # lower quality never enlarges; png is the upper bound
+        assert len(kept_j) <= len(d["pixels"])
+    with pytest.raises(ValueError):
+        multimodal.transcode_media(media, image_format="gif")
+    with pytest.raises(ValueError):
+        multimodal.transcode_media(media, quality=0)
