@@ -76,13 +76,17 @@ def run_extraction_job(spark: SparkSession, docs: DataFrame, warehouse: str,
                        run_id: str, n_parts: int = 32, engine: str = "sql",
                        partitions_per_commit: int | None = None,
                        max_commits: int | None = None,
-                       collect_metrics: bool = True) -> JobSummary:
+                       collect_metrics: bool = True,
+                       first_page: int = 1,
+                       last_page: int | None = None) -> JobSummary:
     """Extract `docs` into the warehouse spans table, resumably.
 
     partitions_per_commit: batch size of the checkpoint granularity
     (None = all remaining partitions in one snapshot).
     max_commits: stop after N commits (used by resume tests to simulate a
-    mid-job kill between snapshots)."""
+    mid-job kill between snapshots).
+    first_page/last_page: 1-based inclusive page range (the reference's
+    request parameters, app/api.py:69-70) applied before the span explode."""
     table = IceLite(warehouse, SPANS_TABLE)
     # resume safety: committed partition ids are only meaningful under the
     # SAME bucketing — resuming with a different n_parts would skip wrong
@@ -107,7 +111,8 @@ def run_extraction_job(spark: SparkSession, docs: DataFrame, warehouse: str,
 
     for batch in batches:
         input_batch = docs.filter(F.col(PART_COL).isin(batch))
-        parsed = pipeline.ENGINES[engine](pipeline.explode_spans(input_batch))
+        parsed = pipeline.ENGINES[engine](
+            pipeline.explode_spans(input_batch, first_page, last_page))
         detailed = with_part(pipeline.assemble(parsed), n_parts)
         # doc-level lineage (fallback_pages, pages_in) is stored in the table;
         # docs whose extraction yields zero spans stay as quarantine rows

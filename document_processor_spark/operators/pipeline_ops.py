@@ -92,6 +92,18 @@ def q_extract_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, "arrow")
 
 
+def q_extract_page_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S6 page-range predicate: extract ONLY page 2 (first_page=2,
+    last_page=2, 1-based like the reference's request params) of the
+    derived two-page corpus.  Page 1 never enters the dataflow; offsets
+    renumber from 0 within the restricted output; the scan-only documents
+    exercise the fallback decision inside the restricted range."""
+    out = pipeline.extract_documents(derived_corpus(spark, sf_dir),
+                                     engine="sql", first_page=2, last_page=2)
+    return (out.select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"))
+
+
 # --------------------------------------------------------------------------
 # The ANSI-SQL restatement of derivation + extraction contract.
 # The scan span's payload is stored already-decoded (the oracle knows the
@@ -107,7 +119,14 @@ _FLAT_TABLE = (
     "array_to_string(list_transform(string_split(row, E'\\t'), cell -> "
     + _CLEAN.format(x="cell") + "), E'\\t')), E'\\n')")
 
-SQL_PIPE_EXTRACT = f"""
+def _sql_pipe_extract(span_where: str = "") -> str:
+    """The oracle SQL, optionally with a page predicate on the raw spans —
+    the SQL restatement of the pre-explode array filter (explode_spans
+    first_page/last_page)."""
+    return _SQL_PIPE_EXTRACT_TEMPLATE.format(span_where=span_where)
+
+
+_SQL_PIPE_EXTRACT_TEMPLATE = f"""
 WITH raw AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, n_chars,
          string_split(text, ' ') AS w
@@ -136,7 +155,7 @@ c1 AS (
   SELECT doc_id, page, block, kind, payload, mref,
          {_CLEAN.format(x="CASE WHEN kind = 'html' THEN regexp_replace(payload, '<[^>]*>', ' ', 'g') ELSE payload END")} AS cleaned,
          CASE WHEN kind = 'table_raw' THEN {_FLAT_TABLE.format(x="payload")} END AS flat
-  FROM spans
+  FROM spans {{span_where}}
 ),
 ext AS (
   SELECT doc_id, page, block, kind,
@@ -180,7 +199,14 @@ FROM chosen
 """
 
 
+SQL_PIPE_EXTRACT = _sql_pipe_extract()
+# first_page=2, last_page=2 (1-based) == raw page index 1 only
+SQL_PIPE_EXTRACT_PAGE_RANGE = _sql_pipe_extract(
+    "WHERE page BETWEEN 1 AND 1")
+
 QUERIES = {
     "pipe_extract_catalyst": (q_extract_sql, SQL_PIPE_EXTRACT),
     "pipe_extract_arrow": (q_extract_arrow, SQL_PIPE_EXTRACT),
+    "pipe_extract_page_range": (q_extract_page_range,
+                                SQL_PIPE_EXTRACT_PAGE_RANGE),
 }

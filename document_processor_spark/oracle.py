@@ -99,17 +99,25 @@ def span_tiebreak(kind: str, text: str | None, media_ref: str | None) -> int:
     return zlib.crc32(key.encode("utf-8"))
 
 
-def extract_document(doc_id: str, spans: list[dict]) -> DocResult:
+def extract_document(doc_id: str, spans: list[dict],
+                     first_page: int = 1,
+                     last_page: int | None = None) -> DocResult:
     """Run the full per-document contract: reading-order reconstruction (T1),
     per-page fast→full OCR fallback (T4), classification (T2), cleaning (T3),
     renumbering, and skip semantics (T5).  Spans sharing one (page, block)
-    slot order by the content tie-break key (see span_tiebreak)."""
+    slot order by the content tie-break key (see span_tiebreak).
+    first_page/last_page (1-based, inclusive) bound the per-page loop —
+    the reference's request parameters (app/api.py:69-70,
+    content_extractor.py:64-70)."""
     if not spans:
         return DocResult(doc_id, [], skipped=True)
 
     pages: dict[int, list[tuple[int, dict]]] = {}
     for s in spans:
         page, block = C.split_offset(s["offset"])
+        if page < first_page - 1 or (last_page is not None
+                                     and page > last_page - 1):
+            continue
         pages.setdefault(page, []).append((block, s))
 
     out: list[tuple[str, str | None, str | None]] = []
@@ -140,13 +148,15 @@ def extract_document(doc_id: str, spans: list[dict]) -> DocResult:
                      slots=slots)
 
 
-def extract_corpus(docs: list[dict]) -> tuple[dict[str, list[Span]], CorpusMetrics]:
+def extract_corpus(docs: list[dict], first_page: int = 1,
+                   last_page: int | None = None
+                   ) -> tuple[dict[str, list[Span]], CorpusMetrics]:
     """Oracle over a whole corpus (list of {doc_id, spans}) + metrics
     (docs/spans processed, OCR fallback rate — BASELINE.json:6)."""
     metrics = CorpusMetrics(docs_in=len(docs))
     golden: dict[str, list[Span]] = {}
     for d in docs:
-        r = extract_document(d["doc_id"], d["spans"])
+        r = extract_document(d["doc_id"], d["spans"], first_page, last_page)
         metrics.pages_in += r.pages_in
         metrics.fallback_pages += r.fallback_pages
         if r.fallback_pages:

@@ -69,7 +69,27 @@ OUTPUT_SPAN_DDL = "array<struct<kind:string,text:string,media_ref:string,offset:
 # stage 1 — explode the input table into span rows
 # ---------------------------------------------------------------------------
 
-def explode_spans(docs: DataFrame) -> DataFrame:
+def explode_spans(docs: DataFrame, first_page: int = 1,
+                  last_page: int | None = None) -> DataFrame:
+    """Explode the input table into span rows, optionally bounded to a page
+    range.  `first_page`/`last_page` are 1-based and inclusive — the
+    reference's request parameters bounding the per-page loop
+    (app/api.py:69-70, content_extractor.py:64-70; SURVEY §2.1 S6).  The
+    range is applied as an array filter on raw offsets BEFORE the explode,
+    so out-of-range pages never enter the fan-out, the parse, or the
+    shuffles — at scale, page-range requests cost proportional to the
+    pages kept, not the document size."""
+    if first_page > 1 or last_page is not None:
+        lo = (first_page - 1) * C.PAGE_STRIDE
+        hi = None if last_page is None else last_page * C.PAGE_STRIDE
+
+        def keep(s):
+            cond = s["offset"] >= F.lit(lo)
+            if hi is not None:
+                cond = cond & (s["offset"] < F.lit(hi))
+            return cond
+
+        docs = docs.withColumn("spans", F.filter("spans", keep))
     s = F.explode("spans").alias("s")
     return (docs.select("doc_id", s)
             .select("doc_id",
@@ -544,17 +564,22 @@ ENGINES = {"sql": parse_sql, "sql_union": parse_sql_union,
 
 
 def extract_documents(docs: DataFrame, engine: str = "sql",
-                      with_layout: bool = False) -> DataFrame:
+                      with_layout: bool = False, first_page: int = 1,
+                      last_page: int | None = None) -> DataFrame:
     """input (doc_id, spans) -> extracted (doc_id, spans) per the contract.
     Docs with zero surviving spans are excluded (T5).  with_layout=True
-    widens each output span with position/page_width/page_height (S21/S22)."""
-    parsed = ENGINES[engine](explode_spans(docs))
+    widens each output span with position/page_width/page_height (S21/S22).
+    first_page/last_page (1-based, inclusive) bound extraction to a page
+    range (see explode_spans); offsets renumber within the restricted
+    output, exactly as the reference numbers only the processed pages."""
+    parsed = ENGINES[engine](explode_spans(docs, first_page, last_page))
     return (assemble(parsed, with_layout=with_layout)
             .filter(F.size("spans") > 0)
             .select("doc_id", "spans"))
 
 
-def extract_with_metrics(docs: DataFrame, engine: str = "sql"
+def extract_with_metrics(docs: DataFrame, engine: str = "sql",
+                         first_page: int = 1, last_page: int | None = None
                          ) -> tuple[DataFrame, Observation, Observation]:
     """Same plan plus zero-extra-pass metrics via Observations
     (docs/spans processed, OCR fallback rate — BASELINE.json:6).
@@ -567,7 +592,7 @@ def extract_with_metrics(docs: DataFrame, engine: str = "sql"
         F.sum(F.when(F.size("spans") <= 0, 1).otherwise(0)).alias("empty_docs"),
         F.sum(F.size("spans")).alias("spans_in"),
     )
-    parsed = ENGINES[engine](explode_spans(docs))
+    parsed = ENGINES[engine](explode_spans(docs, first_page, last_page))
     doc_level = assemble(parsed)
     out_obs = Observation("extract_output")
     doc_level = doc_level.observe(

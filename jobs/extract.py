@@ -38,6 +38,12 @@ def main(argv: list[str] | None = None) -> int:
                          "separate executor JVMs, the sandbox stand-in for "
                          "a multi-executor cluster submit")
     ap.add_argument("--exec-cores", type=int, default=4)
+    ap.add_argument("--first-page", type=int, default=1,
+                    help="first page to extract (1-based, inclusive — the "
+                         "reference's first_page request param)")
+    ap.add_argument("--last-page", type=int, default=None,
+                    help="last page to extract (1-based, inclusive; "
+                         "default: through the end)")
     args = ap.parse_args(argv)
 
     from document_processor_spark import fixtures
@@ -54,7 +60,8 @@ def main(argv: list[str] | None = None) -> int:
     summary = run_extraction_job(
         spark, docs, args.warehouse, args.run_id, n_parts=args.n_parts,
         engine=args.engine, partitions_per_commit=args.partitions_per_commit,
-        max_commits=args.max_commits)
+        max_commits=args.max_commits, first_page=args.first_page,
+        last_page=args.last_page)
     print(json.dumps({
         "run_id": summary.run_id,
         "commits": len(summary.commits),

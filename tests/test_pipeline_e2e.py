@@ -80,3 +80,17 @@ def test_property_other_seeds(spark, seed):
     assert got == expected
     for seq in got.values():
         assert [s[3] for s in seq] == list(range(len(seq)))
+
+
+@pytest.mark.parametrize("engine", ["sql", "arrow"])
+@pytest.mark.parametrize("page_range", [(2, 4), (1, 1), (3, None)])
+def test_page_range_matches_oracle(spark, input_df, corpus, engine, page_range):
+    """S1/S6: first_page/last_page bound extraction to a page range; the
+    restricted Spark output equals the oracle restricted the same way
+    (offsets renumbered within the range, fallback decided per kept page)."""
+    first, last = page_range
+    golden, _m = oracle.extract_corpus(corpus, first_page=first, last_page=last)
+    got = collect_spans(pipeline.extract_documents(
+        input_df, engine=engine, first_page=first, last_page=last))
+    assert got == golden
+    assert golden  # the range keeps some content (not a vacuous pass)
