@@ -63,15 +63,13 @@ def main() -> int:
     def page_only():
         p = pipeline.parse_sql(pipeline.explode_spans(corpus))
         span_s = F.when(
-            F.col("full_kind").isNotNull(),
-            F.struct(F.col("block"),
-                     F.col("full_kind").alias("kind"),
-                     F.col("full_text").alias("text"),
-                     F.col("full_media_ref").alias("media_ref"),
-                     F.col("fast_kind").isNull().alias("scan_only")))
+            F.col("kind").isNotNull(),
+            F.struct(F.col("block"), F.col("kind"), F.col("text"),
+                     F.col("media_ref"), F.col("scan_only")))
         pl = p.groupBy("doc_id", "page").agg(
             F.collect_list(span_s).alias("arr"),
-            F.max(F.when(F.col("fast_kind").isin("heading", "paragraph"), 1)
+            F.max(F.when(F.col("kind").isin("heading", "paragraph")
+                         & ~F.col("scan_only"), 1)
                   .otherwise(0)).alias("has_text"))
         noop(pl)
     timed("V3 ..+page-agg        ", page_only)

@@ -12,10 +12,11 @@ Dataflow (SURVEY.md §3.5) — two shuffles total, no joins::
            sort pages, flatten, renumber (T1)
       └─ filter non-empty ─────────────────────── output (doc_id, spans[])
 
-The per-page fast→full fallback is set-based: BOTH variants are computed in
-one narrow pass and the page picks fast_arr or full_arr — the reference's
+The per-page fast→full fallback is set-based: spans are parsed ONCE with a
+`scan_only` flag (fast pass result ≡ the non-scan subset, T4) and the page
+picks the filtered or the whole span set — the reference's
 try-fast-then-escalate loop (content_extractor.py:74-135) without a second
-scan or a join.  The two-level aggregation (page, then doc) is the explicit
+scan, a join, or duplicated fast/full columns.  The two-level aggregation (page, then doc) is the explicit
 skew treatment for heavy-tailed documents: a 1000-page/50k-span document
 becomes 1000 independent page groups with map-side partial aggregation,
 never one giant reduce task (BASELINE.json north_rule "skew handled
@@ -23,13 +24,17 @@ explicitly").
 
 Two interchangeable parse engines produce the identical `parsed` schema:
 
-* ``engine="sql"``   — pure Catalyst expressions (whole-stage codegen,
-                       zero Python).  Fastest for the string-encoded fixture
-                       payloads.
-* ``engine="arrow"`` — ``mapInArrow`` vectorized pandas batches: the shape
-                       the real byte-stream parser (PDF layout analysis /
-                       OCR) takes at 100 TB, where parsing is not
-                       SQL-expressible.  Same contract, tested for parity.
+* ``engine="sql"``    — pure Catalyst expressions (whole-stage codegen,
+                        zero Python).  Fastest for the string-encoded
+                        fixture payloads.
+* ``engine="arrow"``  — ``mapInArrow`` with a pyarrow-native kernel: the
+                        shape the real byte-stream parser (PDF layout
+                        analysis / OCR) takes at 100 TB, where parsing is
+                        not SQL-expressible.  Same contract, tested for
+                        parity; see the stage-2b commentary for why the
+                        kernel avoids Python-object materialization.
+* ``engine="pandas"`` — the same mapInArrow stage via a pandas-object
+                        kernel (comparison engine; object churn measured).
 """
 
 from __future__ import annotations
@@ -42,9 +47,15 @@ from pyspark.sql import functions as F
 from . import contract as C
 from .functions import cleaning as X
 
+# The parsed schema is NARROW by design: one (kind, text, media_ref) per
+# span plus a `scan_only` flag, NOT parallel fast_*/full_* column pairs.
+# The fast pipeline's view of a span differs from the full pipeline's ONLY
+# on scan regions (fast = nothing, T4), so fast ≡ full minus scan_only rows
+# — carrying both variants would double the string volume through the parse
+# stage, the Python↔JVM Arrow transfer, and the aggregation buffers for
+# zero information.
 PARSED_DDL = ("doc_id string, page int, block int, "
-              "fast_kind string, fast_text string, fast_media_ref string, "
-              "full_kind string, full_text string, full_media_ref string")
+              "kind string, text string, media_ref string, scan_only boolean")
 
 # The (doc_id, page) shuffle ahead of the parse stage gets an EXPLICIT
 # partition count: repartition(cols) without one lets AQE coalesce by byte
@@ -53,14 +64,66 @@ PARSED_DDL = ("doc_id string, page int, block int, "
 # half empty (~30% of the cluster idle).  cores × WAVES gives every core
 # WAVES uniform task slots, so the tail is one short task, not half a wave.
 # A cluster submit can override via spark.document_processor.parse.factor.
+#
+# The count is additionally SIZE-AWARE: cores × factor is the ceiling for
+# big inputs, but a small input stops at one task per ~TARGET bytes (floor:
+# one task per core).  Without the cap, a sf0.1 bench corpus paid 192 tasks
+# of scheduling overhead on work that fits a single 32-task wave (measured
+# +44% on the small-scale extract; the interleaved A/B diagnostic in
+# BENCH/diag_arrow_interleaved.py isolates the per-task cost).
 _PARSE_WAVE_FACTOR = 6
+# mapInArrow tasks each pay a fixed Python-worker round trip (stream
+# open/close + first-batch latency, measured ~11 ms/task on this host), so
+# the arrow stage wants FEWER, larger tasks than the pure-JVM stage: 2
+# waves balances that amortization against scheduling granularity.
+_ARROW_WAVE_FACTOR = 2
+# Bytes of plan-stats input per parse task.  Deliberately far below AQE's
+# 64 MB shuffle advisory: the parse stage is CPU-bound (regex battery per
+# string), so a task is sized for ~0.5-1 s of compute, not for IO
+# amortization — 64 MB slices re-create the 47-tasks-on-32-cores ragged
+# wave the explicit count exists to avoid.
+_TARGET_PARTITION_BYTES = 12 << 20
 
 
-def _parse_partitions(df: DataFrame) -> int:
-    sc = df.sparkSession.sparkContext
-    factor = int(df.sparkSession.conf.get(
-        "spark.document_processor.parse.factor", str(_PARSE_WAVE_FACTOR)))
-    return max(sc.defaultParallelism * factor, 48)
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's own size estimate for the optimized plan (bytes).  For a
+    cached/materialized input this is accurate; for a cold scan it falls
+    back to file-size-derived stats — either way the right ORDER for sizing
+    a partition count.  None when the estimate is unusable (unknown sizes
+    surface as Long.MaxValue-ish sentinels)."""
+    try:
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = int(size if isinstance(size, int) else size.toString())
+    except Exception:
+        return None
+    return size if 0 < size < (1 << 50) else None
+
+
+def _parse_partitions(df: DataFrame, factor: int | None = None) -> int:
+    sess = df.sparkSession
+    cores = sess.sparkContext.defaultParallelism
+    if factor is None:
+        factor = int(sess.conf.get(
+            "spark.document_processor.parse.factor", str(_PARSE_WAVE_FACTOR)))
+    upper = max(cores * factor, 48)
+    size = _plan_size_bytes(df)
+    if size is None:
+        return upper
+    need = -(-size // _TARGET_PARTITION_BYTES)
+    return max(min(upper, need), cores)
+
+
+def _arrow_partitions(df: DataFrame) -> int:
+    sess = df.sparkSession
+    cores = sess.sparkContext.defaultParallelism
+    factor = int(sess.conf.get(
+        "spark.document_processor.parse.arrow_factor", str(_ARROW_WAVE_FACTOR)))
+    upper = max(cores * factor, 16)
+    size = _plan_size_bytes(df)
+    if size is None:
+        return upper
+    need = -(-size // _TARGET_PARTITION_BYTES)
+    return max(min(upper, need), cores)
 
 OUTPUT_SPAN_DDL = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
 
@@ -156,6 +219,9 @@ def parse_sql(rows: DataFrame) -> DataFrame:
         cleaned.alias("cleaned"), h_head.alias("h_head"))
 
     # ---- stage B: cheap classification on the stage-A strings --------------
+    # One (kind, text) per span + scan_only (see PARSED_DDL): the fast
+    # pipeline's result is derived downstream as "non-scan_only rows" (T4),
+    # never materialized as a second column set.
     k2 = F.col("raw_kind")
     cl = F.col("cleaned")
     has = cl.isNotNull()
@@ -163,26 +229,21 @@ def parse_sql(rows: DataFrame) -> DataFrame:
     html_kind = F.when(F.col("h_head"), F.lit(C.KIND_HEADING)) \
                  .otherwise(F.lit(C.KIND_PARAGRAPH))
 
-    full_kind = (F.when(k2 == C.RAW_PDF_TEXT, F.when(has, textual_kind))
-                  .when(k2 == C.RAW_PDF_SCAN, F.when(has, textual_kind))
-                  .when(k2 == C.RAW_HTML, F.when(has, html_kind))
-                  .when(k2 == C.RAW_TABLE, F.when(has, F.lit(C.KIND_TABLE)))
-                  .when(k2 == C.RAW_MEDIA,
-                        F.when(has, F.lit(C.KIND_FIGURE))
-                         .otherwise(F.lit(C.KIND_MEDIA_REF))))
-    full_text = F.when(k2 == C.RAW_MEDIA, F.when(has, cl)) \
-                 .otherwise(F.when(has, cl))
+    kind_out = (F.when(k2 == C.RAW_PDF_TEXT, F.when(has, textual_kind))
+                 .when(k2 == C.RAW_PDF_SCAN, F.when(has, textual_kind))
+                 .when(k2 == C.RAW_HTML, F.when(has, html_kind))
+                 .when(k2 == C.RAW_TABLE, F.when(has, F.lit(C.KIND_TABLE)))
+                 .when(k2 == C.RAW_MEDIA,
+                       F.when(has, F.lit(C.KIND_FIGURE))
+                        .otherwise(F.lit(C.KIND_MEDIA_REF))))
+    text_out = F.when(has, cl)
     media_ref = F.when(k2 == C.RAW_MEDIA, F.col("raw_media_ref"))
-    # fast pipeline: identical except scan regions yield nothing (T4)
-    fast_kind = F.when(k2 == C.RAW_PDF_SCAN, _null_str()).otherwise(full_kind)
-    fast_text = F.when(k2 == C.RAW_PDF_SCAN, _null_str()).otherwise(full_text)
 
     return stage_a.select(
         "doc_id", "page", "block",
-        fast_kind.alias("fast_kind"), fast_text.alias("fast_text"),
-        media_ref.alias("fast_media_ref"),
-        full_kind.alias("full_kind"), full_text.alias("full_text"),
-        media_ref.alias("full_media_ref"))
+        kind_out.alias("kind"), text_out.alias("text"),
+        media_ref.alias("media_ref"),
+        F.coalesce(k2 == C.RAW_PDF_SCAN, F.lit(False)).alias("scan_only"))
 
 
 def parse_sql_union(rows: DataFrame) -> DataFrame:
@@ -190,16 +251,14 @@ def parse_sql_union(rows: DataFrame) -> DataFrame:
     text = F.col("raw_text")
     keys = ["doc_id", "page", "block"]
 
-    def out(df: DataFrame, fk: Column, ft: Column, fm: Column,
-            uk: Column, ut: Column, um: Column) -> DataFrame:
+    def out(df: DataFrame, k: Column, t: Column, m: Column,
+            scan: bool = False) -> DataFrame:
         return df.select(
             *keys,
-            fk.cast("string").alias("fast_kind"),
-            ft.cast("string").alias("fast_text"),
-            fm.cast("string").alias("fast_media_ref"),
-            uk.cast("string").alias("full_kind"),
-            ut.cast("string").alias("full_text"),
-            um.cast("string").alias("full_media_ref"))
+            k.cast("string").alias("kind"),
+            t.cast("string").alias("text"),
+            m.cast("string").alias("media_ref"),
+            F.lit(scan).alias("scan_only"))
 
     ns = F.lit(None).cast("string")
 
@@ -207,18 +266,17 @@ def parse_sql_union(rows: DataFrame) -> DataFrame:
     t = rows.filter(F.col("raw_kind") == C.RAW_PDF_TEXT)
     t_clean = X.clean_text_col(text)
     t_ok = t_clean != ""
-    t_kind = F.when(t_ok, X.classify_textual_col(t_clean))
-    t_text = F.when(t_ok, t_clean)
-    b_text = out(t, t_kind, t_text, ns, t_kind, t_text, ns)
+    b_text = out(t, F.when(t_ok, X.classify_textual_col(t_clean)),
+                 F.when(t_ok, t_clean), ns)
 
-    # pdf_scan → full pipeline only (T4)
+    # pdf_scan → full pipeline only (T4): scan_only marks the rows the fast
+    # pass cannot see
     s = rows.filter(F.col("raw_kind") == C.RAW_PDF_SCAN)
     s_decoded = X.decode_scan_col(text)
     s_clean = F.when(s_decoded.isNotNull(), X.clean_text_col(s_decoded))
     s_ok = s_clean.isNotNull() & (s_clean != "")
-    b_scan = out(s, ns, ns, ns,
-                 F.when(s_ok, X.classify_textual_col(s_clean)),
-                 F.when(s_ok, s_clean), ns)
+    b_scan = out(s, F.when(s_ok, X.classify_textual_col(s_clean)),
+                 F.when(s_ok, s_clean), ns, scan=True)
 
     # html → boilerplate strip by text-density
     h = rows.filter(F.col("raw_kind") == C.RAW_HTML)
@@ -228,30 +286,26 @@ def parse_sql_union(rows: DataFrame) -> DataFrame:
         X.html_density_col(h_raw, h_clean) >= F.lit(C.HTML_DENSITY_THRESHOLD))
     h_kind = (F.when(h_main & X.html_is_heading_col(h_raw), F.lit(C.KIND_HEADING))
                .when(h_main, F.lit(C.KIND_PARAGRAPH)))
-    h_text = F.when(h_main, h_clean)
-    b_html = out(h, h_kind, h_text, ns, h_kind, h_text, ns)
+    b_html = out(h, h_kind, F.when(h_main, h_clean), ns)
 
     # table_raw → canonical flattening (T6)
     tb = rows.filter(F.col("raw_kind") == C.RAW_TABLE)
     tb_flat = X.flatten_table_col(text)
     tb_ok = ~X.is_blank_col(tb_flat)
-    tb_kind = F.when(tb_ok, F.lit(C.KIND_TABLE))
-    tb_text = F.when(tb_ok, tb_flat)
-    b_table = out(tb, tb_kind, tb_text, ns, tb_kind, tb_text, ns)
+    b_table = out(tb, F.when(tb_ok, F.lit(C.KIND_TABLE)),
+                  F.when(tb_ok, tb_flat), ns)
 
     # media → figure / media_ref (T7)
     m = rows.filter(F.col("raw_kind") == C.RAW_MEDIA)
     m_alt = F.when(text.isNotNull(), X.clean_text_col(text)).otherwise(F.lit(""))
     m_is_fig = m_alt != ""
     m_kind = F.when(m_is_fig, F.lit(C.KIND_FIGURE)).otherwise(F.lit(C.KIND_MEDIA_REF))
-    m_text = F.when(m_is_fig, m_alt)
-    mr = F.col("raw_media_ref")
-    b_media = out(m, m_kind, m_text, mr, m_kind, m_text, mr)
+    b_media = out(m, m_kind, F.when(m_is_fig, m_alt), F.col("raw_media_ref"))
 
     # unknown raw kinds: keep the row (page inventory) but emit nothing (S28)
     known = [C.RAW_PDF_TEXT, C.RAW_PDF_SCAN, C.RAW_HTML, C.RAW_TABLE, C.RAW_MEDIA]
     u = rows.filter(~F.col("raw_kind").isin(*known) | F.col("raw_kind").isNull())
-    b_unknown = out(u, ns, ns, ns, ns, ns, ns)
+    b_unknown = out(u, ns, ns, ns)
 
     return (b_text.unionByName(b_scan).unionByName(b_html)
             .unionByName(b_table).unionByName(b_media).unionByName(b_unknown))
@@ -279,46 +333,203 @@ def parse_sql_fused(rows: DataFrame) -> DataFrame:
     m_alt = F.when(text.isNotNull(), X.clean_text_col(text)).otherwise(F.lit(""))
     m_is_fig = m_alt != ""
 
-    def branch(full: bool) -> list[Column]:
-        k = (F.when(kind == C.RAW_PDF_TEXT,
-                    F.when(t_clean != "", X.classify_textual_col(t_clean)))
-              .when(kind == C.RAW_HTML, h_kind)
-              .when(kind == C.RAW_TABLE, F.when(tb_ok, F.lit(C.KIND_TABLE)))
-              .when(kind == C.RAW_MEDIA,
-                    F.when(m_is_fig, F.lit(C.KIND_FIGURE))
-                     .otherwise(F.lit(C.KIND_MEDIA_REF))))
-        t = (F.when(kind == C.RAW_PDF_TEXT, F.when(t_clean != "", t_clean))
-              .when(kind == C.RAW_HTML, F.when(h_main, h_clean))
-              .when(kind == C.RAW_TABLE, F.when(tb_ok, tb_flat))
-              .when(kind == C.RAW_MEDIA, F.when(m_is_fig, m_alt)))
-        m = F.when(kind == C.RAW_MEDIA, mref)
-        if full:
-            k = F.when(kind == C.RAW_PDF_SCAN,
-                       F.when(s_ok, X.classify_textual_col(s_clean))).otherwise(k)
-            t = F.when(kind == C.RAW_PDF_SCAN, F.when(s_ok, s_clean)).otherwise(t)
-        else:
-            k = F.when(kind == C.RAW_PDF_SCAN, _null_str()).otherwise(k)
-            t = F.when(kind == C.RAW_PDF_SCAN, _null_str()).otherwise(t)
-        return [k, t, m]
-
-    fast, full = branch(False), branch(True)
+    k = (F.when(kind == C.RAW_PDF_TEXT,
+                F.when(t_clean != "", X.classify_textual_col(t_clean)))
+          .when(kind == C.RAW_PDF_SCAN,
+                F.when(s_ok, X.classify_textual_col(s_clean)))
+          .when(kind == C.RAW_HTML, h_kind)
+          .when(kind == C.RAW_TABLE, F.when(tb_ok, F.lit(C.KIND_TABLE)))
+          .when(kind == C.RAW_MEDIA,
+                F.when(m_is_fig, F.lit(C.KIND_FIGURE))
+                 .otherwise(F.lit(C.KIND_MEDIA_REF))))
+    t = (F.when(kind == C.RAW_PDF_TEXT, F.when(t_clean != "", t_clean))
+          .when(kind == C.RAW_PDF_SCAN, F.when(s_ok, s_clean))
+          .when(kind == C.RAW_HTML, F.when(h_main, h_clean))
+          .when(kind == C.RAW_TABLE, F.when(tb_ok, tb_flat))
+          .when(kind == C.RAW_MEDIA, F.when(m_is_fig, m_alt)))
+    m = F.when(kind == C.RAW_MEDIA, mref)
     return rows.select(
         "doc_id", "page", "block",
-        fast[0].alias("fast_kind"), fast[1].alias("fast_text"),
-        fast[2].alias("fast_media_ref"),
-        full[0].alias("full_kind"), full[1].alias("full_text"),
-        full[2].alias("full_media_ref"))
+        k.alias("kind"), t.alias("text"), m.alias("media_ref"),
+        F.coalesce(kind == C.RAW_PDF_SCAN, F.lit(False)).alias("scan_only"))
 
 
 # ---------------------------------------------------------------------------
-# stage 2b — Arrow/pandas parse (mapInArrow): the real-parser shape
+# stage 2b — Arrow parse (mapInArrow): the real-parser shape
 # ---------------------------------------------------------------------------
+#
+# This is the shape a real byte-stream parser (PDF layout analysis / OCR)
+# takes at 100 TB: Arrow batches stream from the JVM into a reused Python
+# worker, the kernel does its work in NATIVE code over the batch, and Arrow
+# batches stream back.  The kernel below keeps the Python layer thin the
+# same way a real parser would (pdfium/tesseract do the heavy work in C):
+#
+# * string transforms run in pyarrow.compute (RE2 + Arrow C++ kernels)
+#   directly on the received buffers — the strings are NEVER materialized
+#   as Python objects.  The earlier pandas-object kernel decoded every
+#   string into a PyObject and back per batch, which multiplied per-row
+#   memory traffic ~5x and pinned the stage at the host's memory-bandwidth
+#   ceiling — flat scaling beyond ~8 cores while the catalyst engine (same
+#   bus) scaled at 0.89 (BENCH/BASELINE.md r2).
+# * per-row Python survives ONLY where the contract is genuinely
+#   imperative — base64 scan decode (the "call tesseract on this region"
+#   analog) and nested table flattening — and runs on the per-kind SUBSET,
+#   never the whole batch.
+# * per-kind work uses take(subset) + one output sub-batch per kind (row
+#   order after parse is irrelevant: assembly sorts within page groups), so
+#   nothing is ever scattered back row-by-row.
+
+def _kernel_clean(pc, arr):
+    """contract.clean_text over an Arrow string array (T3).  RE2 and Python
+    `re` agree on these patterns for the ASCII-whitespace corpora the
+    contract covers (contract.py:30-36 documents the same tolerance for the
+    Java regex engine)."""
+    from . import contract as Ct
+    a = pc.replace_substring_regex(arr, pattern=Ct.GLYPH_PATTERN,
+                                   replacement=" ")
+    a = pc.replace_substring_regex(a, pattern=Ct.SPACE_TAB_PATTERN,
+                                   replacement=" ")
+    return pc.replace_substring_regex(a, pattern=Ct.STRIP_PATTERN,
+                                      replacement="")
+
+
+def _kernel_classify(pa, pc, cl):
+    """heading/paragraph (T2): startswith any HEADING_MARKER."""
+    from . import contract as Ct
+    m = None
+    for marker in Ct.HEADING_MARKERS:
+        s = pc.starts_with(cl, pattern=marker)
+        m = s if m is None else pc.or_(m, s)
+    return pc.if_else(m, pa.scalar(Ct.KIND_HEADING),
+                      pa.scalar(Ct.KIND_PARAGRAPH))
+
+
+def _parse_arrow_batch(batch) -> Iterator["object"]:
+    """Parse one Arrow batch of raw span rows into the narrow parsed schema
+    (PARSED_DDL), yielding one sub-batch per raw kind class.  Every input
+    row appears in exactly one output sub-batch (dropped spans keep their
+    row with kind=null — the page inventory needs the (doc_id, page) pair,
+    S28)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from . import contract as Ct
+
+    kind = batch.column("raw_kind")
+    text = batch.column("raw_text")
+    mref = batch.column("raw_media_ref")
+    keys = (batch.column("doc_id"), batch.column("page"),
+            batch.column("block"))
+
+    schema = pa.schema([
+        pa.field("doc_id", pa.string()), pa.field("page", pa.int32()),
+        pa.field("block", pa.int32()), pa.field("kind", pa.string()),
+        pa.field("text", pa.string()), pa.field("media_ref", pa.string()),
+        pa.field("scan_only", pa.bool_()),
+    ])
+
+    def sub(idx, kinds, texts, mrefs, scan):
+        k = [pc.take(c, idx) for c in keys]
+        n = len(idx)
+        return pa.record_batch(
+            [*k, kinds, texts,
+             mrefs if mrefs is not None else pa.nulls(n, pa.string()),
+             pa.array([scan] * n, pa.bool_()) if isinstance(scan, bool)
+             else scan],
+            schema=schema)
+
+    def gated(ok, cl):
+        """(classified kind, text) with null where the span is dropped."""
+        null_s = pa.scalar(None, pa.string())
+        kinds = pc.if_else(ok, _kernel_classify(pa, pc, cl), null_s)
+        texts = pc.if_else(ok, cl, null_s)
+        return kinds, texts
+
+    matched = None
+
+    def mask(raw_kind):
+        nonlocal matched
+        m = pc.fill_null(pc.equal(kind, raw_kind), False)
+        matched = m if matched is None else pc.or_(matched, m)
+        return pc.indices_nonzero(m)
+
+    # pdf_text
+    idx = mask(Ct.RAW_PDF_TEXT)
+    if len(idx):
+        cl = _kernel_clean(pc, pc.take(text, idx))
+        ok = pc.fill_null(pc.not_equal(cl, ""), False)
+        kinds, texts = gated(ok, cl)
+        yield sub(idx, kinds, texts, None, False)
+
+    # pdf_scan → imperative base64 "OCR" decode on the scan subset only;
+    # the fast pass cannot see these rows (scan_only, T4)
+    idx = mask(Ct.RAW_PDF_SCAN)
+    if len(idx):
+        raw = pc.take(text, idx)
+        decoded = pa.array(
+            [Ct.decode_scan(s) if s is not None else None
+             for s in raw.to_pylist()], pa.string())
+        cl = _kernel_clean(pc, decoded)
+        ok = pc.fill_null(pc.not_equal(cl, ""), False)
+        kinds, texts = gated(ok, cl)
+        yield sub(idx, kinds, texts, None, True)
+
+    # html → tag strip + text-density boilerplate gate
+    idx = mask(Ct.RAW_HTML)
+    if len(idx):
+        raw = pc.fill_null(pc.take(text, idx), "")
+        cl = _kernel_clean(pc, pc.replace_substring_regex(
+            raw, pattern=Ct.HTML_TAG_PATTERN, replacement=" "))
+        rl = pc.cast(pc.utf8_length(raw), pa.float64())
+        cll = pc.cast(pc.utf8_length(cl), pa.float64())
+        dens = pc.if_else(pc.greater(rl, 0.0), pc.divide(cll, rl), 0.0)
+        main = pc.and_(pc.not_equal(cl, ""),
+                       pc.greater_equal(dens, Ct.HTML_DENSITY_THRESHOLD))
+        is_h = pc.match_substring_regex(raw, pattern=Ct.HTML_HEADING_PATTERN)
+        null_s = pa.scalar(None, pa.string())
+        kinds = pc.if_else(
+            main, pc.if_else(is_h, pa.scalar(Ct.KIND_HEADING),
+                             pa.scalar(Ct.KIND_PARAGRAPH)), null_s)
+        texts = pc.if_else(main, cl, null_s)
+        yield sub(idx, kinds, texts, None, False)
+
+    # table_raw → imperative nested flattening on the table subset (T6)
+    idx = mask(Ct.RAW_TABLE)
+    if len(idx):
+        raw = pc.take(text, idx)
+        flat = pa.array(
+            [Ct.flatten_table(s) if s is not None else None
+             for s in raw.to_pylist()], pa.string())
+        ok = pc.fill_null(
+            pc.not_equal(pc.utf8_trim_whitespace(flat), ""), False)
+        null_s = pa.scalar(None, pa.string())
+        kinds = pc.if_else(ok, pa.scalar(Ct.KIND_TABLE), null_s)
+        texts = pc.if_else(ok, flat, null_s)
+        yield sub(idx, kinds, texts, None, False)
+
+    # media → figure / media_ref (T7): every media row keeps a kind
+    idx = mask(Ct.RAW_MEDIA)
+    if len(idx):
+        alt = _kernel_clean(pc, pc.take(text, idx))
+        has_alt = pc.fill_null(pc.not_equal(alt, ""), False)
+        kinds = pc.if_else(has_alt, pa.scalar(Ct.KIND_FIGURE),
+                           pa.scalar(Ct.KIND_MEDIA_REF))
+        texts = pc.if_else(has_alt, alt, pa.scalar(None, pa.string()))
+        yield sub(idx, kinds, texts, pc.take(mref, idx), False)
+
+    # unknown / null raw kinds: row kept, nothing emitted (S28)
+    rem = pc.indices_nonzero(pc.invert(matched))
+    if len(rem):
+        n = len(rem)
+        yield sub(rem, pa.nulls(n, pa.string()), pa.nulls(n, pa.string()),
+                  None, False)
+
 
 def _parse_pandas_batch(pdf):
-    """Vectorized pandas/numpy implementation of the same contract.  Runs
-    inside the Python worker on Arrow batches — no per-row Python at the
-    Spark level; `.str` ops use Python `re` semantics, matching the oracle.
-    All indexing is positional (numpy), no pandas index alignment."""
+    """Pandas-object variant of the kernel (narrow schema), kept as the
+    reference shape for parsers whose vectorized library wants pandas in
+    (and for an honest A/B of object-materialization cost — see
+    BENCH/diag_kernel_scaling.py).  Not on the default engine path."""
     import numpy as np
     import pandas as pd
 
@@ -340,18 +551,16 @@ def _parse_pandas_batch(pdf):
         return np.where(heads, Ct.KIND_HEADING, Ct.KIND_PARAGRAPH)
 
     out = {c: np.full(n, None, dtype=object)
-           for c in ("fast_kind", "fast_text", "fast_media_ref",
-                     "full_kind", "full_text", "full_media_ref")}
+           for c in ("kind", "text", "media_ref")}
+    scan_only = np.zeros(n, dtype=bool)
 
-    def emit(idx: "np.ndarray", kinds, texts, refs=None, fast=True, full=True):
-        targets = (["fast"] if fast else []) + (["full"] if full else [])
-        for pre in targets:
-            out[f"{pre}_kind"][idx] = kinds
-            out[f"{pre}_text"][idx] = texts
-            if refs is not None:
-                out[f"{pre}_media_ref"][idx] = refs
+    def emit(idx, kinds, texts, refs=None):
+        out["kind"][idx] = kinds
+        out["text"][idx] = texts
+        if refs is not None:
+            out["media_ref"][idx] = refs
 
-    # pdf_text → both pipelines
+    # pdf_text
     pos = np.flatnonzero(kind == Ct.RAW_PDF_TEXT)
     if pos.size:
         cl = clean(raw.iloc[pos].reset_index(drop=True))
@@ -360,18 +569,19 @@ def _parse_pandas_batch(pdf):
         clk = cl.iloc[np.flatnonzero(ok)].reset_index(drop=True)
         emit(keep, classify(clk), clk.to_numpy(dtype=object))
 
-    # pdf_scan → full pipeline only (T4)
+    # pdf_scan → scan_only rows (T4)
     pos = np.flatnonzero(kind == Ct.RAW_PDF_SCAN)
     if pos.size:
+        scan_only[pos] = True
         decoded = raw.iloc[pos].map(Ct.decode_scan).reset_index(drop=True)
         dn = decoded.notna().to_numpy()
         cl = clean(decoded.fillna("").astype(str))
         ok = dn & (cl != "").to_numpy()
         keep = pos[ok]
         clk = cl.iloc[np.flatnonzero(ok)].reset_index(drop=True)
-        emit(keep, classify(clk), clk.to_numpy(dtype=object), fast=False)
+        emit(keep, classify(clk), clk.to_numpy(dtype=object))
 
-    # html → boilerplate strip by text-density
+    # html
     pos = np.flatnonzero(kind == Ct.RAW_HTML)
     if pos.size:
         h = raw.iloc[pos].reset_index(drop=True)
@@ -386,7 +596,7 @@ def _parse_pandas_batch(pdf):
         kinds = np.where(is_h, Ct.KIND_HEADING, Ct.KIND_PARAGRAPH)
         emit(keep, kinds, cl.iloc[sel].to_numpy(dtype=object))
 
-    # table_raw → canonical flattening (T6)
+    # table_raw
     pos = np.flatnonzero(kind == Ct.RAW_TABLE)
     if pos.size:
         flat = raw.iloc[pos].map(Ct.flatten_table).reset_index(drop=True)
@@ -395,7 +605,7 @@ def _parse_pandas_batch(pdf):
         emit(keep, Ct.KIND_TABLE,
              flat.iloc[np.flatnonzero(ok)].to_numpy(dtype=object))
 
-    # media → figure / media_ref (T7)
+    # media
     pos = np.flatnonzero(kind == Ct.RAW_MEDIA)
     if pos.size:
         alt = clean(raw.iloc[pos].reset_index(drop=True))
@@ -406,28 +616,39 @@ def _parse_pandas_batch(pdf):
 
     return pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(dtype=object),
                          "page": pdf["page"].to_numpy(),
-                         "block": pdf["block"].to_numpy(), **out})
+                         "block": pdf["block"].to_numpy(), **out,
+                         "scan_only": scan_only})
 
 
 def parse_arrow(rows: DataFrame) -> DataFrame:
+    def fn(batches: Iterator["object"]) -> Iterator["object"]:
+        for batch in batches:
+            yield from _parse_arrow_batch(batch)
+
+    # page-balancing shuffle as in parse_sql, but with the arrow-specific
+    # (lower) wave factor — see _arrow_partitions
+    return (rows.repartition(_arrow_partitions(rows), "doc_id", "page")
+            .mapInArrow(fn, PARSED_DDL))
+
+
+def parse_pandas(rows: DataFrame) -> DataFrame:
+    """mapInArrow via the pandas-object kernel (comparison engine)."""
     import pyarrow as pa
 
-    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+    def fn(batches: Iterator["object"]) -> Iterator["object"]:
         schema = pa.schema([
             pa.field("doc_id", pa.string()), pa.field("page", pa.int32()),
-            pa.field("block", pa.int32()),
-            *(pa.field(f"{p}_{c}", pa.string())
-              for p in ("fast", "full") for c in ("kind", "text", "media_ref")),
+            pa.field("block", pa.int32()), pa.field("kind", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("media_ref", pa.string()),
+            pa.field("scan_only", pa.bool_()),
         ])
         for batch in batches:
-            pdf = batch.to_pandas()
-            res = _parse_pandas_batch(pdf)
+            res = _parse_pandas_batch(batch.to_pandas())
             yield pa.RecordBatch.from_pandas(res, schema=schema,
                                              preserve_index=False)
 
-    # same page-balancing shuffle as the sql engine (see parse_sql): the
-    # mapInArrow stage then runs on evenly-spread page groups
-    return (rows.repartition(_parse_partitions(rows), "doc_id", "page")
+    return (rows.repartition(_arrow_partitions(rows), "doc_id", "page")
             .mapInArrow(fn, PARSED_DDL))
 
 
@@ -458,9 +679,9 @@ _TIE_NULL = "\x02"
 def _tiebreak_col() -> Column:
     key = F.concat_ws(
         "\x1f",
-        F.col("full_kind"),
-        F.coalesce(F.col("full_text"), F.lit(_TIE_NULL)),
-        F.coalesce(F.col("full_media_ref"), F.lit(_TIE_NULL)))
+        F.col("kind"),
+        F.coalesce(F.col("text"), F.lit(_TIE_NULL)),
+        F.coalesce(F.col("media_ref"), F.lit(_TIE_NULL)))
     return F.crc32(F.encode(key, "UTF-8"))
 
 
@@ -470,24 +691,24 @@ def assemble(parsed: DataFrame, with_layout: bool = False) -> DataFrame:
     with_layout=True additionally emits the S21/S22 lineage-metadata
     fields per span: Position struct + page dimensions (contract.py).
 
-    One collect_list per page, not two: a span's fast/full results differ
-    only on scan regions (fast = nothing), so each span is collected once
-    with a `scan_only` flag and the page picks `filter(arr, !scan_only)`
-    (fast accepted) or the whole array (full fallback) — half the
-    aggregation buffer memory and GC traffic of parallel fast/full arrays."""
+    One collect_list per page: each span is collected once with its
+    `scan_only` flag and the page picks `filter(arr, !scan_only)` (fast
+    pass accepted) or the whole array (full fallback) — the narrow parsed
+    schema means the aggregation buffers hold each string exactly once."""
     span_s = F.when(
-        F.col("full_kind").isNotNull(),
+        F.col("kind").isNotNull(),
         F.struct(F.col("block"),
                  F.col("page").alias("pg"),
                  _tiebreak_col().alias("tb"),
-                 F.col("full_kind").alias("kind"),
-                 F.col("full_text").alias("text"),
-                 F.col("full_media_ref").alias("media_ref"),
-                 F.col("fast_kind").isNull().alias("scan_only")))
+                 F.col("kind"),
+                 F.col("text"),
+                 F.col("media_ref"),
+                 F.col("scan_only")))
 
     page_level = (parsed.groupBy("doc_id", "page").agg(
         F.collect_list(span_s).alias("arr"),
-        F.max(F.when(F.col("fast_kind").isin(*C.TEXT_KINDS), 1).otherwise(0)
+        F.max(F.when(F.col("kind").isin(*C.TEXT_KINDS)
+                     & ~F.col("scan_only"), 1).otherwise(0)
               ).alias("has_text"),
     ))
 
@@ -560,7 +781,8 @@ def assemble(parsed: DataFrame, with_layout: bool = False) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 ENGINES = {"sql": parse_sql, "sql_union": parse_sql_union,
-           "sql_fused": parse_sql_fused, "arrow": parse_arrow}
+           "sql_fused": parse_sql_fused, "arrow": parse_arrow,
+           "pandas": parse_pandas}
 
 
 def extract_documents(docs: DataFrame, engine: str = "sql",
