@@ -174,6 +174,26 @@ def main() -> int:
         return 0
 
     # -- training-data operators over the dir's tables ----------------------
+    # SPARK_GRAFT_FULL=1: time EVERY driver query (min-of-2) so a
+    # regression in any of the 40 operators surfaces in the bench line,
+    # not only in the 7 headliners.
+    if os.environ.get("SPARK_GRAFT_FULL"):
+        import __spark_entry__ as entry
+
+        full: dict[str, float] = {}
+        for name, q in sorted(entry.queries().items()):
+            print(f"[bench] full:{name} ...", file=sys.stderr, flush=True)
+            walls = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                walls.append(round(time.perf_counter() - t0, 3))
+            full[name] = min(walls)
+            print(f"[bench] full:{name}: {full[name]}s", file=sys.stderr,
+                  flush=True)
+        extras["full_queries"] = full
+        extras["full_total"] = round(sum(full.values()), 3)
+
     timed("dedup_minhash_lsh",
           lambda: dedup.q_dedup_minhash_lsh(spark, sf_dir).count())
     timed("dedup_embedding_cosine_lsh",

@@ -588,8 +588,85 @@ FROM pairs WHERE cos >= {COSINE_T}
 """
 
 
+# -- near-dup cluster resolution: connected components over the pair graph --
+
+CC_MAX_ITERS = 25
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution — the step a real dedup pipeline runs AFTER pair
+    generation: connected components over the verified MinHash pair graph,
+    assigning every document a canonical cluster representative (the
+    component-min doc_id) and the cluster size.
+
+    Iterative min-label propagation on DataFrames: each round is one
+    equi-join (edges ⋈ labels, shuffle on the node key) + a min
+    aggregation with map-side partial agg; labels converge in O(graph
+    diameter) rounds.  Near-dup clusters have short diameters in practice
+    (similarity is near-transitive), so rounds stay in single digits; at
+    adversarial diameters the O(log n) large-star/small-star contraction
+    is the drop-in replacement for the propagation step.  Per-round
+    lineage is truncated (localCheckpoint pin) so the physical plan does
+    not grow with iterations — at 10^12-doc scale each round's label table
+    would be a checkpoint table.  Driver-side logic is only the
+    convergence test (a count per round); labels never leave the cluster.
+
+    Non-dup documents are their own singleton cluster (left anti to the
+    edge set avoids shuffling the whole corpus through the loop: only
+    documents that appear in a pair — a small fraction — iterate)."""
+    from pyspark.sql import Window
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    edges = _pin(pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))))
+    labels = _pin(edges.select(F.col("d1").alias("node")).distinct()
+                  .select("node", F.col("node").alias("label")))
+    for _ in range(CC_MAX_ITERS):
+        prop = (edges.join(labels, edges["d1"] == labels["node"])
+                .select(F.col("d2").alias("node"), "label"))
+        new_labels = _pin(labels.select("node", "label").union(prop)
+                          .groupBy("node").agg(F.min("label").alias("label")))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    docs = _docs(spark, sf_dir).select("doc_id")
+    assigned = (docs.join(labels, docs["doc_id"] == labels["node"], "left")
+                .select("doc_id",
+                        F.coalesce("label", "doc_id").alias("cluster_id")))
+    return assigned.select(
+        "doc_id", "cluster_id",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+         .alias("n_members"))
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH_LSH}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.b AS node, reach.r AS r
+  FROM reach JOIN edges e ON e.a = reach.node),
+clusters AS (
+  SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+assigned AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS n_members
+FROM assigned
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_embedding_cosine_lsh": (q_dedup_embedding_cosine_lsh,
                                    _sql_embedding_lsh()),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),

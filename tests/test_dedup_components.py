@@ -1,0 +1,52 @@
+"""Connected-components cluster resolution: semantics pinned on a
+hand-built pair graph (independent of the DuckDB oracle) by driving the
+propagation loop's building blocks through a monkeypatched pair source."""
+
+from __future__ import annotations
+
+from document_processor_spark.operators import dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_components_on_known_graph(spark, monkeypatch, tmp_path):
+    # documents: a..g; pairs: chain a-b-c, pair e-f; d and g singletons
+    docs = spark.createDataFrame(
+        [(x,) for x in "abcdefg"], "doc_id string")
+    (docs.write.mode("overwrite")
+     .parquet(str(tmp_path / "documents.parquet")))
+
+    pair_rows = [("a", "b"), ("b", "c"), ("e", "f")]
+
+    def fake_pairs(spark_, sf_dir_):
+        return spark.createDataFrame(pair_rows, "d1 string, d2 string")
+
+    monkeypatch.setattr(dedup, "q_dedup_minhash_lsh", fake_pairs)
+    out = dedup.q_dedup_components(spark, str(tmp_path))
+    got = sorted((r["doc_id"], r["cluster_id"], r["n_members"])
+                 for r in out.collect())
+    assert got == [
+        ("a", "a", 3), ("b", "a", 3), ("c", "a", 3),
+        ("d", "d", 1),
+        ("e", "e", 2), ("f", "e", 2),
+        ("g", "g", 1),
+    ]
+
+
+def test_components_converges_on_long_chain(spark, monkeypatch, tmp_path):
+    # a 12-node chain exercises multi-round propagation (diameter 11)
+    n = 12
+    nodes = [f"n{i:02d}" for i in range(n)]
+    docs = spark.createDataFrame([(x,) for x in nodes], "doc_id string")
+    (docs.write.mode("overwrite")
+     .parquet(str(tmp_path / "documents.parquet")))
+    chain = list(zip(nodes, nodes[1:]))
+
+    def fake_pairs(spark_, sf_dir_):
+        return spark.createDataFrame(chain, "d1 string, d2 string")
+
+    monkeypatch.setattr(dedup, "q_dedup_minhash_lsh", fake_pairs)
+    out = dedup.q_dedup_components(spark, str(tmp_path))
+    got = {r["doc_id"]: (r["cluster_id"], r["n_members"])
+           for r in out.collect()}
+    assert got == {x: ("n00", n) for x in nodes}
