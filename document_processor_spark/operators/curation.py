@@ -1,0 +1,172 @@
+"""Corpus-curation operators — the remaining steps a training-data build
+runs between extraction/dedup and tokenization: benchmark decontamination,
+deterministic stratified sampling (mixture control), and sequence packing.
+
+Spark-first scale notes:
+
+* decontamination: the benchmark/eval shingle set is tiny relative to the
+  corpus (thousands of eval docs vs 10^12 train docs), so it is BROADCAST
+  and the train side streams through one semi-join — no shuffle of the
+  corpus, map-side only.  The eval set here is carved deterministically
+  from the corpus (doc_id % 101 == 0) so the operator is self-contained.
+* stratified sampling: pure map-side — the per-stratum rate comes from a
+  broadcast count table (strata counts are a tiny aggregate), membership
+  from an integer hash test, so the sample is reproducible run-to-run and
+  cluster-size-independent.  Integer cross-multiplication (u * n < MOD *
+  target) avoids float-rate edge cases.
+* sequence packing: running token cumsum per (source) partition, chunked
+  at the token budget — the concat-then-chunk packing a trainer's data
+  loader expects.  The window sorts WITHIN source partitions only; at
+  10^12 docs the per-source ordering would be a range partition by
+  (source, doc_id), the same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dedup import _SQL_SHINGLES, _docs, _shingles_col
+
+EVAL_MOD = 101          # doc_id % EVAL_MOD == 0 -> held-out "benchmark" doc
+CONTAM_T = 0.5          # flagged when >= this fraction of shingles hit
+SAMPLE_MOD = 1_000_000  # hash-uniform resolution for the sampling test
+PACK_BUDGET = 256       # tokens per packed training sequence
+
+
+def _hash_u(col) -> "F.Column":
+    """Deterministic uniform int in [0, SAMPLE_MOD): first 60 bits of
+    md5(decimal string), mod SAMPLE_MOD — byte-identical to the DuckDB
+    ('0x' || substr(md5(x),1,15))::BIGINT % MOD form."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+            .cast("bigint") % SAMPLE_MOD)
+
+
+# -- benchmark decontamination ----------------------------------------------------
+
+def q_cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training documents whose 3-word shingles overlap the held-out
+    eval set: contaminated_frac = |doc shingles ∩ eval shingles| / |doc
+    shingles|, flagged at CONTAM_T.  Eval shingle set broadcast; train
+    side is one explode + semi-join + count — no corpus shuffle."""
+    sh = (_docs(spark, sf_dir)
+          .select("doc_id", _shingles_col().alias("shingles"))
+          .filter(F.size("shingles") > 0))
+    eval_sh = (sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+               .select(F.explode("shingles").alias("shingle")).distinct())
+    train = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    hits = (train.select("doc_id", F.explode("shingles").alias("shingle"))
+            .join(F.broadcast(eval_sh), "shingle", "leftsemi")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    frac = F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") \
+        / F.size("shingles").cast("double")
+    return (train.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.size("shingles").cast("bigint").alias("n_shingles"),
+                    F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+                    F.round(frac, 4).alias("contaminated_frac"),
+                    (frac >= CONTAM_T).alias("contaminated")))
+
+
+SQL_CUR_DECONTAMINATE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+ne AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+eval_sh AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM ne
+  WHERE doc_id % {EVAL_MOD} = 0),
+train AS (SELECT * FROM ne WHERE doc_id % {EVAL_MOD} <> 0),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM train),
+hits AS (
+  SELECT doc_id, count(*) AS n_hit FROM ex
+  WHERE shingle IN (SELECT shingle FROM eval_sh)
+  GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.shingles) AS BIGINT) AS n_shingles,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(t.shingles), 4)
+         AS contaminated_frac,
+       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(t.shingles)
+         >= {CONTAM_T} AS contaminated
+FROM train t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# -- deterministic stratified sampling ---------------------------------------------
+
+def q_cur_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equalize the (source, lang) mixture: every stratum is downsampled
+    to the size of the SMALLEST stratum by a deterministic hash test.
+    keep ⇔ u(doc_id) * stratum_n < SAMPLE_MOD * target_n (exact integer
+    cross-multiplication, no float rates).  The strata-count table and the
+    1-row target are broadcast; the corpus itself never shuffles."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("stratum_n"))
+    target = counts.agg(F.min("stratum_n").alias("target_n"))
+    return (d.join(F.broadcast(counts), ["source", "lang"])
+            .crossJoin(F.broadcast(target))
+            .withColumn("u", _hash_u(F.col("doc_id")))
+            .filter(F.col("u") * F.col("stratum_n")
+                    < F.lit(SAMPLE_MOD) * F.col("target_n"))
+            .select("doc_id", "source", "lang", "u"))
+
+
+SQL_CUR_STRATIFIED_SAMPLE = f"""
+WITH counts AS (
+  SELECT source, lang, count(*) AS stratum_n FROM documents
+  GROUP BY source, lang),
+target AS (SELECT min(stratum_n) AS target_n FROM counts),
+hashed AS (
+  SELECT d.doc_id, d.source, d.lang, c.stratum_n,
+         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % {SAMPLE_MOD} AS u
+  FROM documents d JOIN counts c USING (source, lang))
+SELECT doc_id, source, lang, u
+FROM hashed, target
+WHERE u * stratum_n < {SAMPLE_MOD} * target_n
+"""
+
+
+# -- sequence packing --------------------------------------------------------------
+
+def q_cur_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing: documents are laid out per source in
+    doc_id order and cut into PACK_BUDGET-token sequences; a document
+    belongs to the sequence its first token lands in.  One window (running
+    sum per source) — the same plan a range-partitioned 10^12-doc packing
+    job runs."""
+    d = _docs(spark, sf_dir)
+    tokens = F.size(F.split("text", " ", -1)).cast("bigint")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    laid = d.select(
+        "doc_id", "source", tokens.alias("tokens"),
+        ((F.sum(tokens).over(w) - tokens) / PACK_BUDGET)
+        .cast("bigint").alias("seq"))
+    return (laid.groupBy("source", "seq").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("seq_tokens")))
+
+
+SQL_CUR_PACK_SEQUENCES = f"""
+WITH laid AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+         CAST(FLOOR((sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                       OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - len(string_split(text, ' '))) / {PACK_BUDGET})
+              AS BIGINT) AS seq
+  FROM documents)
+SELECT source, seq, count(*) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS seq_tokens
+FROM laid GROUP BY source, seq
+"""
+
+
+QUERIES = {
+    "cur_decontaminate": (q_cur_decontaminate, SQL_CUR_DECONTAMINATE),
+    "cur_stratified_sample": (q_cur_stratified_sample,
+                              SQL_CUR_STRATIFIED_SAMPLE),
+    "cur_pack_sequences": (q_cur_pack_sequences, SQL_CUR_PACK_SEQUENCES),
+}

@@ -38,6 +38,9 @@ NOTES = {
     "rel_tumbling_hourly": (
         "crossJoin with a broadcast 1-ROW aggregate (corpus min ts) — "
         "constant-size side"),
+    "cur_stratified_sample": (
+        "crossJoin with a broadcast 1-ROW aggregate (global min stratum "
+        "count) — constant-size side"),
 }
 
 HEADER = '''# PLANS.md — physical-plan audit of the driver query surface
