@@ -94,3 +94,19 @@ def test_page_range_matches_oracle(spark, input_df, corpus, engine, page_range):
         input_df, engine=engine, first_page=first, last_page=last))
     assert got == golden
     assert golden  # the range keeps some content (not a vacuous pass)
+
+
+def test_parse_partitions_size_aware(spark, input_df):
+    """Partition sizing: small inputs stop at one wave (cores), the
+    cores x factor ceiling holds for huge plan sizes, and the arrow
+    engine's ceiling is the lower wave factor."""
+    cores = spark.sparkContext.defaultParallelism
+    rows = pipeline.explode_spans(input_df)
+    p_sql = pipeline._parse_partitions(rows)
+    p_arrow = pipeline._arrow_partitions(rows)
+    assert cores <= p_sql <= max(cores * pipeline._PARSE_WAVE_FACTOR, 48)
+    assert cores <= p_arrow <= max(cores * pipeline._ARROW_WAVE_FACTOR, 16)
+    # the sf0.001 fixture corpus is far below one target slice per core:
+    # both engines should sit at the one-wave floor, not the ceiling
+    assert p_sql == cores
+    assert p_arrow == cores
