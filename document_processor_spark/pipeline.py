@@ -89,14 +89,34 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
     """Catalyst's own size estimate for the optimized plan (bytes).  For a
     cached/materialized input this is accurate; for a cold scan it falls
     back to file-size-derived stats — either way the right ORDER for sizing
-    a partition count.  None when the estimate is unusable (unknown sizes
-    surface as Long.MaxValue-ish sentinels)."""
+    a partition count.  A post-explode plan inflates the top-level estimate
+    multiplicatively (worst-case row fan-out) into Long.MaxValue-ish
+    sentinels; exploding an array redistributes roughly the SAME bytes over
+    more rows, so when the top-level number is unusable the sum of the LEAF
+    sizes (parquet scan = file bytes, cache = materialized bytes, local
+    relation = row estimate) is the honest proxy.  None when nothing in the
+    plan carries a usable size."""
+    def _as_int(size) -> int | None:
+        try:
+            v = int(size if isinstance(size, int) else size.toString())
+        except Exception:
+            return None
+        return v if 0 < v < (1 << 50) else None
+
     try:
-        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        size = int(size if isinstance(size, int) else size.toString())
+        plan = df._jdf.queryExecution().optimizedPlan()
+        top = _as_int(plan.stats().sizeInBytes())
+        if top is not None:
+            return top
+        leaves = plan.collectLeaves()
+        total = 0
+        for i in range(leaves.length()):
+            leaf = _as_int(leaves.apply(i).stats().sizeInBytes())
+            if leaf is not None:
+                total += leaf
+        return total or None
     except Exception:
         return None
-    return size if 0 < size < (1 << 50) else None
 
 
 def _parse_partitions(df: DataFrame, factor: int | None = None) -> int:

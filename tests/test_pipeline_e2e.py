@@ -101,12 +101,21 @@ def test_parse_partitions_size_aware(spark, input_df):
     cores x factor ceiling holds for huge plan sizes, and the arrow
     engine's ceiling is the lower wave factor."""
     cores = spark.sparkContext.defaultParallelism
-    rows = pipeline.explode_spans(input_df)
-    p_sql = pipeline._parse_partitions(rows)
-    p_arrow = pipeline._arrow_partitions(rows)
-    assert cores <= p_sql <= max(cores * pipeline._PARSE_WAVE_FACTOR, 48)
-    assert cores <= p_arrow <= max(cores * pipeline._ARROW_WAVE_FACTOR, 16)
-    # the sf0.001 fixture corpus is far below one target slice per core:
-    # both engines should sit at the one-wave floor, not the ceiling
-    assert p_sql == cores
-    assert p_arrow == cores
+    # size-awareness needs a plan that carries stats (cache, parquet scan);
+    # a raw createDataFrame LogicalRDD has unknown size and falls back to
+    # the ceiling — materialize, as bench.py and the jobs do
+    cached = input_df.persist()
+    cached.count()
+    try:
+        rows = pipeline.explode_spans(cached)
+        p_sql = pipeline._parse_partitions(rows)
+        p_arrow = pipeline._arrow_partitions(rows)
+        assert cores <= p_sql <= max(cores * pipeline._PARSE_WAVE_FACTOR, 48)
+        assert cores <= p_arrow <= max(cores * pipeline._ARROW_WAVE_FACTOR, 16)
+        # the sf0.001 fixture corpus is far below one target slice per
+        # core: both engines should sit at the one-wave floor, not the
+        # ceiling
+        assert p_sql == cores
+        assert p_arrow == cores
+    finally:
+        cached.unpersist()
