@@ -277,6 +277,11 @@ local[32] (spans/s: {r2['spans_per_sec']:.0f} / {r8['spans_per_sec']:.0f}
   executor scale-up — which the 2 -> 8 pair (both levels far below bus
   saturation) models, and where the dataflow demonstrates {e28:.2f}
   efficiency with zero serial stages.
+* At local[32] both engines converge to essentially the SAME wall
+  ({_est(r32, 'extract_catalyst'):.1f} s catalyst vs
+  {_est(r32, 'extract_arrow'):.1f} s arrow) despite the arrow engine
+  being ~2x faster at local[8] — the signature of a shared external
+  limiter (the one memory bus), not of either dataflow.
 * Arrow engine (round 3): the mapInArrow kernel is pyarrow-native —
   string work runs in RE2/Arrow C++ kernels on the received buffers with
   NO Python-object materialization, the parsed schema is narrow (one
@@ -304,7 +309,16 @@ Raw bench lines:
 ```
 """
     out_path = REPO / "BENCH" / "BASELINE.md"
-    out_path.write_text(md)
+    # a thread-level rerun regenerates the headline/methodology sections but
+    # must NOT discard previously-measured multi-JVM sections (they are
+    # produced by separate --cluster runs)
+    keep = ""
+    if out_path.exists():
+        old = out_path.read_text()
+        idx = old.find("\n## Multi-JVM")
+        if idx != -1:
+            keep = old[idx:]
+    out_path.write_text(md.rstrip() + "\n" + keep)
     print(md)
     print(f"written: {out_path}")
     return 0
