@@ -48,8 +48,17 @@ def _pin(df: DataFrame) -> DataFrame:
     blocks are released by the ContextCleaner as soon as the DataFrame is
     garbage-collected, so repeated driver queries in a long-lived session
     don't accumulate pinned caches (persist() entries sit in the
-    CacheManager until manually unpersisted — the r1 cache leak).  At
-    10^12-row scale the equivalent pin is a checkpoint table."""
+    CacheManager until manually unpersisted — the r1 cache leak).
+
+    localCheckpoint blocks are NOT fault-tolerant: an executor loss
+    recomputes from nothing.  A cluster run sets
+    ``spark.document_processor.pin=checkpoint`` (plus
+    ``sc.setCheckpointDir`` to a durable store) to pin via a RELIABLE
+    checkpoint instead — the write costs one extra pass but survives
+    executor loss, which at 10^12-row scale is a certainty, not a risk."""
+    sess = df.sparkSession
+    if sess.conf.get("spark.document_processor.pin", "local") == "checkpoint":
+        return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)
 
 

@@ -50,3 +50,21 @@ def test_components_converges_on_long_chain(spark, monkeypatch, tmp_path):
     got = {r["doc_id"]: (r["cluster_id"], r["n_members"])
            for r in out.collect()}
     assert got == {x: ("n00", n) for x in nodes}
+
+
+def test_pin_reliable_checkpoint_mode(spark, tmp_path):
+    """spark.document_processor.pin=checkpoint pins via a RELIABLE
+    checkpoint (fault-tolerant at cluster scale) and produces the same
+    rows as the default localCheckpoint pin."""
+    df = spark.range(100).withColumnRenamed("id", "v")
+    base = sorted(r["v"] for r in dedup._pin(df).collect())
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    spark.conf.set("spark.document_processor.pin", "checkpoint")
+    try:
+        out = dedup._pin(df)
+        assert sorted(r["v"] for r in out.collect()) == base
+        # the pin must actually have written a reliable checkpoint
+        ckpt = tmp_path / "ckpt"
+        assert any(p.is_file() for p in ckpt.rglob("*"))
+    finally:
+        spark.conf.unset("spark.document_processor.pin")
