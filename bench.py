@@ -175,7 +175,7 @@ def main() -> int:
 
     # -- training-data operators over the dir's tables ----------------------
     # SPARK_GRAFT_FULL=1: time EVERY driver query (min-of-2) so a
-    # regression in any of the 40 operators surfaces in the bench line,
+    # regression in any of the operator queries surfaces in the bench line,
     # not only in the 7 headliners.
     if os.environ.get("SPARK_GRAFT_FULL"):
         import __spark_entry__ as entry

@@ -78,7 +78,8 @@ def run_extraction_job(spark: SparkSession, docs: DataFrame, warehouse: str,
                        max_commits: int | None = None,
                        collect_metrics: bool = True,
                        first_page: int = 1,
-                       last_page: int | None = None) -> JobSummary:
+                       last_page: int | None = None,
+                       ocr_pipeline: str = "hybrid") -> JobSummary:
     """Extract `docs` into the warehouse spans table, resumably.
 
     partitions_per_commit: batch size of the checkpoint granularity
@@ -86,7 +87,9 @@ def run_extraction_job(spark: SparkSession, docs: DataFrame, warehouse: str,
     max_commits: stop after N commits (used by resume tests to simulate a
     mid-job kill between snapshots).
     first_page/last_page: 1-based inclusive page range (the reference's
-    request parameters, app/api.py:69-70) applied before the span explode."""
+    request parameters, app/api.py:69-70) applied before the span explode.
+    ocr_pipeline: converter-chain choice fast/full/hybrid (the reference's
+    OcrPipeline request param, api.py:69 — see pipeline.assemble)."""
     table = IceLite(warehouse, SPANS_TABLE)
     # resume safety: committed partition ids are only meaningful under the
     # SAME bucketing — resuming with a different n_parts would skip wrong
@@ -113,7 +116,8 @@ def run_extraction_job(spark: SparkSession, docs: DataFrame, warehouse: str,
         input_batch = docs.filter(F.col(PART_COL).isin(batch))
         parsed = pipeline.ENGINES[engine](
             pipeline.explode_spans(input_batch, first_page, last_page))
-        detailed = with_part(pipeline.assemble(parsed), n_parts)
+        detailed = with_part(
+            pipeline.assemble(parsed, ocr_pipeline=ocr_pipeline), n_parts)
         # doc-level lineage (fallback_pages, pages_in) is stored in the table;
         # docs whose extraction yields zero spans stay as quarantine rows
         # (empty spans array — the reference's counted-and-skipped semantics,

@@ -92,6 +92,27 @@ def q_extract_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, "arrow")
 
 
+def q_extract_ocr_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8-S10 ocr_pipeline=fast: single fast converter (the reference's
+    OcrPipeline.FAST, content_extractor.py:125-134) — scan regions yield
+    nothing, every page accepted unconditionally, no fallback chain."""
+    out = pipeline.extract_documents(derived_corpus(spark, sf_dir),
+                                     engine="sql", ocr_pipeline="fast")
+    return (out.select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"))
+
+
+def q_extract_ocr_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8-S10 ocr_pipeline=full: single full converter — every page
+    full-parsed incl. scan decode; on the derived corpus the docs whose
+    page 1 carries BOTH a tail text span and a scan span diverge from
+    hybrid (hybrid drops the scan there)."""
+    out = pipeline.extract_documents(derived_corpus(spark, sf_dir),
+                                     engine="arrow", ocr_pipeline="full")
+    return (out.select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"))
+
+
 def q_extract_page_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S6 page-range predicate: extract ONLY page 2 (first_page=2,
     last_page=2, 1-based like the reference's request params) of the
@@ -119,11 +140,19 @@ _FLAT_TABLE = (
     "array_to_string(list_transform(string_split(row, E'\\t'), cell -> "
     + _CLEAN.format(x="cell") + "), E'\\t')), E'\\n')")
 
-def _sql_pipe_extract(span_where: str = "") -> str:
+def _sql_pipe_extract(span_where: str = "", mode: str = "hybrid") -> str:
     """The oracle SQL, optionally with a page predicate on the raw spans —
     the SQL restatement of the pre-explode array filter (explode_spans
-    first_page/last_page)."""
-    return _SQL_PIPE_EXTRACT_TEMPLATE.format(span_where=span_where)
+    first_page/last_page) — and an ocr_pipeline mode: the converter-chain
+    choice (hybrid/fast/full) is one predicate on the chosen spans (see
+    pipeline.assemble)."""
+    chosen_cond = {
+        "hybrid": "(NOT p.has_text OR e.kind <> 'pdf_scan')",
+        "fast": "e.kind <> 'pdf_scan'",
+        "full": "TRUE",
+    }[mode]
+    return _SQL_PIPE_EXTRACT_TEMPLATE.format(span_where=span_where,
+                                             chosen_cond=chosen_cond)
 
 
 _SQL_PIPE_EXTRACT_TEMPLATE = f"""
@@ -190,7 +219,7 @@ page_pick AS (
 chosen AS (
   SELECT e.doc_id, e.page, e.block, e.full_kind, e.full_text, e.out_mref
   FROM ext e JOIN page_pick p USING (doc_id, page)
-  WHERE e.full_kind IS NOT NULL AND (NOT p.has_text OR e.kind <> 'pdf_scan')
+  WHERE e.full_kind IS NOT NULL AND {{chosen_cond}}
 )
 SELECT doc_id, full_kind AS kind, full_text AS text, out_mref AS media_ref,
        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY page, block) - 1
@@ -204,9 +233,14 @@ SQL_PIPE_EXTRACT = _sql_pipe_extract()
 SQL_PIPE_EXTRACT_PAGE_RANGE = _sql_pipe_extract(
     "WHERE page BETWEEN 1 AND 1")
 
+SQL_PIPE_EXTRACT_OCR_FAST = _sql_pipe_extract(mode="fast")
+SQL_PIPE_EXTRACT_OCR_FULL = _sql_pipe_extract(mode="full")
+
 QUERIES = {
     "pipe_extract_catalyst": (q_extract_sql, SQL_PIPE_EXTRACT),
     "pipe_extract_arrow": (q_extract_arrow, SQL_PIPE_EXTRACT),
     "pipe_extract_page_range": (q_extract_page_range,
                                 SQL_PIPE_EXTRACT_PAGE_RANGE),
+    "pipe_extract_ocr_fast": (q_extract_ocr_fast, SQL_PIPE_EXTRACT_OCR_FAST),
+    "pipe_extract_ocr_full": (q_extract_ocr_full, SQL_PIPE_EXTRACT_OCR_FULL),
 }

@@ -101,14 +101,25 @@ def span_tiebreak(kind: str, text: str | None, media_ref: str | None) -> int:
 
 def extract_document(doc_id: str, spans: list[dict],
                      first_page: int = 1,
-                     last_page: int | None = None) -> DocResult:
+                     last_page: int | None = None,
+                     ocr_pipeline: str = "hybrid") -> DocResult:
     """Run the full per-document contract: reading-order reconstruction (T1),
     per-page fast→full OCR fallback (T4), classification (T2), cleaning (T3),
     renumbering, and skip semantics (T5).  Spans sharing one (page, block)
     slot order by the content tie-break key (see span_tiebreak).
     first_page/last_page (1-based, inclusive) bound the per-page loop —
     the reference's request parameters (app/api.py:69-70,
-    content_extractor.py:64-70)."""
+    content_extractor.py:64-70).
+
+    ocr_pipeline selects the converter chain (models.OcrPipeline,
+    api.py:69, content_extractor.py:125-134): "hybrid" = [fast, full]
+    with the per-page fallback; "fast" = [fast] only — the fast page is
+    the LAST converter, accepted unconditionally, scan regions yield
+    nothing; "full" = [full] only — every page full-parsed.  The
+    single-converter modes have no fallback chain, so fallback_pages
+    stays 0."""
+    if ocr_pipeline not in ("hybrid", "fast", "full"):
+        raise ValueError(f"unknown ocr_pipeline: {ocr_pipeline!r}")
     if not spans:
         return DocResult(doc_id, [], skipped=True)
 
@@ -125,19 +136,30 @@ def extract_document(doc_id: str, spans: list[dict],
     fallback_pages = 0
     for page in sorted(pages):
         blocks = pages[page]
-        fast = [(b, _extract_span(s["kind"], s.get("text"), s.get("media_ref"), full=False))
-                for b, s in blocks]
-        has_text = any(r is not None and r[0] in C.TEXT_KINDS for _, r in fast)
-        if has_text:
-            pairs = [(b, r) for b, r in fast if r is not None]
-        else:
-            # last-converter rule: accept the full pass unconditionally
-            fallback_pages += 1
+        if ocr_pipeline == "full":
+            # single full converter: every page full-parsed, accepted
+            # unconditionally (it is the last converter)
             pairs = [
                 (b, r) for b, s in blocks
                 if (r := _extract_span(s["kind"], s.get("text"), s.get("media_ref"), full=True))
                 is not None
             ]
+        else:
+            fast = [(b, _extract_span(s["kind"], s.get("text"), s.get("media_ref"), full=False))
+                    for b, s in blocks]
+            has_text = any(r is not None and r[0] in C.TEXT_KINDS for _, r in fast)
+            if has_text or ocr_pipeline == "fast":
+                # fast accepted: it has text, or it is the last (only)
+                # converter of the fast-only chain
+                pairs = [(b, r) for b, r in fast if r is not None]
+            else:
+                # last-converter rule: accept the full pass unconditionally
+                fallback_pages += 1
+                pairs = [
+                    (b, r) for b, s in blocks
+                    if (r := _extract_span(s["kind"], s.get("text"), s.get("media_ref"), full=True))
+                    is not None
+                ]
         pairs.sort(key=lambda t: (t[0], span_tiebreak(*t[1])))
         out.extend(r for _, r in pairs)
         slots.extend((page, b) for b, _ in pairs)
@@ -149,14 +171,16 @@ def extract_document(doc_id: str, spans: list[dict],
 
 
 def extract_corpus(docs: list[dict], first_page: int = 1,
-                   last_page: int | None = None
+                   last_page: int | None = None,
+                   ocr_pipeline: str = "hybrid"
                    ) -> tuple[dict[str, list[Span]], CorpusMetrics]:
     """Oracle over a whole corpus (list of {doc_id, spans}) + metrics
     (docs/spans processed, OCR fallback rate — BASELINE.json:6)."""
     metrics = CorpusMetrics(docs_in=len(docs))
     golden: dict[str, list[Span]] = {}
     for d in docs:
-        r = extract_document(d["doc_id"], d["spans"], first_page, last_page)
+        r = extract_document(d["doc_id"], d["spans"], first_page, last_page,
+                             ocr_pipeline)
         metrics.pages_in += r.pages_in
         metrics.fallback_pages += r.fallback_pages
         if r.fallback_pages:

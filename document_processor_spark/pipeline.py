@@ -705,7 +705,8 @@ def _tiebreak_col() -> Column:
     return F.crc32(F.encode(key, "UTF-8"))
 
 
-def assemble(parsed: DataFrame, with_layout: bool = False) -> DataFrame:
+def assemble(parsed: DataFrame, with_layout: bool = False,
+             ocr_pipeline: str = "hybrid") -> DataFrame:
     """Page-level fallback choice (T4) then doc-level reading order (T1).
     Two-level aggregation = explicit skew salting by page.
     with_layout=True additionally emits the S21/S22 lineage-metadata
@@ -714,7 +715,16 @@ def assemble(parsed: DataFrame, with_layout: bool = False) -> DataFrame:
     One collect_list per page: each span is collected once with its
     `scan_only` flag and the page picks `filter(arr, !scan_only)` (fast
     pass accepted) or the whole array (full fallback) — the narrow parsed
-    schema means the aggregation buffers hold each string exactly once."""
+    schema means the aggregation buffers hold each string exactly once.
+
+    ocr_pipeline mirrors the reference's converter-chain choice
+    (models.OcrPipeline, api.py:69, content_extractor.py:125-134):
+    "hybrid" = per-page fast→full fallback; "fast" = fast only (the
+    non-scan_only subset, accepted unconditionally as the last
+    converter); "full" = full only (every span incl. scan decodes).
+    Single-converter modes have no chain, so fallback_pages is 0."""
+    if ocr_pipeline not in ("hybrid", "fast", "full"):
+        raise ValueError(f"unknown ocr_pipeline: {ocr_pipeline!r}")
     span_s = F.when(
         F.col("kind").isNotNull(),
         F.struct(F.col("block"),
@@ -732,13 +742,19 @@ def assemble(parsed: DataFrame, with_layout: bool = False) -> DataFrame:
               ).alias("has_text"),
     ))
 
-    chosen = (F.when(F.col("has_text") == 1,
-                     F.filter(F.col("arr"), lambda x: ~x["scan_only"]))
-               .otherwise(F.col("arr")))
+    fast_subset = F.filter(F.col("arr"), lambda x: ~x["scan_only"])
+    if ocr_pipeline == "fast":
+        chosen, fallback = fast_subset, F.lit(0)
+    elif ocr_pipeline == "full":
+        chosen, fallback = F.col("arr"), F.lit(0)
+    else:
+        chosen = (F.when(F.col("has_text") == 1, fast_subset)
+                   .otherwise(F.col("arr")))
+        fallback = F.lit(1) - F.col("has_text")
     page_level = page_level.select(
         "doc_id", "page",
         F.array_sort(chosen, _cmp_int("block", "tb")).alias("page_spans"),
-        (F.lit(1) - F.col("has_text")).alias("fallback"),
+        fallback.alias("fallback"),
     )
 
     doc_level = (page_level.groupBy("doc_id").agg(
@@ -807,21 +823,26 @@ ENGINES = {"sql": parse_sql, "sql_union": parse_sql_union,
 
 def extract_documents(docs: DataFrame, engine: str = "sql",
                       with_layout: bool = False, first_page: int = 1,
-                      last_page: int | None = None) -> DataFrame:
+                      last_page: int | None = None,
+                      ocr_pipeline: str = "hybrid") -> DataFrame:
     """input (doc_id, spans) -> extracted (doc_id, spans) per the contract.
     Docs with zero surviving spans are excluded (T5).  with_layout=True
     widens each output span with position/page_width/page_height (S21/S22).
     first_page/last_page (1-based, inclusive) bound extraction to a page
     range (see explode_spans); offsets renumber within the restricted
-    output, exactly as the reference numbers only the processed pages."""
+    output, exactly as the reference numbers only the processed pages.
+    ocr_pipeline selects the converter chain (fast/full/hybrid — see
+    assemble)."""
     parsed = ENGINES[engine](explode_spans(docs, first_page, last_page))
-    return (assemble(parsed, with_layout=with_layout)
+    return (assemble(parsed, with_layout=with_layout,
+                     ocr_pipeline=ocr_pipeline)
             .filter(F.size("spans") > 0)
             .select("doc_id", "spans"))
 
 
 def extract_with_metrics(docs: DataFrame, engine: str = "sql",
-                         first_page: int = 1, last_page: int | None = None
+                         first_page: int = 1, last_page: int | None = None,
+                         ocr_pipeline: str = "hybrid"
                          ) -> tuple[DataFrame, Observation, Observation]:
     """Same plan plus zero-extra-pass metrics via Observations
     (docs/spans processed, OCR fallback rate — BASELINE.json:6).
@@ -835,7 +856,7 @@ def extract_with_metrics(docs: DataFrame, engine: str = "sql",
         F.sum(F.size("spans")).alias("spans_in"),
     )
     parsed = ENGINES[engine](explode_spans(docs, first_page, last_page))
-    doc_level = assemble(parsed)
+    doc_level = assemble(parsed, ocr_pipeline=ocr_pipeline)
     out_obs = Observation("extract_output")
     doc_level = doc_level.observe(
         out_obs,

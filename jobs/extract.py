@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--last-page", type=int, default=None,
                     help="last page to extract (1-based, inclusive; "
                          "default: through the end)")
+    ap.add_argument("--ocr-pipeline", choices=("hybrid", "fast", "full"),
+                    default="hybrid",
+                    help="converter chain (the reference's OcrPipeline "
+                         "request param): hybrid = per-page fast->full "
+                         "fallback; fast/full = single converter)")
     args = ap.parse_args(argv)
 
     from document_processor_spark import fixtures
@@ -61,7 +66,7 @@ def main(argv: list[str] | None = None) -> int:
         spark, docs, args.warehouse, args.run_id, n_parts=args.n_parts,
         engine=args.engine, partitions_per_commit=args.partitions_per_commit,
         max_commits=args.max_commits, first_page=args.first_page,
-        last_page=args.last_page)
+        last_page=args.last_page, ocr_pipeline=args.ocr_pipeline)
     print(json.dumps({
         "run_id": summary.run_id,
         "commits": len(summary.commits),

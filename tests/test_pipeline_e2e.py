@@ -119,3 +119,56 @@ def test_parse_partitions_size_aware(spark, input_df):
         assert p_arrow == cores
     finally:
         cached.unpersist()
+
+
+@pytest.mark.parametrize("engine", ["sql", "arrow"])
+@pytest.mark.parametrize("mode", ["fast", "full"])
+def test_ocr_pipeline_modes_match_oracle(spark, input_df, corpus, engine,
+                                         mode):
+    """S8-S10: ocr_pipeline=fast/full select a single-converter chain
+    (reference models.OcrPipeline, content_extractor.py:125-134); the
+    Spark output equals the oracle run in the same mode.  hybrid is the
+    default exercised by every other e2e test."""
+    golden, gm = oracle.extract_corpus(corpus, ocr_pipeline=mode)
+    got = collect_spans(pipeline.extract_documents(
+        input_df, engine=engine, ocr_pipeline=mode))
+    assert got == golden
+    assert gm.fallback_pages == 0  # single converter: no fallback chain
+    if mode == "fast":
+        # fast genuinely differs from hybrid on this corpus (scan pages
+        # lose their text); full == hybrid here because no fixture page
+        # mixes digital text and scan regions — that case is covered by
+        # test_ocr_pipeline_modes_diverge_on_mixed_page
+        hybrid, _ = oracle.extract_corpus(corpus)
+        assert golden != hybrid
+
+
+@pytest.mark.parametrize("engine", ["sql", "arrow"])
+def test_ocr_pipeline_modes_diverge_on_mixed_page(spark, engine):
+    """A partially-scanned page (digital text AND a scan region on ONE
+    page) separates all three chains: hybrid keeps only the fast subset
+    (page has text -> scan dropped), full decodes the scan too, fast
+    equals hybrid here but pays no fallback anywhere."""
+    import base64
+    scan_payload = "scan:" + base64.b64encode(b"scanned words here").decode()
+    docs = [{"doc_id": "mixed", "spans": [
+        {"kind": "pdf_text", "text": "Digital paragraph text.",
+         "media_ref": None, "offset": 0},
+        {"kind": "pdf_scan", "text": scan_payload,
+         "media_ref": None, "offset": 1},
+    ]}]
+    rows = [(d["doc_id"],
+             [(s["kind"], s["text"], s["media_ref"], s["offset"])
+              for s in d["spans"]]) for d in docs]
+    df = spark.createDataFrame(rows, schema=fixtures.INPUT_DDL)
+    results = {}
+    for mode in ("hybrid", "fast", "full"):
+        expected, _ = oracle.extract_corpus(docs, ocr_pipeline=mode)
+        got = collect_spans(pipeline.extract_documents(
+            df, engine=engine, ocr_pipeline=mode))
+        assert got == expected, mode
+        results[mode] = got
+    assert results["fast"] == results["hybrid"]      # page has text
+    assert results["full"] != results["hybrid"]      # scan decoded too
+    n = {m: len(r["mixed"]) for m, r in results.items()}
+    assert n["full"] == n["hybrid"] + 1
