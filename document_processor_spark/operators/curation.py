@@ -164,9 +164,87 @@ FROM laid GROUP BY source, seq
 """
 
 
+# -- PII redaction ----------------------------------------------------------
+#
+# The standard pre-training privacy pass: detect and mask emails, IPv4
+# addresses and phone numbers with typed placeholder tokens.  Pure
+# Catalyst (regexp_count + chained regexp_replace) — map-only, one scan,
+# no shuffle, whole-stage codegen; at 10^12 docs this is the cheapest
+# class of operator in the pipeline.  Patterns stay in the syntax subset
+# shared by Java regex (Spark) and RE2 (DuckDB): character classes,
+# bounded repetition, \b — no lookaround.
+#
+# The fixture corpus is synthetic prose with no PII, so the operator first
+# ENRICHES each doc with deterministic doc_id-derived PII (both sides
+# derive the identical string), then redacts — proving detection, masking
+# and ordering (emails before IPs before phones, so an already-masked
+# span is never re-matched) on content the oracle can reproduce exactly.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,3}-\d{3}-\d{4}"
+
+
+def q_cur_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), (F.col("doc_id") % 97).cast("string"),
+        F.lit("@mail-"), (F.col("doc_id") % 13).cast("string"),
+        F.lit(".com from 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), (F.col("n_chars") % 256).cast("string"),
+        F.lit(".7 call +1-555-"),
+        F.lpad((F.col("doc_id") % 10_000).cast("string"), 4, "0"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(enriched, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE, "<IP>"),
+        PII_PHONE_RE, "<PHONE>")
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.regexp_count(enriched, F.lit(PII_EMAIL_RE)).cast("int")
+         .alias("n_emails"),
+        F.regexp_count(enriched, F.lit(PII_IP_RE)).cast("int")
+         .alias("n_ips"),
+        F.regexp_count(enriched, F.lit(PII_PHONE_RE)).cast("int")
+         .alias("n_phones"),
+        F.md5(F.encode(redacted, "UTF-8")).alias("redacted_hash"),
+        F.substring(redacted, -60, 60).alias("redacted_tail"))
+
+
+SQL_CUR_PII_REDACT = f"""
+WITH enriched AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         text || ' contact user' || CAST(doc_id % 97 AS VARCHAR)
+              || '@mail-' || CAST(doc_id % 13 AS VARCHAR)
+              || '.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST(n_chars % 256 AS VARCHAR)
+              || '.7 call +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+), red AS (
+  SELECT doc_id, t,
+         regexp_replace(regexp_replace(regexp_replace(t,
+             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_IP_RE}', '<IP>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g') AS r
+  FROM enriched
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PII_IP_RE}')) AS INTEGER) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS INTEGER) AS n_phones,
+       md5(r) AS redacted_hash,
+       CASE WHEN length(r) >= 60 THEN substr(r, length(r) - 59, 60)
+            ELSE r END AS redacted_tail
+FROM red
+"""
+
+
 QUERIES = {
     "cur_decontaminate": (q_cur_decontaminate, SQL_CUR_DECONTAMINATE),
     "cur_stratified_sample": (q_cur_stratified_sample,
                               SQL_CUR_STRATIFIED_SAMPLE),
     "cur_pack_sequences": (q_cur_pack_sequences, SQL_CUR_PACK_SEQUENCES),
+    "cur_pii_redact": (q_cur_pii_redact, SQL_CUR_PII_REDACT),
 }
