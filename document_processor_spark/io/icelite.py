@@ -137,18 +137,37 @@ class IceLite:
                 return None
         raise KeyError(f"snapshot {snapshot_id} not found in {self.dir}")
 
-    def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
-        """Snapshot-isolated read: only data directories referenced by
-        committed manifests (≤ as_of) are scanned."""
+    def _view(self, as_of: int | None = None) -> list[dict]:
+        """The snapshots whose data files constitute the table view at
+        `as_of` (default: current).  A compaction snapshot carries
+        `replaces_through`: it REPLACES every snapshot ≤ that id, so the
+        view is the latest such snapshot ≤ as_of plus all later appends —
+        exactly Iceberg's rewrite-then-append lineage."""
         snaps = self.snapshots()
         if as_of is not None:
             snaps = [s for s in snaps if s["snapshot_id"] <= as_of]
         if not snaps:
             raise FileNotFoundError(f"no committed snapshots in {self.dir}")
+        base = 0
+        for s in snaps:
+            if s.get("replaces_through"):
+                base = s["snapshot_id"]
+        view = [s for s in snaps if s["snapshot_id"] >= base]
+        expired = [s["snapshot_id"] for s in view if s.get("expired")]
+        if expired:
+            raise FileNotFoundError(
+                f"snapshots {expired} were expired; the as_of={as_of} view "
+                f"is no longer reconstructable (expire_snapshots removed "
+                f"their data files)")
+        return view
+
+    def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
+        """Snapshot-isolated read: only data directories referenced by
+        committed manifests in the `as_of` view are scanned."""
         # each snapshot dir is its own partitioned dataset (part=k subdirs);
         # empty commits (no surviving docs) have no data files and are skipped
         dfs = []
-        for s in snaps:
+        for s in self._view(as_of):
             d = self.data / s["data_dir"]
             if d.exists() and any(d.glob(f"{PART_COL}=*")):
                 dfs.append(spark.read.option("basePath", str(d)).parquet(str(d)))
@@ -168,6 +187,92 @@ class IceLite:
         if "skip_reason" in df.columns:
             df = df.filter(F.col("skip_reason").isNull())
         return df
+
+    # -- table maintenance ----------------------------------------------------
+    #
+    # The IceLite analogs of Iceberg's maintenance procedures, which a
+    # long-running 10^12-row pipeline cannot live without: every
+    # checkpoint commit adds a snapshot whose data dir holds
+    # one-file-per-partition — after thousands of incremental commits the
+    # read path unions thousands of small datasets (the classic
+    # small-files problem) and the metadata grows without bound.
+
+    def compact(self, spark: SparkSession, run_id: str) -> dict:
+        """Rewrite the CURRENT view's data files into one snapshot
+        (Iceberg `rewrite_data_files` + replace-commit): the new snapshot
+        is logically identical to the current view and supersedes every
+        prior snapshot (`replaces_through`).  Readers of older as_of
+        views are unaffected until expire_snapshots() reclaims them.
+        Per-partition lineage/metrics carry over (latest value wins), so
+        checkpoint resume still skips every committed partition after the
+        replaced manifests are expired."""
+        view = self._view()
+        merged: dict[str, dict] = {}
+        for s in self.snapshots():  # full history: resume-safety superset
+            for p, m in s["partitions"].items():
+                merged[p] = m or merged.get(p, {})
+        prev = self.current_snapshot_id()
+        df = self.read(spark)
+        sid = prev + 1
+        rel = f"snap-{sid:06d}"
+        # one file per partition dir: partitionBy splits by part value,
+        # the repartition bounds files-per-dir to one
+        (df.repartition(PART_COL)
+           .write.mode("errorifexists").partitionBy(PART_COL)
+           .parquet(str(self.data / rel)))
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": prev if prev else None,
+            "run_id": run_id,
+            "committed_at": time.time(),
+            "data_dir": rel,
+            "replaces_through": prev,
+            "compacted_snapshots": [s["snapshot_id"] for s in view],
+            "partitions": dict(sorted(merged.items(), key=lambda kv: int(kv[0]))),
+        }
+        tmp = self.meta / f".v{sid}.json.{uuid.uuid4().hex}.tmp"
+        tmp.write_text(json.dumps(manifest, indent=2))
+        os.replace(tmp, self.meta / f"v{sid}.json")
+        tmp_cur = self.meta / f".CURRENT.{uuid.uuid4().hex}.tmp"
+        tmp_cur.write_text(str(sid))
+        os.replace(tmp_cur, self.meta / "CURRENT")
+        return manifest
+
+    def expire_snapshots(self) -> list[int]:
+        """Iceberg `expire_snapshots`: delete the data files of snapshots
+        no longer referenced by the CURRENT view (i.e. superseded by a
+        compaction).  Manifests are kept, marked `expired`, so lineage
+        history survives; time travel into expired views raises.  Returns
+        the expired snapshot ids."""
+        import shutil
+        live = {s["snapshot_id"] for s in self._view()}
+        expired = []
+        for s in self.snapshots():
+            if s["snapshot_id"] in live or s.get("expired"):
+                continue
+            d = self.data / s["data_dir"]
+            if d.exists():
+                shutil.rmtree(d)
+            s["expired"] = True
+            tmp = self.meta / f".v{s['snapshot_id']}.json.{uuid.uuid4().hex}.tmp"
+            tmp.write_text(json.dumps(s, indent=2))
+            os.replace(tmp, self.meta / f"v{s['snapshot_id']}.json")
+            expired.append(s["snapshot_id"])
+        return expired
+
+    def remove_orphans(self) -> list[str]:
+        """Iceberg `remove_orphan_files`: delete data directories no
+        manifest references — the leftovers of a crash between data write
+        and manifest commit (invisible to readers by the commit protocol,
+        but they hold disk).  Returns the removed directory names."""
+        import shutil
+        referenced = {s["data_dir"] for s in self.snapshots()}
+        removed = []
+        for d in sorted(self.data.glob("snap-*")):
+            if d.name not in referenced:
+                shutil.rmtree(d)
+                removed.append(d.name)
+        return removed
 
     def lineage(self) -> list[dict]:
         """Flat per-(snapshot, partition) lineage/metrics rows
