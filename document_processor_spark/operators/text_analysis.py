@@ -236,10 +236,90 @@ FROM fps
 """
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family):
+    duplicate-unigram and duplicate-bigram fractions plus the most
+    frequent word and its frequency share.  The dup fractions are pure
+    narrow array math (split -> array_distinct -> size), map-only, no
+    shuffle; the per-doc mode (top word) uses explode + two-level
+    aggregation — the same partial-agg-then-shuffle shape as a word
+    count, so at 10^12 docs the shuffle carries only (doc_id, word,
+    count) partial rows, never raw text.  Ties on the top count break to
+    the lexicographically LARGEST word via max(struct(cnt, word)) —
+    deterministic and identically defined in the SQL oracle."""
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ", -1)
+    bigrams = F.expr(
+        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
+        "(w, i) -> concat(w, ' ', element_at(split(text, ' '), i + 2)))")
+    base = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"))
+    top = (d.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    F.explode(words).alias("w"))
+           .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("doc_id")
+           .agg(F.max(F.struct(F.col("c"), F.col("w"))).alias("m"))
+           .select("doc_id", F.col("m.w").alias("top_word"),
+                   F.col("m.c").alias("top_word_count")))
+    def frac(num, den):  # ANSI-safe: when() guards the division
+        return F.when(den > 0, F.round(1 - num / den, 4))
+    return (base.join(top, "doc_id")
+            .select(
+                "doc_id", "n_words",
+                frac(F.col("n_distinct_words"), F.col("n_words"))
+                 .alias("dup_word_frac"),
+                frac(F.col("n_distinct_bigrams"), F.col("n_bigrams"))
+                 .alias("dup_bigram_frac"),
+                "top_word",
+                F.when(F.col("n_words") > 0,
+                       F.round(F.col("top_word_count") / F.col("n_words"), 4))
+                 .alias("top_word_frac")))
+
+
+SQL_REPETITION = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS ws
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         len(list_distinct(ws)) AS n_distinct_words,
+         len(ws) - 1 AS n_bigrams,
+         len(list_distinct(list_transform(list_slice(ws, 1, len(ws) - 1),
+             (x, i) -> x || ' ' || ws[i + 1]))) AS n_distinct_bigrams
+  FROM w
+), counts AS (
+  SELECT doc_id, u.w AS w, count(*) AS c
+  FROM w, unnest(ws) AS u(w)
+  GROUP BY doc_id, u.w
+), top AS (
+  SELECT doc_id, w AS top_word, c AS top_word_count,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, w DESC) AS rn
+  FROM counts
+)
+SELECT b.doc_id,
+       CAST(b.n_words AS INTEGER) AS n_words,
+       CASE WHEN b.n_words > 0 THEN
+         round(1 - CAST(b.n_distinct_words AS DOUBLE) / b.n_words, 4) END AS dup_word_frac,
+       CASE WHEN b.n_bigrams > 0 THEN
+         round(1 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 4) END AS dup_bigram_frac,
+       t.top_word,
+       CASE WHEN b.n_words > 0 THEN
+         round(CAST(t.top_word_count AS DOUBLE) / b.n_words, 4) END AS top_word_frac
+FROM base b JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1
+"""
+
+
 QUERIES = {
     "ta_langid": (q_langid, _sql_langid()),
     "ta_quality": (q_quality, _sql_quality()),
     "ta_token_count": (q_token_count, SQL_TOKEN_COUNT),
     "ta_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ta_winnow": (q_winnow, SQL_WINNOW),
+    "ta_repetition": (q_repetition, SQL_REPETITION),
 }
