@@ -241,10 +241,108 @@ FROM red
 """
 
 
+# -- composite quality gate (Gopher-rules style) -----------------------------------
+
+GATE_MIN_WORDS = 25        # repetition/length rules in the Gopher family,
+GATE_WLEN_LO = 3.0         # thresholds tuned to the corpus so the fixture
+GATE_WLEN_HI = 4.8         # exercises every rule both ways
+GATE_STOP_MIN = 0.02
+GATE_DUP_BIGRAM_MAX = 0.1
+
+
+def q_cur_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pass/fail quality gate — the Gopher-rules-style filter a
+    corpus build applies after extraction: minimum length, mean-word-length
+    band, English stopword floor, duplicate-bigram ceiling.  Entirely
+    map-side narrow array math (split / array_distinct / replace-count) —
+    zero shuffle at any scale; `reasons` concatenates the failed rule ids
+    (concat_ws skips NULLs identically in Spark and DuckDB), so the gate is
+    auditable, never a silent drop."""
+    from .text_analysis import STOPWORDS, _count_occurrences
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ", -1)
+    n_chars = F.length("text").cast("double")
+    n_words = F.size(words).cast("double")
+    awl = (n_chars - (n_words - 1)) / n_words
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    stop = sum((_count_occurrences(padded, w) for w in STOPWORDS["en"][1:]),
+               _count_occurrences(padded, STOPWORDS["en"][0])).cast("double")
+    stop_ratio = stop / n_words
+    bigrams = F.expr(
+        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
+        "(w, i) -> concat(w, ' ', element_at(split(text, ' '), i + 2)))")
+    dup_bg = F.when(
+        F.size(bigrams) > 0,
+        1 - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams)
+    ).otherwise(F.lit(0.0))
+    fails = [
+        F.when(n_words < GATE_MIN_WORDS, F.lit("min_words")),
+        F.when((awl < GATE_WLEN_LO) | (awl > GATE_WLEN_HI),
+               F.lit("word_len")),
+        F.when(stop_ratio < GATE_STOP_MIN, F.lit("stopwords")),
+        F.when(dup_bg > GATE_DUP_BIGRAM_MAX, F.lit("repetition")),
+    ]
+    reasons = F.concat_ws(",", *fails)
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(awl, 4).alias("avg_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(dup_bg, 4).alias("dup_bigram_frac"),
+        (reasons == "").alias("passed"),
+        reasons.alias("reasons"))
+
+
+def _sql_quality_gate() -> str:
+    from .text_analysis import STOPWORDS, _sql_count
+    padded = "(' ' || lower(text) || ' ')"
+    stop = " + ".join(_sql_count(padded, w) for w in STOPWORDS["en"])
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         string_split(text, ' ') AS ws,
+         CAST({stop} AS DOUBLE) AS stop
+  FROM documents
+), m AS (
+  SELECT doc_id, n_words,
+         (n_chars - (n_words - 1)) / n_words AS awl,
+         stop / n_words AS stop_ratio,
+         CASE WHEN len(ws) - 1 > 0 THEN
+           1 - CAST(len(list_distinct(list_transform(
+                 list_slice(ws, 1, len(ws) - 1),
+                 (x, i) -> x || ' ' || ws[i + 1]))) AS DOUBLE)
+               / (len(ws) - 1)
+         ELSE 0.0 END AS dup_bg
+  FROM q
+), r AS (
+  SELECT doc_id, n_words, awl, stop_ratio, dup_bg,
+         concat_ws(',',
+           CASE WHEN n_words < {GATE_MIN_WORDS} THEN 'min_words' END,
+           CASE WHEN awl < {GATE_WLEN_LO} OR awl > {GATE_WLEN_HI}
+                THEN 'word_len' END,
+           CASE WHEN stop_ratio < {GATE_STOP_MIN} THEN 'stopwords' END,
+           CASE WHEN dup_bg > {GATE_DUP_BIGRAM_MAX} THEN 'repetition' END
+         ) AS reasons
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(awl, 4) AS avg_word_len,
+       round(stop_ratio, 4) AS stopword_ratio,
+       round(dup_bg, 4) AS dup_bigram_frac,
+       reasons = '' AS passed,
+       reasons
+FROM r
+"""
+
+
 QUERIES = {
     "cur_decontaminate": (q_cur_decontaminate, SQL_CUR_DECONTAMINATE),
     "cur_stratified_sample": (q_cur_stratified_sample,
                               SQL_CUR_STRATIFIED_SAMPLE),
     "cur_pack_sequences": (q_cur_pack_sequences, SQL_CUR_PACK_SEQUENCES),
     "cur_pii_redact": (q_cur_pii_redact, SQL_CUR_PII_REDACT),
+    "cur_quality_gate": (q_cur_quality_gate, _sql_quality_gate()),
 }

@@ -315,6 +315,71 @@ FROM base b JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1
 """
 
 
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k terms per document by tf-idf — the keyword-extraction /
+    feature-selection primitive of a corpus build.  Dataflow at 10^12
+    docs: one explode + groupBy(doc_id, word) carries only (doc_id, word,
+    tf) partial-aggregated rows; document frequency is a vocab-sized
+    aggregate (tiny vs the corpus — broadcast-joined back, no corpus
+    re-shuffle); the final top-k is a per-doc window over the already
+    doc-partitioned tf rows.  idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    sklearn convention); ties break score DESC, word ASC —
+    deterministic and identical in the SQL oracle."""
+    d = _docs(spark, sf_dir)
+    n_docs = F.broadcast(
+        d.filter(F.length("text") > 0)
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs")))
+    tf = (d.filter(F.length("text") > 0)
+          .select(F.col("doc_id").cast("string").alias("doc_id"),
+                  F.explode(F.split("text", " ", -1)).alias("word"))
+          .filter(F.col("word") != "")
+          .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf")))
+    df_ = (tf.groupBy("word")
+           .agg(F.count(F.lit(1)).cast("double").alias("df")))
+    from pyspark.sql import Window as W
+    scored = (tf.join(F.broadcast(df_), "word").crossJoin(n_docs)
+              .select("doc_id", "word", "tf",
+                      (F.col("tf") * (F.log((F.col("n_docs") + 1)
+                                            / (F.col("df") + 1)) + 1))
+                      .alias("score")))
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TFIDF_TOP_K)
+            .select("doc_id", F.col("rank").cast("bigint").alias("rank"),
+                    "word", F.col("tf").alias("tf"),
+                    F.round("score", 6).alias("tfidf")))
+
+
+SQL_TFIDF_TOPK = f"""
+WITH tf AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, u.word AS word,
+         count(*) AS tf
+  FROM documents, unnest(string_split(text, ' ')) AS u(word)
+  WHERE length(text) > 0 AND u.word <> ''
+  GROUP BY doc_id, u.word
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+  WHERE length(text) > 0
+), df AS (
+  SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY word
+), scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         tf.tf * (ln((n.n_docs + 1) / (df.df + 1)) + 1) AS score
+  FROM tf JOIN df USING (word) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, word, tf, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, word) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, word, tf, round(score, 6) AS tfidf
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 QUERIES = {
     "ta_langid": (q_langid, _sql_langid()),
     "ta_quality": (q_quality, _sql_quality()),
@@ -322,4 +387,5 @@ QUERIES = {
     "ta_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ta_winnow": (q_winnow, SQL_WINNOW),
     "ta_repetition": (q_repetition, SQL_REPETITION),
+    "ta_tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
 }
