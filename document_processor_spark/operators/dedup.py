@@ -673,8 +673,86 @@ FROM assigned
 """
 
 
+# -- SemDeDup-style semantic dedup: centroid cells + within-cell prune ------
+
+SEM_CENT_MOD = 31   # vec_id % 31 == 0 → deterministic coarse centroid
+SEM_T = 0.4         # within-cell cosine above which the later doc is pruned
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) as a dataflow: embeddings are
+    clustered to coarse centroid cells, and WITHIN each cell any vector
+    with an earlier (lower vec_id) neighbor at cosine >= SEM_T is pruned,
+    keeping one representative per semantic near-dup group.  The pair
+    search never leaves a cell — at 10^12 rows the per-cell pair join is
+    bounded by cell size (k grows with sqrt(N) to keep cells constant),
+    exactly the IVF partitioning ann.py uses; centroids are broadcast
+    (tiny), the only corpus shuffle is the cell-key equi-join.  Centroids
+    here are a deterministic sample (vec_id % SEM_CENT_MOD == 0); at real
+    scale a KMeans sketch supplies them — same dataflow.  Output is one
+    row per vector: its cell, keep/prune decision, and the pruning
+    neighbor (min qualifying lower vec_id) for auditability."""
+    e = _pin(_emb(spark, sf_dir)
+             .select("vec_id", _dbl("embedding").alias("v"))
+             .withColumn("nrm", _norm(F.col("v"))))
+    cents = (e.filter(F.col("vec_id") % SEM_CENT_MOD == 0)
+             .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"),
+                     F.col("nrm").alias("cnrm")))
+    from pyspark.sql import Window as W
+    ccos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    w = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    assigned = (e.crossJoin(F.broadcast(cents))
+                .select("vec_id", "v", "nrm", "cent_id", ccos.alias("ccos"))
+                .withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") == 1)
+                .select("vec_id", "v", "nrm", "cent_id"))
+    a = assigned.select(F.col("vec_id").alias("va"), F.col("v").alias("v_a"),
+                        F.col("nrm").alias("nrm_a"), "cent_id")
+    b = assigned.select(F.col("vec_id").alias("vb"), F.col("v").alias("v_b"),
+                        F.col("nrm").alias("nrm_b"), "cent_id")
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    dup = (a.join(b, "cent_id")
+           .filter(F.col("va") < F.col("vb"))
+           .filter(cos >= SEM_T)
+           .groupBy(F.col("vb").alias("vec_id"))
+           .agg(F.min("va").alias("dup_of")))
+    return (assigned.join(dup, "vec_id", "left")
+            .select("vec_id", "cent_id",
+                    F.col("dup_of").isNull().alias("kept"),
+                    "dup_of"))
+
+
+SQL_DEDUP_SEMANTIC = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  {_SQL_NORM.format(a="(embedding::DOUBLE[])")} AS nrm
+           FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM e
+          WHERE vec_id % {SEM_CENT_MOD} = 0),
+assigned AS (
+  SELECT vec_id, v, nrm, cent_id FROM (
+    SELECT e.vec_id, e.v, e.nrm, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_SQL_DOT.format(a="e.v", b="c.cv")} / (e.nrm * c.cnrm) DESC,
+                      c.cent_id) AS r
+    FROM e CROSS JOIN cents c)
+  WHERE r = 1
+),
+dup AS (
+  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+  FROM assigned a JOIN assigned b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE {_SQL_DOT.format(a="a.v", b="b.v")} / (a.nrm * b.nrm) >= {SEM_T}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cent_id, d.dup_of IS NULL AS kept, d.dup_of
+FROM assigned s LEFT JOIN dup d USING (vec_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_embedding_cosine_lsh": (q_dedup_embedding_cosine_lsh,
                                    _sql_embedding_lsh()),
