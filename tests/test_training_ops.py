@@ -1,0 +1,74 @@
+"""Invariant tests for the round-3 training-data operators (repetition
+signals, tf-idf top-k, composite quality gate, SemDeDup).  Value-level
+correctness is carried by the driver's DuckDB oracle gate
+(tools/check_correctness.py); these pin the structural contracts the
+oracle's hash compare cannot express."""
+
+from __future__ import annotations
+
+import pytest
+
+from document_processor_spark.operators import curation, dedup, text_analysis
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_quality_gate_reasons_consistent(spark):
+    rows = curation.q_cur_quality_gate(spark, SF_DIR).collect()
+    assert rows
+    seen_pass = seen_fail = False
+    for r in rows:
+        reasons = set(r["reasons"].split(",")) if r["reasons"] else set()
+        assert r["passed"] == (not reasons)
+        seen_pass |= r["passed"]
+        seen_fail |= not r["passed"]
+        # every coded reason must match its metric, and vice versa
+        assert ("min_words" in reasons) == (
+            r["n_words"] < curation.GATE_MIN_WORDS)
+        assert ("stopwords" in reasons) == (
+            r["stopword_ratio"] < curation.GATE_STOP_MIN)
+        assert ("repetition" in reasons) == (
+            r["dup_bigram_frac"] > curation.GATE_DUP_BIGRAM_MAX)
+    assert seen_pass and seen_fail, "gate must exercise both outcomes"
+
+
+def test_tfidf_topk_ranks_and_order(spark):
+    rows = text_analysis.q_tfidf_topk(spark, SF_DIR).collect()
+    assert rows
+    by_doc: dict[str, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= text_analysis.TFIDF_TOP_K
+        scores = [r["tfidf"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["tf"] >= 1 for r in rs)
+
+
+def test_repetition_fractions_bounded(spark):
+    rows = text_analysis.q_repetition(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r["n_words"] > 0:
+            assert 0.0 <= r["dup_word_frac"] <= 1.0
+            assert 0.0 <= r["top_word_frac"] <= 1.0
+            # the mode's share can't be below a uniform distribution's
+            assert r["top_word_frac"] >= round(1.0 / r["n_words"], 4) - 1e-9
+        if r["dup_bigram_frac"] is not None:
+            assert 0.0 <= r["dup_bigram_frac"] <= 1.0
+
+
+def test_semantic_dedup_prunes_later_in_same_cell(spark):
+    rows = dedup.q_dedup_semantic(spark, SF_DIR).collect()
+    assert rows
+    cell = {r["vec_id"]: r["cent_id"] for r in rows}
+    kept = [r for r in rows if r["kept"]]
+    pruned = [r for r in rows if not r["kept"]]
+    assert kept, "at least the cell-min member survives"
+    for r in rows:
+        assert r["kept"] == (r["dup_of"] is None)
+    for r in pruned:
+        assert r["dup_of"] < r["vec_id"], "keeper is always the earlier id"
+        assert cell[r["dup_of"]] == r["cent_id"], "prune never crosses cells"
