@@ -41,6 +41,12 @@ NOTES = {
     "cur_stratified_sample": (
         "crossJoin with a broadcast 1-ROW aggregate (global min stratum "
         "count) — constant-size side"),
+    "ta_tfidf_topk": (
+        "crossJoin with a broadcast 1-ROW aggregate (corpus doc count) — "
+        "constant-size side"),
+    "dedup_semantic": (
+        "BNLJ = broadcast of the bounded centroid set for cell assignment "
+        "(same shape as ann_ivf_topk); the prune join is equi on cent_id"),
 }
 
 HEADER = '''# PLANS.md — physical-plan audit of the driver query surface
