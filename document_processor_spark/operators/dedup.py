@@ -750,8 +750,96 @@ FROM assigned s LEFT JOIN dup d USING (vec_id)
 """
 
 
+# -- sub-document chunk dedup (C4 / CCNet style) -----------------------------
+
+CHUNK_WORDS = 4    # words per chunk (the C4 "three-sentence span" analog)
+CHUNK_DUP_T = 2    # chunks occurring >= T times corpus-wide are removed
+
+
+def q_dedup_subdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: remove every fixed-width word chunk whose exact
+    text occurs >= CHUNK_DUP_T times ANYWHERE in the corpus, then
+    reconstruct each document from its surviving chunks in order — the
+    C4 duplicated-span rule (Raffel et al. 2020 §2.2 drop repeated
+    three-sentence spans) / CCNet paragraph-hash dedup, at chunk = 4
+    words since the synthetic corpus has no sentence punctuation.
+
+    Dataflow (scale shape): chunking is map-only (one split per doc,
+    projected ONCE so the transform lambda touches an attribute, not a
+    re-evaluated split); the corpus-wide count is one hash shuffle on the
+    chunk text with map-side partial agg; the count join back is an
+    equi-join on the same key, so the agg side reuses its partitioning
+    and only the exploded side shuffles; reconstruction is one final
+    shuffle on doc_id.  At 10^12 docs the count/join key becomes
+    xxhash64(chunk) (8-byte shuffle rows instead of full text; collisions
+    only ever remove an extra chunk) — kept as full text here so the
+    DuckDB oracle is bit-exact.  Boilerplate chunks are precisely the
+    hot keys, and they are also precisely the rows the filter drops;
+    AQE's skew-join split handles the count-side hot partitions.
+
+    Output: one row per input document — reconstructed clean_text (''
+    when every chunk was removed: the row is kept so the drop is
+    auditable, unlike a silent anti-join), total and surviving chunk
+    counts."""
+    d = (_docs(spark, sf_dir)
+         .filter(F.col("text").isNotNull())
+         .select("doc_id", F.split("text", " ", -1).alias("w")))
+    n_chunks = F.ceil(F.size("w") / CHUNK_WORDS).cast("int")
+    chunk_at = lambda i: F.concat_ws(
+        " ", F.slice(F.col("w"), i * CHUNK_WORDS + 1, CHUNK_WORDS))
+    chunks = (d.select(
+        "doc_id",
+        F.posexplode(F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                                 chunk_at)).alias("chunk_idx", "chunk")))
+    counts = chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("cnt"))
+    keep = F.col("cnt") < CHUNK_DUP_T
+    kept_s = F.when(keep, F.struct("chunk_idx", "chunk"))
+    return (chunks.join(counts, "chunk")
+            .groupBy("doc_id")
+            .agg(F.concat_ws(
+                     " ",
+                     F.transform(
+                         F.array_sort(F.collect_list(kept_s),
+                                      _cmp_idx()),
+                         lambda x: x["chunk"])).alias("clean_text"),
+                 F.count(F.lit(1)).alias("n_chunks"),
+                 F.count(F.when(keep, 1)).alias("n_kept")))
+
+
+def _cmp_idx():
+    def cmp(a, b):
+        return (F.when(a["chunk_idx"] < b["chunk_idx"], F.lit(-1))
+                 .when(a["chunk_idx"] > b["chunk_idx"], F.lit(1))
+                 .otherwise(F.lit(0)))
+    return cmp
+
+
+SQL_DEDUP_SUBDOC = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(ws[(i * {CHUNK_WORDS} + 1):(i * {CHUNK_WORDS} + {CHUNK_WORDS})],
+                         ' ') AS chunk
+  FROM w, unnest(generate_series(
+            0, CAST(ceil(len(ws) / {CHUNK_WORDS}.0) AS INT) - 1)) AS t(i)
+),
+cnt AS (SELECT chunk, count(*) AS cnt FROM c GROUP BY chunk)
+SELECT c.doc_id,
+       coalesce(string_agg(CASE WHEN cnt < {CHUNK_DUP_T} THEN c.chunk END,
+                           ' ' ORDER BY c.chunk_idx), '') AS clean_text,
+       count(*) AS n_chunks,
+       count(CASE WHEN cnt < {CHUNK_DUP_T} THEN 1 END) AS n_kept
+FROM c JOIN cnt USING (chunk)
+GROUP BY c.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_subdoc": (q_dedup_subdoc, SQL_DEDUP_SUBDOC),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_embedding_cosine_lsh": (q_dedup_embedding_cosine_lsh,

@@ -72,3 +72,34 @@ def test_semantic_dedup_prunes_later_in_same_cell(spark):
     for r in pruned:
         assert r["dup_of"] < r["vec_id"], "keeper is always the earlier id"
         assert cell[r["dup_of"]] == r["cent_id"], "prune never crosses cells"
+
+
+def test_subdoc_dedup_removes_dup_chunks_preserves_order(spark):
+    out = {r["doc_id"]: r
+           for r in dedup.q_dedup_subdoc(spark, SF_DIR).collect()}
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").collect())
+    assert len(out) == len(docs)
+
+    # rebuild the corpus-wide chunk counts independently
+    def chunks(text):
+        w = text.split(" ")
+        return [" ".join(w[i:i + dedup.CHUNK_WORDS])
+                for i in range(0, len(w), dedup.CHUNK_WORDS)]
+
+    counts: dict[str, int] = {}
+    for d in docs:
+        for c in chunks(d["text"]):
+            counts[c] = counts.get(c, 0) + 1
+
+    saw_removal = False
+    for d in docs:
+        cs = chunks(d["text"])
+        survivors = [c for c in cs if counts[c] < dedup.CHUNK_DUP_T]
+        r = out[d["doc_id"]]
+        # surviving chunks reassemble in original order
+        assert r["clean_text"] == " ".join(survivors)
+        assert r["n_chunks"] == len(cs)
+        assert r["n_kept"] == len(survivors)
+        saw_removal |= len(survivors) < len(cs)
+    assert saw_removal, "fixture corpus must exercise actual removal"
