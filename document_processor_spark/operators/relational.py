@@ -185,8 +185,56 @@ GROUP BY 1, 2
 """
 
 
+# -- as-of join (event attribution) -------------------------------------------
+
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark has no native node for (DuckDB: ASOF
+    JOIN; kdb: aj): attribute every purchase event to the LATEST click by
+    the same user at or before the purchase time.
+
+    Spark-first composition instead of the naive inequality join (which
+    plans as a per-user pair fan-out and then a max — O(clicks x
+    purchases) per user): both sides are unioned into one keyed stream,
+    shuffled ONCE on user_id, and merge-scanned by a running
+    last(click, ignorenulls) window over (ts, side, event_id) — clicks
+    sort before purchases at equal ts, so an exactly-simultaneous click
+    attaches.  Cost is one shuffle + one in-partition sort, independent
+    of the click/purchase ratio.  Skew: a hot user's partition is
+    bounded by their event count; at adversarial per-user volumes the
+    stream range-partitions on (user_id, ts) with each slice seeded by
+    its predecessor's last click — same operator, one extra boundary
+    pass.  Output carries the attribution lag in microseconds rather
+    than raw timestamps (timezone-free, module discipline)."""
+    ev = _t(spark, sf_dir, "events")
+    sides = (ev.filter(F.col("event_type").isin("click", "purchase"))
+             .select("user_id", "ts", "event_id",
+                     (F.col("event_type") == "purchase").alias("is_left")))
+    w = (W.partitionBy("user_id")
+         .orderBy("ts", "is_left", "event_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    click = F.when(~F.col("is_left"),
+                   F.struct(F.col("event_id").alias("click_id"),
+                            F.col("ts").alias("cts")))
+    return (sides.withColumn("lc", F.last(click, ignorenulls=True).over(w))
+            .filter("is_left")
+            .select(F.col("event_id").alias("purchase_id"), "user_id",
+                    F.col("lc.click_id").alias("click_id"),
+                    F.expr("timestampdiff(MICROSECOND, lc.cts, ts)")
+                     .alias("gap_us")))
+
+
+SQL_ASOF_ATTRIBUTION = """
+WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+       date_diff('microsecond', c.ts, p.ts) AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "rel_asof_attribution": (q_asof_attribution, SQL_ASOF_ATTRIBUTION),
     "rel_segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "rel_top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "rel_sessionize": (q_sessionize, SQL_SESSIONIZE),
