@@ -163,7 +163,14 @@ class IceLite:
 
     def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
         """Snapshot-isolated read: only data directories referenced by
-        committed manifests in the `as_of` view are scanned."""
+        committed manifests in the `as_of` view are scanned.
+
+        Additive schema evolution (Iceberg add-column): a snapshot may
+        carry columns earlier snapshots lack — the union fills them with
+        null on the old side, so historical data files are never
+        rewritten when the pipeline grows its output schema, and an
+        `as_of` read of a pre-evolution view still returns exactly the
+        schema that view committed."""
         # each snapshot dir is its own partitioned dataset (part=k subdirs);
         # empty commits (no surviving docs) have no data files and are skipped
         dfs = []
@@ -175,7 +182,7 @@ class IceLite:
             raise FileNotFoundError(f"no data files in committed snapshots of {self.dir}")
         out = dfs[0]
         for other in dfs[1:]:
-            out = out.unionByName(other)
+            out = out.unionByName(other, allowMissingColumns=True)
         return out
 
     def read_spans(self, spark: SparkSession,

@@ -74,3 +74,26 @@ def test_remove_orphans(spark, table):
     assert table.remove_orphans() == ["snap-000099"]
     assert not orphan.exists()
     assert _rows(table.read(spark)) == before
+
+
+def test_additive_schema_evolution(spark, table):
+    """Iceberg add-column evolution: a new snapshot with an extra column
+    reads alongside the old ones (null-filled), historical files are never
+    rewritten, and a pre-evolution as_of view keeps its original schema."""
+    df = with_part(
+        spark.range(100, 110)
+        .selectExpr("cast(id as string) as doc_id", "id as v",
+                    "concat('en-', id) as lang"), 4)
+    table.append(df, run_id="evolved", partitions=[0, 1, 2, 3])
+
+    cur = table.read(spark)
+    assert "lang" in cur.columns
+    assert cur.count() == 40
+    old_rows = cur.filter("v < 100")
+    assert old_rows.count() == 30
+    assert old_rows.filter("lang IS NOT NULL").count() == 0
+    assert cur.filter("v >= 100 AND lang IS NULL").count() == 0
+
+    before = table.read(spark, as_of=3)
+    assert "lang" not in before.columns
+    assert before.count() == 30
