@@ -232,9 +232,45 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+# -- salted two-phase aggregation (skew treatment through the oracle gate) ----
+
+SALT_N = 8
+
+
+def q_salted_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus stats computed through the generic salted
+    two-phase aggregation (operators/skew.py): `source` is a deliberately
+    coarse key (a handful of values over the whole corpus — exactly the
+    shape whose final reduce pins one task at 10^12 rows), so each
+    source's rows partial-aggregate in SALT_N parallel tasks before the
+    tiny final combine.  Result is bit-identical to the plain groupBy —
+    which is what the DuckDB oracle states."""
+    from .skew import salted_agg
+
+    docs = _t(spark, sf_dir, "documents")
+    return salted_agg(
+        docs, "source", SALT_N, ["doc_id"],
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"))
+
+
+SQL_SALTED_SOURCE_STATS = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY source
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "rel_asof_attribution": (q_asof_attribution, SQL_ASOF_ATTRIBUTION),
+    "rel_salted_source_stats": (q_salted_source_stats, SQL_SALTED_SOURCE_STATS),
     "rel_segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "rel_top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "rel_sessionize": (q_sessionize, SQL_SESSIONIZE),
