@@ -250,16 +250,12 @@ GATE_STOP_MIN = 0.02
 GATE_DUP_BIGRAM_MAX = 0.1
 
 
-def q_cur_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite pass/fail quality gate — the Gopher-rules-style filter a
-    corpus build applies after extraction: minimum length, mean-word-length
-    band, English stopword floor, duplicate-bigram ceiling.  Entirely
-    map-side narrow array math (split / array_distinct / replace-count) —
-    zero shuffle at any scale; `reasons` concatenates the failed rule ids
-    (concat_ws skips NULLs identically in Spark and DuckDB), so the gate is
-    auditable, never a silent drop."""
+def _gate_metrics() -> dict:
+    """The Gopher-rules metric Columns over a `text` column, shared by the
+    standalone gate query and the composite corpus build: n_words, mean
+    word length, stopword ratio, duplicate-bigram fraction, and the
+    concatenated failed-rule ids (`reasons`; '' = passed)."""
     from .text_analysis import STOPWORDS, _count_occurrences
-    d = _docs(spark, sf_dir)
     words = F.split("text", " ", -1)
     n_chars = F.length("text").cast("double")
     n_words = F.size(words).cast("double")
@@ -282,7 +278,22 @@ def q_cur_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(stop_ratio < GATE_STOP_MIN, F.lit("stopwords")),
         F.when(dup_bg > GATE_DUP_BIGRAM_MAX, F.lit("repetition")),
     ]
-    reasons = F.concat_ws(",", *fails)
+    return {"n_words": n_words, "awl": awl, "stop_ratio": stop_ratio,
+            "dup_bg": dup_bg, "reasons": F.concat_ws(",", *fails)}
+
+
+def q_cur_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pass/fail quality gate — the Gopher-rules-style filter a
+    corpus build applies after extraction: minimum length, mean-word-length
+    band, English stopword floor, duplicate-bigram ceiling.  Entirely
+    map-side narrow array math (split / array_distinct / replace-count) —
+    zero shuffle at any scale; `reasons` concatenates the failed rule ids
+    (concat_ws skips NULLs identically in Spark and DuckDB), so the gate is
+    auditable, never a silent drop."""
+    d = _docs(spark, sf_dir)
+    m = _gate_metrics()
+    n_words, awl = m["n_words"], m["awl"]
+    stop_ratio, dup_bg, reasons = m["stop_ratio"], m["dup_bg"], m["reasons"]
     return d.select(
         "doc_id",
         n_words.cast("bigint").alias("n_words"),
@@ -293,12 +304,13 @@ def q_cur_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         reasons.alias("reasons"))
 
 
-def _sql_quality_gate() -> str:
+def _sql_gate_ctes() -> str:
+    """The q/m/r CTE chain computing the gate metrics + `reasons` per doc —
+    shared by the standalone gate oracle and the corpus-build oracle."""
     from .text_analysis import STOPWORDS, _sql_count
     padded = "(' ' || lower(text) || ' ')"
     stop = " + ".join(_sql_count(padded, w) for w in STOPWORDS["en"])
-    return f"""
-WITH q AS (
+    return f"""q AS (
   SELECT doc_id,
          CAST(length(text) AS DOUBLE) AS n_chars,
          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
@@ -326,7 +338,12 @@ WITH q AS (
            CASE WHEN dup_bg > {GATE_DUP_BIGRAM_MAX} THEN 'repetition' END
          ) AS reasons
   FROM m
-)
+)"""
+
+
+def _sql_quality_gate() -> str:
+    return f"""
+WITH {_sql_gate_ctes()}
 SELECT doc_id,
        CAST(n_words AS BIGINT) AS n_words,
        round(awl, 4) AS avg_word_len,
@@ -338,7 +355,111 @@ FROM r
 """
 
 
+# -- composite corpus build (the full curation funnel as ONE DAG) ------------------
+#
+# quality gate -> benchmark-eval holdout -> exact dedup -> decontamination
+# -> sequence packing, composed as a single declarative plan so Catalyst
+# sees the whole funnel at once: the gate and the holdout are map-side
+# predicates fused into the scan, the dedup window is one hash-shuffle on
+# a uniform key, the contamination probe is a broadcast semi-join (eval
+# set is tiny), and packing is one window per source.  Shuffle count for
+# the whole build: 2 (content-hash window, per-source pack window) plus
+# the broadcast — the per-stage operators run standalone elsewhere in this
+# module; this query proves they COMPOSE without materialization barriers
+# between stages.
+
+def q_cur_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per document surviving the full funnel, with its packed
+    sequence assignment.  Survivors: pass the quality gate, are not
+    benchmark-eval docs (doc_id % EVAL_MOD == 0 — held out of training by
+    definition), are the min-doc_id keeper of their exact content hash,
+    and have shingle overlap with the eval set below CONTAM_T.  Gate rule
+    min_words=25 guarantees survivors have >= 23 shingles, so the
+    contamination fraction is always well-defined."""
+    d = _docs(spark, sf_dir)
+    m = _gate_metrics()
+    passed = (d.withColumn("reasons", m["reasons"])
+              .filter((F.col("reasons") == "")
+                      & (F.col("doc_id") % EVAL_MOD != 0))
+              .select("doc_id", "source", "text"))
+
+    w_hash = Window.partitionBy(F.md5("text"))
+    kept = (passed
+            .withColumn("keeper", F.min("doc_id").over(w_hash))
+            .filter(F.col("doc_id") == F.col("keeper"))
+            .select("doc_id", "source", "text"))
+
+    eval_sh = (d.filter(F.col("doc_id") % EVAL_MOD == 0)
+               .select(F.explode(_shingles_col()).alias("shingle"))
+               .distinct())
+    sh = kept.select("doc_id", "source", "text",
+                     _shingles_col().alias("shingles"))
+    hits = (sh.select("doc_id", F.explode("shingles").alias("shingle"))
+            .join(F.broadcast(eval_sh), "shingle", "leftsemi")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    frac = (F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.size("shingles").cast("double"))
+    clean = (sh.join(hits, "doc_id", "left")
+             .filter(frac < CONTAM_T)
+             .select("doc_id", "source", "text"))
+
+    tokens = F.size(F.split("text", " ", -1)).cast("bigint")
+    w_pack = (Window.partitionBy("source").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return clean.select(
+        "doc_id", "source", tokens.alias("tokens"),
+        ((F.sum(tokens).over(w_pack) - tokens) / PACK_BUDGET)
+        .cast("bigint").alias("seq"))
+
+
+def _sql_corpus_build() -> str:
+    from .dedup import _sql_shingles
+    return f"""
+WITH {_sql_gate_ctes()},
+passed AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN r USING (doc_id)
+  WHERE r.reasons = '' AND d.doc_id % {EVAL_MOD} <> 0
+),
+keepers AS (
+  SELECT doc_id, source, text,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+  FROM passed
+),
+kept AS (SELECT doc_id, source, text FROM keepers WHERE doc_id = keeper),
+eval_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} = 0),
+eval_sh AS (
+  SELECT DISTINCT unnest(shingles) AS shingle
+  FROM ({_sql_shingles('eval_docs')})),
+ksh AS ({_sql_shingles('kept')}),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM ksh),
+hits AS (
+  SELECT doc_id, count(*) AS n_hit FROM ex
+  WHERE shingle IN (SELECT shingle FROM eval_sh)
+  GROUP BY doc_id),
+clean AS (
+  SELECT k.doc_id, k.source, k.text
+  FROM kept k
+  JOIN ksh s USING (doc_id)
+  LEFT JOIN hits h USING (doc_id)
+  WHERE CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(s.shingles) < {CONTAM_T}
+),
+laid AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+         CAST(FLOOR((sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                       OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - len(string_split(text, ' '))) / {PACK_BUDGET})
+              AS BIGINT) AS seq
+  FROM clean)
+SELECT doc_id, source, tokens, seq FROM laid
+"""
+
+
 QUERIES = {
+    "cur_corpus_build": (q_cur_corpus_build, _sql_corpus_build()),
     "cur_decontaminate": (q_cur_decontaminate, SQL_CUR_DECONTAMINATE),
     "cur_stratified_sample": (q_cur_stratified_sample,
                               SQL_CUR_STRATIFIED_SAMPLE),

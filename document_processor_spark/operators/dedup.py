@@ -107,7 +107,9 @@ def _shingles_col():
         .otherwise(F.array().cast("array<string>"))
 
 
-_SQL_SHINGLES = """
+def _sql_shingles(rel: str = "documents") -> str:
+    """DuckDB shingle CTE body over any relation with (doc_id, text)."""
+    return f"""
   SELECT doc_id,
          CASE WHEN len(string_split(text,' ')) >= 3
               THEN list_distinct(list_transform(
@@ -116,8 +118,11 @@ _SQL_SHINGLES = """
                           string_split(text,' ')[i+1] || ' ' ||
                           string_split(text,' ')[i+2]))
               ELSE [] END AS shingles
-  FROM documents
+  FROM {rel}
 """
+
+
+_SQL_SHINGLES = _sql_shingles()
 
 
 # -- MinHash + LSH near-dup --------------------------------------------------------
@@ -837,8 +842,103 @@ GROUP BY c.doc_id
 """
 
 
+# -- incremental (snapshot-over-snapshot) dedup -------------------------------------
+#
+# The CommonCrawl-style ingest shape: every new crawl snapshot is deduped
+# against the union of all PRIOR snapshots, not against itself — the
+# historical side is a fingerprint STORE (content hashes + LSH band
+# signatures), never the raw text.  At 10^12 historical docs the store is
+# far too large to broadcast, so both probes are plain shuffle equi-joins
+# on uniformly-distributed hash keys (md5 / minhash values — no skew by
+# construction); with the store laid out as a bucketed table
+# (io/bucketed.py) the historical side needs no shuffle at all, only the
+# incoming batch (~1% of corpus) moves.
+
+BATCH_MOD = 4  # doc_id % BATCH_MOD == BATCH_MOD-1 -> the incoming snapshot
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify each incoming-batch document against the historical
+    fingerprint store: `exact_dup` (content hash already ingested),
+    `near_dup` (shares >= 1 MinHash LSH band bucket with history —
+    the standard streaming-ingest LSH filter; its false-positive rate is
+    the band-collision rate, tunable via N_BANDS x r), else `new`.
+    n_shared_bands counts distinct colliding bands (an auditable
+    confidence signal, not a silent boolean)."""
+    d = _docs(spark, sf_dir)
+    is_batch = F.col("doc_id") % BATCH_MOD == BATCH_MOD - 1
+
+    hashed = d.select("doc_id", F.md5("text").alias("content_hash"),
+                      _shingles_col().alias("shingles"))
+    hist_hash = (hashed.filter(~is_batch)
+                 .select("content_hash").distinct()
+                 .withColumn("seen", F.lit(True)))
+
+    sig = (hashed.filter(F.size("shingles") > 0)
+           .withColumn("xs", _shingle_ints_col())
+           .select("doc_id", F.explode(_band_sigs_col()).alias("bs"))
+           .select("doc_id", F.col("bs.band").alias("band"),
+                   F.col("bs.mh").alias("mh")))
+    hist_sig = sig.filter(~is_batch).select("band", "mh").distinct()
+    shared = (sig.filter(is_batch)
+              .join(hist_sig, ["band", "mh"], "leftsemi")
+              .groupBy("doc_id")
+              .agg(F.count_distinct("band").alias("n_shared_bands")))
+
+    batch = hashed.filter(is_batch).select("doc_id", "content_hash")
+    exact = F.coalesce(F.col("seen"), F.lit(False))
+    n_shared = F.coalesce(F.col("n_shared_bands"), F.lit(0)).cast("bigint")
+    status = (F.when(exact, F.lit("exact_dup"))
+               .when(n_shared > 0, F.lit("near_dup"))
+               .otherwise(F.lit("new")))
+    return (batch.join(hist_hash, "content_hash", "left")
+            .join(shared, "doc_id", "left")
+            .select("doc_id", exact.alias("exact_dup"),
+                    n_shared.alias("n_shared_bands"),
+                    status.alias("status")))
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+ne AS (
+  SELECT doc_id, list_transform(shingles,
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P}) AS xs
+  FROM sh WHERE len(shingles) > 0),
+sig AS (
+  SELECT doc_id, b.band AS band,
+         CASE {' '.join(f'WHEN b.band = {b} THEN {_sql_band_sig(b)}' for b in range(N_BANDS))}
+         END AS mh
+  FROM ne, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+),
+hist_hash AS (
+  SELECT DISTINCT md5(text) AS content_hash FROM documents
+  WHERE doc_id % {BATCH_MOD} <> {BATCH_MOD - 1}),
+hist_sig AS (
+  SELECT DISTINCT band, mh FROM sig
+  WHERE doc_id % {BATCH_MOD} <> {BATCH_MOD - 1}),
+shared AS (
+  SELECT s.doc_id, count(DISTINCT s.band) AS n_shared_bands
+  FROM sig s JOIN hist_sig h USING (band, mh)
+  WHERE s.doc_id % {BATCH_MOD} = {BATCH_MOD - 1}
+  GROUP BY s.doc_id),
+batch AS (
+  SELECT doc_id, md5(text) AS content_hash FROM documents
+  WHERE doc_id % {BATCH_MOD} = {BATCH_MOD - 1})
+SELECT b.doc_id,
+       hh.content_hash IS NOT NULL AS exact_dup,
+       CAST(coalesce(sd.n_shared_bands, 0) AS BIGINT) AS n_shared_bands,
+       CASE WHEN hh.content_hash IS NOT NULL THEN 'exact_dup'
+            WHEN coalesce(sd.n_shared_bands, 0) > 0 THEN 'near_dup'
+            ELSE 'new' END AS status
+FROM batch b
+LEFT JOIN hist_hash hh USING (content_hash)
+LEFT JOIN shared sd USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_subdoc": (q_dedup_subdoc, SQL_DEDUP_SUBDOC),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
