@@ -857,6 +857,49 @@ GROUP BY c.doc_id
 BATCH_MOD = 4  # doc_id % BATCH_MOD == BATCH_MOD-1 -> the incoming snapshot
 
 
+def fingerprints(df: DataFrame) -> DataFrame:
+    """(doc_id, content_hash, shingles) over any (doc_id, text) frame —
+    the per-document fingerprint record the incremental store keeps."""
+    return df.select("doc_id", F.md5("text").alias("content_hash"),
+                     _shingles_col().alias("shingles"))
+
+
+def band_sig_rows(fp: DataFrame) -> DataFrame:
+    """(doc_id, band, mh) LSH band-signature rows from a fingerprint
+    frame.  Narrow build (no shuffle) — see _band_sigs_col."""
+    return (fp.filter(F.size("shingles") > 0)
+            .withColumn("xs", _shingle_ints_col())
+            .select("doc_id", F.explode(_band_sigs_col()).alias("bs"))
+            .select("doc_id", F.col("bs.band").alias("band"),
+                    F.col("bs.mh").alias("mh")))
+
+
+def classify_against_store(batch_fp: DataFrame, batch_sig: DataFrame,
+                           hist_hash: DataFrame,
+                           hist_sig: DataFrame) -> DataFrame:
+    """Classify batch fingerprints against a historical store:
+    hist_hash = (content_hash), hist_sig = (band, mh).  Returns
+    (doc_id, exact_dup, n_shared_bands, status)."""
+    seen = hist_hash.select("content_hash").distinct() \
+        .withColumn("seen", F.lit(True))
+    shared = (batch_sig
+              .join(hist_sig.select("band", "mh").distinct(),
+                    ["band", "mh"], "leftsemi")
+              .groupBy("doc_id")
+              .agg(F.count_distinct("band").alias("n_shared_bands")))
+    exact = F.coalesce(F.col("seen"), F.lit(False))
+    n_shared = F.coalesce(F.col("n_shared_bands"), F.lit(0)).cast("bigint")
+    status = (F.when(exact, F.lit("exact_dup"))
+               .when(n_shared > 0, F.lit("near_dup"))
+               .otherwise(F.lit("new")))
+    return (batch_fp.select("doc_id", "content_hash")
+            .join(seen, "content_hash", "left")
+            .join(shared, "doc_id", "left")
+            .select("doc_id", exact.alias("exact_dup"),
+                    n_shared.alias("n_shared_bands"),
+                    status.alias("status")))
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classify each incoming-batch document against the historical
     fingerprint store: `exact_dup` (content hash already ingested),
@@ -864,38 +907,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard streaming-ingest LSH filter; its false-positive rate is
     the band-collision rate, tunable via N_BANDS x r), else `new`.
     n_shared_bands counts distinct colliding bands (an auditable
-    confidence signal, not a silent boolean)."""
+    confidence signal, not a silent boolean).  The live micro-batch
+    version of the same classification is streaming/incremental_dedup.py."""
     d = _docs(spark, sf_dir)
     is_batch = F.col("doc_id") % BATCH_MOD == BATCH_MOD - 1
-
-    hashed = d.select("doc_id", F.md5("text").alias("content_hash"),
-                      _shingles_col().alias("shingles"))
-    hist_hash = (hashed.filter(~is_batch)
-                 .select("content_hash").distinct()
-                 .withColumn("seen", F.lit(True)))
-
-    sig = (hashed.filter(F.size("shingles") > 0)
-           .withColumn("xs", _shingle_ints_col())
-           .select("doc_id", F.explode(_band_sigs_col()).alias("bs"))
-           .select("doc_id", F.col("bs.band").alias("band"),
-                   F.col("bs.mh").alias("mh")))
-    hist_sig = sig.filter(~is_batch).select("band", "mh").distinct()
-    shared = (sig.filter(is_batch)
-              .join(hist_sig, ["band", "mh"], "leftsemi")
-              .groupBy("doc_id")
-              .agg(F.count_distinct("band").alias("n_shared_bands")))
-
-    batch = hashed.filter(is_batch).select("doc_id", "content_hash")
-    exact = F.coalesce(F.col("seen"), F.lit(False))
-    n_shared = F.coalesce(F.col("n_shared_bands"), F.lit(0)).cast("bigint")
-    status = (F.when(exact, F.lit("exact_dup"))
-               .when(n_shared > 0, F.lit("near_dup"))
-               .otherwise(F.lit("new")))
-    return (batch.join(hist_hash, "content_hash", "left")
-            .join(shared, "doc_id", "left")
-            .select("doc_id", exact.alias("exact_dup"),
-                    n_shared.alias("n_shared_bands"),
-                    status.alias("status")))
+    hashed = fingerprints(d)
+    sig = band_sig_rows(hashed)
+    return classify_against_store(
+        hashed.filter(is_batch), sig.filter(is_batch),
+        hashed.filter(~is_batch).select("content_hash"),
+        sig.filter(~is_batch).select("band", "mh"))
 
 
 SQL_DEDUP_INCREMENTAL = f"""
