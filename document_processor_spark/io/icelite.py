@@ -124,6 +124,17 @@ class IceLite:
         tmp.write_text(json.dumps(manifest, indent=2))
         os.replace(tmp, p)
 
+    def update_manifest(self, snapshot_id: int, extra: dict) -> None:
+        """Merge run-level metadata into an already-committed manifest
+        (atomic rewrite) — for values only computable after the commit's
+        write action, e.g. Observation-carried stage counters."""
+        p = self.meta / f"v{snapshot_id}.json"
+        manifest = json.loads(p.read_text())
+        manifest.update(extra)
+        tmp = self.meta / f".v{snapshot_id}.json.{uuid.uuid4().hex}.tmp"
+        tmp.write_text(json.dumps(manifest, indent=2))
+        os.replace(tmp, p)
+
     # -- read path ------------------------------------------------------------
 
     def read_snapshot(self, spark: SparkSession, snapshot_id: int) -> DataFrame | None:

@@ -368,26 +368,39 @@ FROM r
 # module; this query proves they COMPOSE without materialization barriers
 # between stages.
 
-def q_cur_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per document surviving the full funnel, with its packed
-    sequence assignment.  Survivors: pass the quality gate, are not
-    benchmark-eval docs (doc_id % EVAL_MOD == 0 — held out of training by
-    definition), are the min-doc_id keeper of their exact content hash,
-    and have shingle overlap with the eval set below CONTAM_T.  Gate rule
-    min_words=25 guarantees survivors have >= 23 shingles, so the
-    contamination fraction is always well-defined."""
-    d = _docs(spark, sf_dir)
+def corpus_build(d: DataFrame, with_observations: bool = False):
+    """The corpus-build funnel over any (doc_id, source, text) frame.
+    Returns (result_df, observations): observations is None unless
+    requested, else a dict of pyspark Observations wired at the funnel
+    stage boundaries (docs_in, gate+holdout survivors, post-dedup
+    keepers) — zero-extra-pass stage counters for job lineage, valued
+    after one action on the result."""
+    from pyspark.sql import Observation
+    obs = None
     m = _gate_metrics()
-    passed = (d.withColumn("reasons", m["reasons"])
+    d_in = d
+    if with_observations:
+        obs = {"in": Observation("cur_docs_in"),
+               "passed": Observation("cur_gate_passed"),
+               "kept": Observation("cur_dedup_kept")}
+        # observe on the gate branch ONLY: `d` also feeds the eval-shingle
+        # branch below, and a CollectMetrics node shared by two plan
+        # branches would count its rows once per branch
+        d_in = d.observe(obs["in"], F.count(F.lit(1)).alias("n"))
+    passed = (d_in.withColumn("reasons", m["reasons"])
               .filter((F.col("reasons") == "")
                       & (F.col("doc_id") % EVAL_MOD != 0))
               .select("doc_id", "source", "text"))
+    if with_observations:
+        passed = passed.observe(obs["passed"], F.count(F.lit(1)).alias("n"))
 
     w_hash = Window.partitionBy(F.md5("text"))
     kept = (passed
             .withColumn("keeper", F.min("doc_id").over(w_hash))
             .filter(F.col("doc_id") == F.col("keeper"))
             .select("doc_id", "source", "text"))
+    if with_observations:
+        kept = kept.observe(obs["kept"], F.count(F.lit(1)).alias("n"))
 
     eval_sh = (d.filter(F.col("doc_id") % EVAL_MOD == 0)
                .select(F.explode(_shingles_col()).alias("shingle"))
@@ -406,10 +419,22 @@ def q_cur_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = F.size(F.split("text", " ", -1)).cast("bigint")
     w_pack = (Window.partitionBy("source").orderBy("doc_id")
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return clean.select(
+    result = clean.select(
         "doc_id", "source", tokens.alias("tokens"),
         ((F.sum(tokens).over(w_pack) - tokens) / PACK_BUDGET)
         .cast("bigint").alias("seq"))
+    return result, obs
+
+
+def q_cur_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per document surviving the full funnel, with its packed
+    sequence assignment.  Survivors: pass the quality gate, are not
+    benchmark-eval docs (doc_id % EVAL_MOD == 0 — held out of training by
+    definition), are the min-doc_id keeper of their exact content hash,
+    and have shingle overlap with the eval set below CONTAM_T.  Gate rule
+    min_words=25 guarantees survivors have >= 23 shingles, so the
+    contamination fraction is always well-defined."""
+    return corpus_build(_docs(spark, sf_dir))[0]
 
 
 def _sql_corpus_build() -> str:
