@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .dedup import _SQL_SHINGLES, _docs, _shingles_col
+from .dedup import _SQL_SHINGLES, _docs, _pin, _shingles_col
 
 EVAL_MOD = 101          # doc_id % EVAL_MOD == 0 -> held-out "benchmark" doc
 CONTAM_T = 0.5          # flagged when >= this fraction of shingles hit
@@ -394,6 +394,15 @@ def corpus_build(d: DataFrame, with_observations: bool = False):
     if with_observations:
         passed = passed.observe(obs["passed"], F.count(F.lit(1)).alias("n"))
 
+    # Payload-shuffle discipline: the document TEXT crosses an exchange
+    # exactly once (the content-hash window below — unavoidable: electing
+    # a keeper requires co-locating equal texts).  Everything the later
+    # stages need — token count, shingle count, exploded shingles for the
+    # contamination probe — is derived MAP-SIDE right after that shuffle,
+    # so the decontamination join and the packing window move ~32-byte
+    # rows, not documents.  The r3.0 formulation joined (text, shingles[])
+    # on doc_id — re-shuffling ~4x the corpus bytes for a fraction that
+    # only needs two ints.
     w_hash = Window.partitionBy(F.md5("text"))
     kept = (passed
             .withColumn("keeper", F.min("doc_id").over(w_hash))
@@ -401,27 +410,26 @@ def corpus_build(d: DataFrame, with_observations: bool = False):
             .select("doc_id", "source", "text"))
     if with_observations:
         kept = kept.observe(obs["kept"], F.count(F.lit(1)).alias("n"))
+    kept = _pin(kept)  # two consumers (narrow stats + shingle explode)
 
     eval_sh = (d.filter(F.col("doc_id") % EVAL_MOD == 0)
                .select(F.explode(_shingles_col()).alias("shingle"))
                .distinct())
-    sh = kept.select("doc_id", "source", "text",
-                     _shingles_col().alias("shingles"))
-    hits = (sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    tokens = F.size(F.split("text", " ", -1)).cast("bigint")
+    narrow = kept.select("doc_id", "source", tokens.alias("tokens"),
+                         F.size(_shingles_col()).alias("n_sh"))
+    hits = (kept.select("doc_id", F.explode(_shingles_col()).alias("shingle"))
             .join(F.broadcast(eval_sh), "shingle", "leftsemi")
             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit")))
     frac = (F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
-            / F.size("shingles").cast("double"))
-    clean = (sh.join(hits, "doc_id", "left")
-             .filter(frac < CONTAM_T)
-             .select("doc_id", "source", "text"))
+            / F.col("n_sh").cast("double"))
+    clean = narrow.join(hits, "doc_id", "left").filter(frac < CONTAM_T)
 
-    tokens = F.size(F.split("text", " ", -1)).cast("bigint")
     w_pack = (Window.partitionBy("source").orderBy("doc_id")
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     result = clean.select(
-        "doc_id", "source", tokens.alias("tokens"),
-        ((F.sum(tokens).over(w_pack) - tokens) / PACK_BUDGET)
+        "doc_id", "source", "tokens",
+        ((F.sum("tokens").over(w_pack) - F.col("tokens")) / PACK_BUDGET)
         .cast("bigint").alias("seq"))
     return result, obs
 
