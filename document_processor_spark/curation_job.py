@@ -15,9 +15,11 @@ same shape holds with one refinement: the funnel writes to a staging
 table first and the snapshot commit is the (cheap, atomic) catalog swap
 — still one logical commit per run, never per partition.
 
-Funnel counters ride as Observations on the single job action (zero
-extra passes): docs_in, gate+holdout survivors, post-dedup keepers,
-docs_out — each stage's drop count is auditable from the manifest.
+Funnel counters ride as Observations on the staging materialization
+(zero extra passes over the input): docs_in, gate+holdout survivors,
+post-dedup keepers, docs_out — each stage's drop count is auditable from
+the manifest, and because the manifest is written in the same append()
+as the data, lineage is never committed partially.
 """
 
 from __future__ import annotations
@@ -55,27 +57,29 @@ def run_curation_job(spark: SparkSession, docs: DataFrame, warehouse: str,
 
     result, obs = corpus_build(docs, with_observations=True)
     result = with_part(result, n_parts)
-    manifest = table.append(result, run_id,
-                            extra={"curation_run_id": run_id,
-                                   "n_parts": n_parts})
+    # stage-then-commit: materialize the funnel output BEFORE the snapshot
+    # commit (the staging-table step a 10^12-doc run performs anyway).
+    # The staging action values the Observations and feeds the per-part
+    # aggregation, so the append's manifest carries the COMPLETE lineage
+    # atomically with the data — a crash anywhere before append leaves no
+    # snapshot (clean rerun), a crash after leaves a complete one; there
+    # is no window where data is committed but lineage is lost.
+    staged = result.localCheckpoint(eager=True)
 
-    # observation values are available after the append's write action
     funnel = {
         "docs_in": int(obs["in"].get["n"]),
         "gate_holdout_survivors": int(obs["passed"].get["n"]),
         "post_dedup_keepers": int(obs["kept"].get["n"]),
     }
-    written = table.read_snapshot(spark, manifest["snapshot_id"])
     per_part: dict[int, dict] = {}
     docs_out = tokens_out = 0
-    if written is not None:
-        for r in (written.groupBy(PART_COL)
-                  .agg(F.count(F.lit(1)).alias("docs_out"),
-                       F.sum("tokens").alias("tokens_out")).collect()):
-            per_part[r[PART_COL]] = {"docs_out": r["docs_out"],
-                                     "tokens_out": int(r["tokens_out"])}
-            docs_out += r["docs_out"]
-            tokens_out += int(r["tokens_out"])
+    for r in (staged.groupBy(PART_COL)
+              .agg(F.count(F.lit(1)).alias("docs_out"),
+                   F.sum("tokens").alias("tokens_out")).collect()):
+        per_part[r[PART_COL]] = {"docs_out": r["docs_out"],
+                                 "tokens_out": int(r["tokens_out"])}
+        docs_out += r["docs_out"]
+        tokens_out += int(r["tokens_out"])
     funnel["docs_out"] = docs_out
     funnel["tokens_out"] = tokens_out
     funnel["gate_holdout_drops"] = (funnel["docs_in"]
@@ -83,8 +87,10 @@ def run_curation_job(spark: SparkSession, docs: DataFrame, warehouse: str,
     funnel["exact_dup_drops"] = (funnel["gate_holdout_survivors"]
                                  - funnel["post_dedup_keepers"])
     funnel["contaminated_drops"] = funnel["post_dedup_keepers"] - docs_out
-    table.update_metrics(manifest["snapshot_id"], per_part)
-    table.update_manifest(manifest["snapshot_id"], {"funnel": funnel})
+
+    manifest = table.append(staged, run_id, metrics=per_part,
+                            extra={"curation_run_id": run_id,
+                                   "n_parts": n_parts, "funnel": funnel})
     return CurationSummary(run_id=run_id, snapshot_id=manifest["snapshot_id"],
                            funnel=funnel)
 

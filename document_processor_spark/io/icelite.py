@@ -112,28 +112,30 @@ class IceLite:
         os.replace(tmp_cur, self.meta / "CURRENT")
         return manifest
 
+    def _rewrite_manifest(self, snapshot_id: int, mutate) -> None:
+        """Atomic read-mutate-replace of one committed manifest — the one
+        place the rewrite protocol (tmp file + os.replace) lives."""
+        p = self.meta / f"v{snapshot_id}.json"
+        manifest = json.loads(p.read_text())
+        mutate(manifest)
+        tmp = self.meta / f".v{snapshot_id}.json.{uuid.uuid4().hex}.tmp"
+        tmp.write_text(json.dumps(manifest, indent=2))
+        os.replace(tmp, p)
+
     def update_metrics(self, snapshot_id: int, metrics: dict[int, dict]) -> None:
         """Fill per-partition metrics on an already-committed manifest
         (atomic rewrite).  Kept separate from append() so the data commit —
         the correctness-critical step — never waits on metric aggregation."""
-        p = self.meta / f"v{snapshot_id}.json"
-        manifest = json.loads(p.read_text())
-        for part, m in metrics.items():
-            manifest["partitions"][str(part)] = m
-        tmp = self.meta / f".v{snapshot_id}.json.{uuid.uuid4().hex}.tmp"
-        tmp.write_text(json.dumps(manifest, indent=2))
-        os.replace(tmp, p)
+        def mutate(manifest):
+            for part, m in metrics.items():
+                manifest["partitions"][str(part)] = m
+        self._rewrite_manifest(snapshot_id, mutate)
 
     def update_manifest(self, snapshot_id: int, extra: dict) -> None:
         """Merge run-level metadata into an already-committed manifest
         (atomic rewrite) — for values only computable after the commit's
         write action, e.g. Observation-carried stage counters."""
-        p = self.meta / f"v{snapshot_id}.json"
-        manifest = json.loads(p.read_text())
-        manifest.update(extra)
-        tmp = self.meta / f".v{snapshot_id}.json.{uuid.uuid4().hex}.tmp"
-        tmp.write_text(json.dumps(manifest, indent=2))
-        os.replace(tmp, p)
+        self._rewrite_manifest(snapshot_id, lambda m: m.update(extra))
 
     # -- read path ------------------------------------------------------------
 

@@ -408,8 +408,6 @@ def corpus_build(d: DataFrame, with_observations: bool = False):
             .withColumn("keeper", F.min("doc_id").over(w_hash))
             .filter(F.col("doc_id") == F.col("keeper"))
             .select("doc_id", "source", "text"))
-    if with_observations:
-        kept = kept.observe(obs["kept"], F.count(F.lit(1)).alias("n"))
     kept = _pin(kept)  # two consumers (narrow stats + shingle explode)
 
     eval_sh = (d.filter(F.col("doc_id") % EVAL_MOD == 0)
@@ -418,6 +416,15 @@ def corpus_build(d: DataFrame, with_observations: bool = False):
     tokens = F.size(F.split("text", " ", -1)).cast("bigint")
     narrow = kept.select("doc_id", "source", tokens.alias("tokens"),
                          F.size(_shingles_col()).alias("n_sh"))
+    if with_observations:
+        # the keeper counter rides on the single-consumer narrow branch,
+        # BELOW the _pin: an Observation directly under a lazy
+        # localCheckpoint latches n=0 — the checkpoint's own
+        # query-execution-end event carries the CollectMetrics node before
+        # any task has run (empirically verified; the upstream in/passed
+        # observations are unaffected because they sit deeper in the
+        # checkpointed plan)
+        narrow = narrow.observe(obs["kept"], F.count(F.lit(1)).alias("n"))
     hits = (kept.select("doc_id", F.explode(_shingles_col()).alias("shingle"))
             .join(F.broadcast(eval_sh), "shingle", "leftsemi")
             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit")))

@@ -46,13 +46,21 @@ def _read_store(spark: SparkSession, path: str, ddl: str,
     checkpoint commit replays the same batch_id, and without the filter
     the replayed batch would find its own fingerprints in the store and
     reclassify every 'new' document as exact_dup.  It also excludes
-    partitions orphaned by a failed later batch."""
-    try:
-        df = spark.read.schema(ddl + ", batch int").parquet(path)
-        return (df.filter(F.col("batch") < before_batch)
-                .select(*[f.split(" ")[0] for f in ddl.split(", ")]))
-    except Exception:
+    partitions orphaned by a failed later batch.
+
+    Only the legitimate store-not-created-yet case (no ``batch=*``
+    partition dir on disk) maps to the empty frame; any OTHER read
+    failure — corrupt footer, permissions, transient FS error — must
+    raise, because silently treating the store as empty would classify
+    the whole batch 'new' and pollute both corpus and store with
+    duplicates."""
+    import glob
+    import os
+    if not glob.glob(os.path.join(path, "batch=*")):
         return spark.createDataFrame([], ddl)
+    df = spark.read.schema(ddl + ", batch int").parquet(path)
+    return (df.filter(F.col("batch") < before_batch)
+            .select(*[f.split(" ")[0] for f in ddl.split(", ")]))
 
 
 def make_dedup_processor(store_dir: str, out_dir: str):

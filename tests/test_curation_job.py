@@ -27,6 +27,23 @@ def test_job_commits_once_with_reconciling_funnel(spark, tmp_path):
     assert f["docs_in"] == (f["gate_holdout_drops"] + f["exact_dup_drops"]
                             + f["contaminated_drops"] + f["docs_out"])
     assert f["docs_out"] > 0 and f["tokens_out"] > 0
+    # NON-telescoping checks (the reconciliation above holds for ANY
+    # keeper count): each counter must equal its independently recomputed
+    # stage.  The fixture corpus has no exact duplicates, so the dedup
+    # stage must be a no-op — this is exactly the assertion that catches
+    # an Observation latching 0 (e.g. when placed directly under a lazy
+    # localCheckpoint).
+    from document_processor_spark.operators.curation import (
+        EVAL_MOD,
+        _gate_metrics,
+    )
+    n_passed = (docs.withColumn("reasons", _gate_metrics()["reasons"])
+                .filter((F.col("reasons") == "")
+                        & (F.col("doc_id") % EVAL_MOD != 0)).count())
+    assert f["gate_holdout_survivors"] == n_passed
+    assert f["post_dedup_keepers"] == n_passed
+    assert f["exact_dup_drops"] == 0
+    assert f["contaminated_drops"] == n_passed - f["docs_out"] >= 0
 
     # the committed table equals the operator query's result
     got = sorted(tuple(r) for r in read_curated(spark, wh)
