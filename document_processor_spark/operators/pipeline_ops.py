@@ -228,7 +228,65 @@ FROM chosen
 """
 
 
+def q_extract_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end integration: the extraction engine's output feeds the
+    curation stats in ONE declarative plan — no materialization between
+    the parse/assemble stages and the corpus ops.  Per document: span
+    count, reconstructed text (reading-order concat of textual spans —
+    map-side, the spans array is already offset-ordered), token count,
+    content hash, and exact-dedup keeper election over the EXTRACTED text
+    (one narrow hash shuffle; the full text never re-shuffles after the
+    extraction aggregation itself)."""
+    from pyspark.sql import Window
+    out = pipeline.extract_documents(derived_corpus(spark, sf_dir),
+                                     engine="sql")
+    text = F.array_join(
+        F.transform(
+            F.filter("spans", lambda s: s["text"].isNotNull()),
+            lambda s: s["text"]), " ")
+    docd = out.select(
+        "doc_id",
+        F.size("spans").cast("int").alias("n_spans"),
+        text.alias("text"))
+    w = Window.partitionBy("content_hash")
+    return (docd.select(
+                "doc_id", "n_spans",
+                F.size(F.split("text", " ", -1)).cast("bigint")
+                 .alias("tokens"),
+                F.md5("text").alias("content_hash"))
+            .withColumn("keeper", F.min("doc_id").over(w))
+            .withColumn("n_copies", F.count(F.lit(1)).over(w).cast("bigint"))
+            .filter(F.col("doc_id") == F.col("keeper"))
+            .select("doc_id", "n_spans", "tokens", "content_hash",
+                    "n_copies"))
+
+
 SQL_PIPE_EXTRACT = _sql_pipe_extract()
+
+# extraction oracle composed with the curation stats — one SQL statement
+# mirroring the one Spark plan of q_extract_curate
+SQL_PIPE_EXTRACT_CURATE = f"""
+WITH ext AS ({_sql_pipe_extract()}),
+doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS INTEGER) AS n_spans,
+         coalesce(string_agg(text, ' ' ORDER BY "offset"), '') AS text
+  FROM ext GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, n_spans,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+         md5(text) AS content_hash
+  FROM doc
+)
+SELECT doc_id, n_spans, tokens, content_hash, n_copies
+FROM (
+  SELECT *, min(doc_id) OVER (PARTITION BY content_hash) AS keeper,
+         CAST(count(*) OVER (PARTITION BY content_hash) AS BIGINT)
+           AS n_copies
+  FROM scored)
+WHERE doc_id = keeper
+"""
 # first_page=2, last_page=2 (1-based) == raw page index 1 only
 SQL_PIPE_EXTRACT_PAGE_RANGE = _sql_pipe_extract(
     "WHERE page BETWEEN 1 AND 1")
@@ -243,4 +301,5 @@ QUERIES = {
                                 SQL_PIPE_EXTRACT_PAGE_RANGE),
     "pipe_extract_ocr_fast": (q_extract_ocr_fast, SQL_PIPE_EXTRACT_OCR_FAST),
     "pipe_extract_ocr_full": (q_extract_ocr_full, SQL_PIPE_EXTRACT_OCR_FULL),
+    "pipe_extract_curate": (q_extract_curate, SQL_PIPE_EXTRACT_CURATE),
 }
