@@ -87,3 +87,29 @@ def test_duplicate_offset_tiebreak(spark, engine):
     tie_kinds = [s for s in expected["tie-0"] if s[3] >= 1]
     keys = [oracle.span_tiebreak(k, t, m) for k, t, m, _ in tie_kinds]
     assert keys == sorted(keys)
+
+
+# the reference's request-parameter space (first_page/last_page ×
+# OcrPipeline) over the same adversarial spans: the page-range array
+# filter, the restricted renumbering, and each converter chain must agree
+# with the oracle on payloads the corpus generator never emits
+_PARAMS = [
+    dict(first_page=2, last_page=3, ocr_pipeline="hybrid"),
+    dict(first_page=1, last_page=1, ocr_pipeline="fast"),
+    dict(first_page=3, last_page=None, ocr_pipeline="full"),
+    dict(first_page=4, last_page=2, ocr_pipeline="hybrid"),  # empty range
+]
+
+
+@pytest.mark.parametrize("params", _PARAMS,
+                         ids=["range-hybrid", "p1-fast", "open-full", "empty"])
+@pytest.mark.parametrize("engine", ["sql", "arrow"])
+def test_fuzz_param_space(spark, engine, params):
+    docs = _random_docs(7)
+    expected, _ = oracle.extract_corpus(docs, **params)
+    rows = [(d["doc_id"],
+             [(s["kind"], s["text"], s["media_ref"], s["offset"])
+              for s in d["spans"]]) for d in docs]
+    df = spark.createDataFrame(rows, schema=fixtures.INPUT_DDL)
+    got = collect_spans(pipeline.extract_documents(df, engine=engine, **params))
+    assert got == expected
