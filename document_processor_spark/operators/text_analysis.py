@@ -380,7 +380,48 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus audit — the report a training-data build runs
+    before fixing mixture weights: doc count, language spread, exact
+    token-length percentiles (Spark `percentile` and DuckDB
+    `quantile_cont` share linear-interpolation semantics, so the oracle
+    is exact), total characters, mean tokens.  One hash-shuffle groupBy;
+    the exact percentile sorts within each source group — fine while a
+    per-source group fits an executor (it does at any realistic source
+    cardinality), and the 10^12-row fallback is the sketch-mergeable
+    `percentile_approx` with the same query shape."""
+    d = _docs(spark, sf_dir)
+    tokens = F.size(F.split("text", " ", -1)).cast("bigint")
+    return (d.select("source", "lang", "n_chars", tokens.alias("tokens"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.count_distinct("lang").cast("bigint").alias("n_langs"),
+                 F.round(F.expr("percentile(tokens, 0.5)"), 4)
+                  .alias("tokens_p50"),
+                 F.round(F.expr("percentile(tokens, 0.9)"), 4)
+                  .alias("tokens_p90"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.round(F.avg("tokens"), 4).alias("tokens_mean")))
+
+
+SQL_CORPUS_STATS = """
+WITH t AS (
+  SELECT source, lang, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+  FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(quantile_cont(tokens, 0.5), 4) AS tokens_p50,
+       round(quantile_cont(tokens, 0.9), 4) AS tokens_p90,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(tokens), 4) AS tokens_mean
+FROM t GROUP BY source
+"""
+
+
 QUERIES = {
+    "ta_corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "ta_langid": (q_langid, _sql_langid()),
     "ta_quality": (q_quality, _sql_quality()),
     "ta_token_count": (q_token_count, SQL_TOKEN_COUNT),
