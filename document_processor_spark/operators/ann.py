@@ -210,8 +210,129 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# -- trained coarse quantizer: Lloyd's k-means, exact oracle ---------------------
+#
+# q_ann_ivf_topk samples its centroids; this operator TRAINS them — the
+# "KMeans sketch" its docstring defers to.  Determinism discipline, the
+# reason an iterative float algorithm can carry an exact DuckDB oracle:
+#
+# * vectors are quantized once to int64 (floor(x * 1e6)) — the centroid
+#   update then reduces per-dimension INTEGER sums, which are associative
+#   and commutative, so Spark's partial aggregation order cannot change
+#   the result (a double sum across partitions would);
+# * centroid components are exact ratios sum/count evaluated in double
+#   (one division — deterministic IEEE, same inputs both engines);
+# * distances are left-to-right double folds (F.aggregate ≡ list_reduce),
+#   ties broken on cent_id.
+#
+# Scale shape per iteration: one broadcast of K centroids (assignment is
+# map-side), one (cent_id, dim) partial-aggregated shuffle of integer
+# sums — the canonical mergeable-reduction KMeans on 10^12 rows.
+
+KMEANS_ITERS = 2
+_QUANT = 1_000_000.0
+
+
+def _kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, xq, cent_id): nearest centroid by squared L2, exact-order
+    fold, ties to the lowest cent_id."""
+    dist = F.aggregate(
+        F.zip_with(F.col("xq"), F.col("cd"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = W.partitionBy("vec_id").orderBy("dist", "cent_id")
+    return (vecs.crossJoin(F.broadcast(cents))
+            .select("vec_id", "xs", "xq", "cent_id", dist.alias("dist"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "xs", "xq", "cent_id", "dist"))
+
+
+def q_ann_kmeans_train(spark: SparkSession, sf_dir: str,
+                       iters: int = KMEANS_ITERS) -> DataFrame:
+    """`iters` Lloyd iterations from the deterministic CENT_MOD seed
+    set; returns the final assignment (vec_id, cent_id, dist) — the
+    trained coarse quantizer ann_ivf_topk's dataflow plugs in unchanged."""
+    e = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .repartition(spark.sparkContext.defaultParallelism)
+         .select("vec_id",
+                 F.transform(
+                     "embedding",
+                     lambda x: F.floor(x.cast("double") * F.lit(_QUANT))
+                     .cast("bigint")).alias("xs")))
+    e = e.withColumn("xq", F.transform("xs", lambda x: x.cast("double")))
+    cents = (e.filter(F.col("vec_id") % CENT_MOD == 0)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("xq").alias("cd")))
+    for _ in range(iters):
+        assigned = _kmeans_assign(e, cents)
+        sums = (assigned
+                .select("cent_id", F.posexplode("xs").alias("pos", "val"))
+                .groupBy("cent_id", "pos")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")))
+        cents = (sums.groupBy("cent_id")
+                 .agg(F.array_sort(
+                     F.collect_list(F.struct("pos", "s", "n"))).alias("ps"))
+                 .select("cent_id",
+                         F.transform(
+                             "ps", lambda p: p["s"].cast("double") / p["n"])
+                         .alias("cd")))
+    final = _kmeans_assign(e, cents)
+    return final.select("vec_id", "cent_id",
+                        F.round("dist", 4).alias("dist"))
+
+
+def _sql_kmeans() -> str:
+    dist = ("list_reduce(list_transform(generate_series(1, len({a})), "
+            "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)")
+
+    def assign(vec_rel: str, cent_rel: str) -> str:
+        return f"""
+  SELECT vec_id, xs, xq, cent_id, dist FROM (
+    SELECT v.vec_id, v.xs, v.xq, c.cent_id,
+           {dist.format(a="v.xq", b="c.cd")} AS dist,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {dist.format(a="v.xq", b="c.cd")}, c.cent_id) AS r
+    FROM {vec_rel} v CROSS JOIN {cent_rel} c)
+  WHERE r = 1"""
+
+    def update(assigned_rel: str) -> str:
+        return f"""
+  SELECT cent_id,
+         list(CAST(s AS DOUBLE) / n ORDER BY pos) AS cd
+  FROM (
+    SELECT cent_id, i AS pos, sum(xs[i]) AS s, count(*) AS n
+    FROM {assigned_rel}, unnest(generate_series(1, len(xs))) t(i)
+    GROUP BY cent_id, i)
+  GROUP BY cent_id"""
+
+    sql = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_QUANT}) AS BIGINT)) AS xs
+  FROM embeddings),
+eq AS (
+  SELECT vec_id, xs, list_transform(xs, x -> CAST(x AS DOUBLE)) AS xq
+  FROM e),
+c0 AS (SELECT vec_id AS cent_id, xq AS cd FROM eq
+       WHERE vec_id % {CENT_MOD} = 0)"""
+    prev = "c0"
+    for it in range(KMEANS_ITERS):
+        sql += f",\na{it} AS ({assign('eq', prev)}\n)"
+        sql += f",\nc{it + 1} AS ({update(f'a{it}')}\n)"
+        prev = f"c{it + 1}"
+    sql += f""",
+final AS ({assign('eq', prev)}
+)
+SELECT vec_id, cent_id, round(dist, 4) AS dist FROM final
+"""
+    return sql
+
+
 QUERIES = {
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF),
+    "ann_kmeans_train": (q_ann_kmeans_train, _sql_kmeans()),
 }

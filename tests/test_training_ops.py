@@ -103,3 +103,20 @@ def test_subdoc_dedup_removes_dup_chunks_preserves_order(spark):
         assert r["n_kept"] == len(survivors)
         saw_removal |= len(survivors) < len(cs)
     assert saw_removal, "fixture corpus must exercise actual removal"
+
+
+def test_kmeans_objective_monotone(spark):
+    """Lloyd's algorithm must not increase the mean squared distance:
+    each extra (assign, update) round reweights cells toward their means.
+    Also pins that training MOVES assignments vs the raw seed sample."""
+    from document_processor_spark.operators import ann
+    means = []
+    assigns = []
+    for iters in (0, 1, 2):
+        rows = ann.q_ann_kmeans_train(spark, SF_DIR, iters=iters).collect()
+        assert len(rows) > 0
+        means.append(sum(r["dist"] for r in rows) / len(rows))
+        assigns.append({r["vec_id"]: r["cent_id"] for r in rows})
+    assert means[0] >= means[1] >= means[2]
+    assert means[2] < means[0], "training must improve the objective"
+    assert assigns[0] != assigns[2], "assignments must move"

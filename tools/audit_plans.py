@@ -47,6 +47,10 @@ NOTES = {
     "dedup_semantic": (
         "BNLJ = broadcast of the bounded centroid set for cell assignment "
         "(same shape as ann_ivf_topk); the prune join is equi on cent_id"),
+    "ann_kmeans_train": (
+        "BNLJ = broadcast of the K-centroid set in each Lloyd assignment "
+        "step (K rows, bounded); the centroid update is a (cent_id, dim) "
+        "integer partial aggregation, never a join"),
 }
 
 HEADER = '''# PLANS.md — physical-plan audit of the driver query surface
