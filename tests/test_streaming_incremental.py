@@ -89,3 +89,25 @@ def test_two_trigger_runs_share_the_store(spark, tmp_path):
         spark.read.parquet(str(dirs["out"]) + "/batch=1").collect())
     assert before == after
     assert spark.read.parquet(str(dirs["store"] / "hashes")).count() == 3
+
+
+def test_corrupt_store_raises_instead_of_classifying_all_new(spark, tmp_path):
+    """A store read failure that is NOT the store-missing case must raise:
+    silently treating history as empty would mark every duplicate 'new'
+    and pollute the store (review finding r3)."""
+    store = tmp_path / "store"
+    (store / "hashes" / "batch=0").mkdir(parents=True)
+    (store / "hashes" / "batch=0" / "part-0.parquet").write_bytes(
+        b"not a parquet file")
+    from document_processor_spark.streaming.incremental_dedup import (
+        HASH_DDL,
+        _read_store,
+    )
+    # missing store -> empty frame (the legitimate first-batch path)
+    empty = _read_store(spark, str(tmp_path / "nostore" / "hashes"),
+                        HASH_DDL, before_batch=1)
+    assert empty.count() == 0
+    # corrupt store -> must raise, never silently empty
+    with pytest.raises(Exception):
+        _read_store(spark, str(store / "hashes"), HASH_DDL,
+                    before_batch=1).count()
