@@ -90,7 +90,8 @@ def run_curation_job(spark: SparkSession, docs: DataFrame, warehouse: str,
 
     manifest = table.append(staged, run_id, metrics=per_part,
                             extra={"curation_run_id": run_id,
-                                   "n_parts": n_parts, "funnel": funnel})
+                                   "n_parts": n_parts, "funnel": funnel},
+                            cluster_by=["doc_id"])
     return CurationSummary(run_id=run_id, snapshot_id=manifest["snapshot_id"],
                            funnel=funnel)
 

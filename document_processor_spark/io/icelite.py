@@ -76,17 +76,32 @@ class IceLite:
     def append(self, df: DataFrame, run_id: str,
                metrics: dict[int, dict] | None = None,
                partitions: list[int] | None = None,
-               extra: dict | None = None) -> dict:
+               extra: dict | None = None,
+               cluster_by: list[str] | None = None) -> dict:
         """Commit one snapshot: write data files, then the manifest, then
         advance CURRENT (each step atomic, in that order).
 
         `partitions` is the checkpoint unit being committed; it may be a
         superset of the partition dirs actually written (a bucket whose every
         document was skipped produces no data file but IS done — it must not
-        be reprocessed on resume)."""
+        be reprocessed on resume).
+
+        `cluster_by` sorts rows WITHIN each write task before the parquet
+        encoder sees them (Iceberg's write.sort-order analog): row groups
+        then carry tight non-overlapping min/max stats on those columns,
+        so point/range reads prune row groups instead of scanning the
+        partition — at 10^12 rows the difference between a doc_id lookup
+        touching kilobytes and touching a whole bucket.  Sort is per-task
+        (no extra shuffle, no global order claim)."""
         sid = self.current_snapshot_id() + 1
         rel = f"snap-{sid:06d}"
         out_dir = self.data / rel
+        if cluster_by:
+            # PART_COL leads the sort: FileFormatWriter requires per-task
+            # ordering on the partition columns and would otherwise insert
+            # its OWN (unstable) sort on PART_COL alone, destroying the
+            # cluster order; with the prefix satisfied it adds nothing.
+            df = df.sortWithinPartitions(PART_COL, *cluster_by)
         (df.write.mode("errorifexists")
            .partitionBy(PART_COL)
            .parquet(str(out_dir)))

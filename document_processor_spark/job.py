@@ -77,6 +77,7 @@ def run_extraction_job(spark: SparkSession, docs: DataFrame, warehouse: str,
                        partitions_per_commit: int | None = None,
                        max_commits: int | None = None,
                        collect_metrics: bool = True,
+                       cluster_by: tuple[str, ...] = ("doc_id",),
                        first_page: int = 1,
                        last_page: int | None = None,
                        ocr_pipeline: str = "hybrid") -> JobSummary:
@@ -86,6 +87,9 @@ def run_extraction_job(spark: SparkSession, docs: DataFrame, warehouse: str,
     (None = all remaining partitions in one snapshot).
     max_commits: stop after N commits (used by resume tests to simulate a
     mid-job kill between snapshots).
+    cluster_by: write-side clustering (sort within write tasks) so row
+    groups carry tight doc_id min/max stats — point reads prune row
+    groups instead of scanning buckets (IceLite.append cluster_by).
     first_page/last_page: 1-based inclusive page range (the reference's
     request parameters, app/api.py:69-70) applied before the span explode.
     ocr_pipeline: converter-chain choice fast/full/hybrid (the reference's
@@ -130,7 +134,8 @@ def run_extraction_job(spark: SparkSession, docs: DataFrame, warehouse: str,
                                  "pages_in", skip_reason.alias("skip_reason"),
                                  PART_COL)
         manifest = table.append(result, run_id, partitions=batch,
-                                extra={"engine": engine, "n_parts": n_parts})
+                                extra={"engine": engine, "n_parts": n_parts},
+                                cluster_by=list(cluster_by or ()))
         if collect_metrics:
             written = table.read_snapshot(spark, manifest["snapshot_id"])
             metrics = _partition_metrics(input_batch, written) if written is not None else {}

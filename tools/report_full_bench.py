@@ -5,7 +5,13 @@ regression in any operator (not only the 7 headliners) surfaces as a diff
 against a committed number.
 
 Usage: SPARK_GRAFT_FULL=1 python bench.py > /tmp/full.json
-       python tools/report_full_bench.py /tmp/full.json
+       python tools/report_full_bench.py /tmp/full.json [more.json ...]
+
+Multiple JSON files merge element-wise by MIN: the per-query number is
+then the best observed steady state over all sweeps — the same estimator
+min-of-2 applies within one sweep, extended across sweeps.  On this
+host's 2-14x run-to-run spread a single sweep misattributes co-tenant
+noise to individual queries; the merged min converges to the real cost.
 """
 
 from __future__ import annotations
@@ -18,18 +24,26 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def main() -> int:
-    src = Path(sys.argv[1]) if len(sys.argv) > 1 else None
-    if src is None or not src.exists():
-        print("usage: report_full_bench.py <bench-json-file>", file=sys.stderr)
-        return 2
-    line = [ln for ln in src.read_text().splitlines()
-            if ln.strip().startswith("{")][-1]
-    d = json.loads(line)
-    fq = d.get("full_queries")
-    if not fq:
-        print("bench JSON has no full_queries — run with SPARK_GRAFT_FULL=1",
+    srcs = [Path(p) for p in sys.argv[1:]]
+    if not srcs or not all(p.exists() for p in srcs):
+        print("usage: report_full_bench.py <bench-json-file> [more ...]",
               file=sys.stderr)
         return 2
+    fq: dict[str, float] = {}
+    d = {}
+    for src in srcs:
+        line = [ln for ln in src.read_text().splitlines()
+                if ln.strip().startswith("{")][-1]
+        d = json.loads(line)
+        part = d.get("full_queries")
+        if not part:
+            print(f"{src}: no full_queries — run with SPARK_GRAFT_FULL=1",
+                  file=sys.stderr)
+            return 2
+        for name, sec in part.items():
+            fq[name] = min(fq.get(name, sec), sec)
+    d["full_queries"] = fq
+    d["full_total"] = round(sum(fq.values()), 3)
 
     groups: dict[str, list[tuple[str, float]]] = {}
     for name, sec in sorted(fq.items()):
@@ -38,13 +52,14 @@ def main() -> int:
     out = [
         "# BENCH/FULL_QUERIES.md — per-query wall-time baseline",
         "",
-        f"Every `__spark_entry__.queries()` entry timed (min-of-2, noop "
-        f"sink) at sf={d.get('sf')} on local[{d.get('cpus')}] — the "
+        f"Every `__spark_entry__.queries()` entry timed (min-of-2 per "
+        f"sweep, noop sink; element-wise min over {len(srcs)} full "
+        f"sweep(s)) at sf={d.get('sf')} on local[{d.get('cpus')}] — the "
         "regression surface for the whole operator inventory, not only the "
         "bench headliners.  Regenerate with:",
         "",
         "    SPARK_GRAFT_FULL=1 python bench.py > /tmp/full.json",
-        "    python tools/report_full_bench.py /tmp/full.json",
+        "    python tools/report_full_bench.py /tmp/full.json [more.json ...]",
         "",
         f"Total: **{d.get('full_total')} s** across {len(fq)} queries "
         f"(slowest: {max(fq, key=fq.get)} at {max(fq.values())} s).",
