@@ -281,6 +281,72 @@ def q_ann_kmeans_train(spark: SparkSession, sf_dir: str,
                         F.round("dist", 4).alias("dist"))
 
 
+def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over the TRAINED coarse quantizer — proof that the
+    k-means output plugs into the probe dataflow unchanged: cells from
+    KMEANS_ITERS Lloyd rounds, queries probe their N_PROBE nearest
+    trained cells (L2, consistent with the training objective), and
+    candidates are scored by exact-order cosine on the quantized
+    vectors.  Same scale shape as ann_ivf_topk: broadcast centroids,
+    candidates bounded by nprobe x cell."""
+    e = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .repartition(spark.sparkContext.defaultParallelism)
+         .select("vec_id",
+                 F.transform(
+                     "embedding",
+                     lambda x: F.floor(x.cast("double") * F.lit(_QUANT))
+                     .cast("bigint")).alias("xs")))
+    e = (e.withColumn("xq", F.transform("xs", lambda x: x.cast("double")))
+         .withColumn("nrm", _norm(F.col("xq"))))
+    cents = (e.filter(F.col("vec_id") % CENT_MOD == 0)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("xq").alias("cd")))
+    for _ in range(KMEANS_ITERS):
+        assigned = _kmeans_assign(e, cents)
+        sums = (assigned
+                .select("cent_id", F.posexplode("xs").alias("pos", "val"))
+                .groupBy("cent_id", "pos")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")))
+        cents = (sums.groupBy("cent_id")
+                 .agg(F.array_sort(
+                     F.collect_list(F.struct("pos", "s", "n"))).alias("ps"))
+                 .select("cent_id",
+                         F.transform(
+                             "ps", lambda p: p["s"].cast("double") / p["n"])
+                         .alias("cd")))
+    cents = F.broadcast(cents)
+
+    dist = F.aggregate(
+        F.zip_with(F.col("xq"), F.col("cd"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+    def cells(side: DataFrame, id_col: str, n: int) -> DataFrame:
+        w = W.partitionBy(id_col).orderBy("cdist", "cent_id")
+        return (side.crossJoin(cents)
+                .select(id_col, "xq", "nrm", "cent_id", dist.alias("cdist"))
+                .withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") <= n)
+                .drop("cdist", "r"))
+
+    corpus = cells(e, "vec_id", 1)
+    q = (e.filter(F.col("vec_id") % QUERY_MOD == 0)
+         .select(F.col("vec_id").alias("query_id"), "xq", "nrm"))
+    probes = cells(q, "query_id", N_PROBE).select(
+        "query_id", F.col("xq").alias("qv"), F.col("nrm").alias("qnrm"),
+        "cent_id")
+    pairs = (corpus.join(probes, "cent_id")
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "vec_id",
+                     (_dot(F.col("qv"), F.col("xq"))
+                      / (F.col("qnrm") * F.col("nrm"))).alias("cos")))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "vec_id",
+                    F.col("rank").cast("bigint").alias("rank"),
+                    F.round("cos", 6).alias("cosine")))
+
+
 def _sql_kmeans() -> str:
     dist = ("list_reduce(list_transform(generate_series(1, len({a})), "
             "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)")
@@ -330,9 +396,86 @@ SELECT vec_id, cent_id, round(dist, 4) AS dist FROM final
     return sql
 
 
+def _sql_ivf_trained() -> str:
+    dist = ("list_reduce(list_transform(generate_series(1, len({a})), "
+            "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)")
+
+    def assign(n: int, id_expr: str, where: str = "") -> str:
+        return f"""
+  SELECT {id_expr} AS id, xq, nrm, cent_id FROM (
+    SELECT v.vec_id, v.xq, v.nrm, c.cent_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {dist.format(a="v.xq", b="c.cd")}, c.cent_id) AS r
+    FROM eq v CROSS JOIN ck c {where})
+  WHERE r <= {n}"""
+
+    def update(assigned_rel: str) -> str:
+        return f"""
+  SELECT cent_id,
+         list(CAST(s AS DOUBLE) / n ORDER BY pos) AS cd
+  FROM (
+    SELECT cent_id, i AS pos, sum(xs[i]) AS s, count(*) AS n
+    FROM {assigned_rel}, unnest(generate_series(1, len(xs))) t(i)
+    GROUP BY cent_id, i)
+  GROUP BY cent_id"""
+
+    def lloyd_assign(cent_rel: str) -> str:
+        return f"""
+  SELECT vec_id, xs, cent_id FROM (
+    SELECT v.vec_id, v.xs, c.cent_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {dist.format(a="v.xq", b="c.cd")}, c.cent_id) AS r
+    FROM eq v CROSS JOIN {cent_rel} c)
+  WHERE r = 1"""
+
+    sql = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_QUANT}) AS BIGINT)) AS xs
+  FROM embeddings),
+eq AS (
+  SELECT vec_id, xs, list_transform(xs, x -> CAST(x AS DOUBLE)) AS xq,
+         {_SQL_NORM.format(a="list_transform(xs, x -> CAST(x AS DOUBLE))")}
+           AS nrm
+  FROM e),
+c0 AS (SELECT vec_id AS cent_id, xq AS cd FROM eq
+       WHERE vec_id % {CENT_MOD} = 0)"""
+    prev = "c0"
+    for it in range(KMEANS_ITERS):
+        sql += f",\na{it} AS ({lloyd_assign(prev)}\n)"
+        sql += f",\nc{it + 1} AS ({update(f'a{it}')}\n)"
+        prev = f"c{it + 1}"
+    sql += f""",
+ck AS (SELECT * FROM {prev}),
+corpus AS ({assign(1, 'vec_id')}
+),
+probes AS ({assign(N_PROBE, 'vec_id', f'WHERE v.vec_id % {QUERY_MOD} = 0')}
+),
+pairs AS (
+  SELECT p.id AS query_id, a.id AS vec_id,
+         {_SQL_DOT.format(a="p.xq", b="a.xq")} / (p.nrm * a.nrm) AS cos
+  FROM corpus a JOIN probes p USING (cent_id)
+  WHERE a.id <> p.id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+    return sql
+
+
 QUERIES = {
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF),
     "ann_kmeans_train": (q_ann_kmeans_train, _sql_kmeans()),
+    "ann_ivf_trained_topk": (q_ann_ivf_trained_topk, _sql_ivf_trained()),
 }

@@ -51,6 +51,10 @@ NOTES = {
         "BNLJ = broadcast of the K-centroid set in each Lloyd assignment "
         "step (K rows, bounded); the centroid update is a (cent_id, dim) "
         "integer partial aggregation, never a join"),
+    "ann_ivf_trained_topk": (
+        "BNLJ = broadcast of the bounded trained-centroid set (Lloyd "
+        "steps + cell assignment + probe; same shape as ann_ivf_topk); "
+        "the candidate join is equi on cent_id"),
 }
 
 HEADER = '''# PLANS.md — physical-plan audit of the driver query surface
