@@ -120,3 +120,29 @@ def test_kmeans_objective_monotone(spark):
     assert means[0] >= means[1] >= means[2]
     assert means[2] < means[0], "training must improve the objective"
     assert assigns[0] != assigns[2], "assignments must move"
+
+
+def test_ivf_variants_recall_floor(spark):
+    """ANN quality canary: both IVF variants must recover a meaningful
+    share of the exact brute-force top-k.  Measured recall@5 on the
+    near-random synthetic embeddings (nprobe=4 of ~17 cells): sampled
+    0.40, trained 0.58 at sf0.001 — a probe bug that searched the wrong
+    cells lands near zero, which is what the floor guards; it is not a
+    quality target on this corpus.  Training must also not do WORSE than
+    a coin-flip fraction of the sampled variant."""
+    from document_processor_spark.operators import ann
+    truth: dict = {}
+    for r in ann.q_ann_bruteforce_topk(spark, SF_DIR).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    total = sum(len(v) for v in truth.values())
+    recalls = {}
+    for fn in (ann.q_ann_ivf_topk, ann.q_ann_ivf_trained_topk):
+        got: dict = {}
+        for r in fn(spark, SF_DIR).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        recalls[fn.__name__] = hits / total
+        assert recalls[fn.__name__] >= 0.3, \
+            f"{fn.__name__} recall@{ann.TOP_K} = {recalls[fn.__name__]}"
+    assert (recalls["q_ann_ivf_trained_topk"]
+            >= 0.5 * recalls["q_ann_ivf_topk"])
