@@ -105,6 +105,12 @@ class IceLite:
         (df.write.mode("errorifexists")
            .partitionBy(PART_COL)
            .parquet(str(out_dir)))
+        extra = {**(extra or {})}
+        if cluster_by:
+            # Recorded in the manifest (Iceberg's write.sort-order lives in
+            # table metadata) so compact() can re-apply it: a rewrite that
+            # dropped the cluster order would silently undo row-group pruning.
+            extra["cluster_by"] = list(cluster_by)
         if partitions is not None:
             parts = sorted(partitions)
         else:
@@ -250,11 +256,18 @@ class IceLite:
         df = self.read(spark)
         sid = prev + 1
         rel = f"snap-{sid:06d}"
+        # Iceberg's rewrite_data_files honors the table sort order: re-apply
+        # the latest recorded cluster order so compaction doesn't destroy the
+        # row-group min/max pruning that append(cluster_by=...) established.
+        cluster_by = next((s["cluster_by"] for s in reversed(view)
+                           if s.get("cluster_by")), None)
         # one file per partition dir: partitionBy splits by part value,
         # the repartition bounds files-per-dir to one
-        (df.repartition(PART_COL)
-           .write.mode("errorifexists").partitionBy(PART_COL)
-           .parquet(str(self.data / rel)))
+        out = df.repartition(PART_COL)
+        if cluster_by:
+            out = out.sortWithinPartitions(PART_COL, *cluster_by)
+        (out.write.mode("errorifexists").partitionBy(PART_COL)
+            .parquet(str(self.data / rel)))
         manifest = {
             "snapshot_id": sid,
             "parent_id": prev if prev else None,
@@ -264,6 +277,7 @@ class IceLite:
             "replaces_through": prev,
             "compacted_snapshots": [s["snapshot_id"] for s in view],
             "partitions": dict(sorted(merged.items(), key=lambda kv: int(kv[0]))),
+            **({"cluster_by": cluster_by} if cluster_by else {}),
         }
         tmp = self.meta / f".v{sid}.json.{uuid.uuid4().hex}.tmp"
         tmp.write_text(json.dumps(manifest, indent=2))

@@ -247,11 +247,10 @@ def _kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
             .select("vec_id", "xs", "xq", "cent_id", "dist"))
 
 
-def q_ann_kmeans_train(spark: SparkSession, sf_dir: str,
-                       iters: int = KMEANS_ITERS) -> DataFrame:
-    """`iters` Lloyd iterations from the deterministic CENT_MOD seed
-    set; returns the final assignment (vec_id, cent_id, dist) — the
-    trained coarse quantizer ann_ivf_topk's dataflow plugs in unchanged."""
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, xs, xq): embeddings scaled by _QUANT to exact integers
+    (associative bigint sums — reproducible across partitionings), plus
+    the double view the distance folds consume."""
     e = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
          .repartition(spark.sparkContext.defaultParallelism)
          .select("vec_id",
@@ -259,7 +258,14 @@ def q_ann_kmeans_train(spark: SparkSession, sf_dir: str,
                      "embedding",
                      lambda x: F.floor(x.cast("double") * F.lit(_QUANT))
                      .cast("bigint")).alias("xs")))
-    e = e.withColumn("xq", F.transform("xs", lambda x: x.cast("double")))
+    return e.withColumn("xq", F.transform("xs", lambda x: x.cast("double")))
+
+
+def _train_centroids(e: DataFrame, iters: int) -> DataFrame:
+    """`iters` Lloyd rounds from the deterministic CENT_MOD seed set ->
+    (cent_id, cd).  Means are computed from the integer sums so the
+    update is order-independent; position order is restored by
+    array_sort on (pos, s, n) structs."""
     cents = (e.filter(F.col("vec_id") % CENT_MOD == 0)
              .select(F.col("vec_id").alias("cent_id"),
                      F.col("xq").alias("cd")))
@@ -276,6 +282,16 @@ def q_ann_kmeans_train(spark: SparkSession, sf_dir: str,
                          F.transform(
                              "ps", lambda p: p["s"].cast("double") / p["n"])
                          .alias("cd")))
+    return cents
+
+
+def q_ann_kmeans_train(spark: SparkSession, sf_dir: str,
+                       iters: int = KMEANS_ITERS) -> DataFrame:
+    """`iters` Lloyd iterations from the deterministic CENT_MOD seed
+    set; returns the final assignment (vec_id, cent_id, dist) — the
+    trained coarse quantizer ann_ivf_topk's dataflow plugs in unchanged."""
+    e = _quantized(spark, sf_dir)
+    cents = _train_centroids(e, iters)
     final = _kmeans_assign(e, cents)
     return final.select("vec_id", "cent_id",
                         F.round("dist", 4).alias("dist"))
@@ -289,32 +305,8 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates are scored by exact-order cosine on the quantized
     vectors.  Same scale shape as ann_ivf_topk: broadcast centroids,
     candidates bounded by nprobe x cell."""
-    e = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-         .repartition(spark.sparkContext.defaultParallelism)
-         .select("vec_id",
-                 F.transform(
-                     "embedding",
-                     lambda x: F.floor(x.cast("double") * F.lit(_QUANT))
-                     .cast("bigint")).alias("xs")))
-    e = (e.withColumn("xq", F.transform("xs", lambda x: x.cast("double")))
-         .withColumn("nrm", _norm(F.col("xq"))))
-    cents = (e.filter(F.col("vec_id") % CENT_MOD == 0)
-             .select(F.col("vec_id").alias("cent_id"),
-                     F.col("xq").alias("cd")))
-    for _ in range(KMEANS_ITERS):
-        assigned = _kmeans_assign(e, cents)
-        sums = (assigned
-                .select("cent_id", F.posexplode("xs").alias("pos", "val"))
-                .groupBy("cent_id", "pos")
-                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")))
-        cents = (sums.groupBy("cent_id")
-                 .agg(F.array_sort(
-                     F.collect_list(F.struct("pos", "s", "n"))).alias("ps"))
-                 .select("cent_id",
-                         F.transform(
-                             "ps", lambda p: p["s"].cast("double") / p["n"])
-                         .alias("cd")))
-    cents = F.broadcast(cents)
+    e = _quantized(spark, sf_dir).withColumn("nrm", _norm(F.col("xq")))
+    cents = F.broadcast(_train_centroids(e, KMEANS_ITERS))
 
     dist = F.aggregate(
         F.zip_with(F.col("xq"), F.col("cd"), lambda a, b: (a - b) * (a - b)),
@@ -347,23 +339,28 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("cos", 6).alias("cosine")))
 
 
-def _sql_kmeans() -> str:
-    dist = ("list_reduce(list_transform(generate_series(1, len({a})), "
-            "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)")
+# squared-L2 fold shared by every kmeans/IVF SQL oracle below — the same
+# exact-order list_reduce the Spark side's F.aggregate performs
+_SQL_SQDIST = ("list_reduce(list_transform(generate_series(1, len({a})), "
+               "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)")
 
-    def assign(vec_rel: str, cent_rel: str) -> str:
-        return f"""
-  SELECT vec_id, xs, xq, cent_id, dist FROM (
-    SELECT v.vec_id, v.xs, v.xq, c.cent_id,
-           {dist.format(a="v.xq", b="c.cd")} AS dist,
+
+def _sql_lloyd_assign(cent_rel: str) -> str:
+    """One Lloyd assignment CTE: each vector to its nearest centroid
+    (ties to the lowest cent_id) — only the columns update() needs."""
+    return f"""
+  SELECT vec_id, xs, cent_id FROM (
+    SELECT v.vec_id, v.xs, c.cent_id,
            row_number() OVER (
              PARTITION BY v.vec_id
-             ORDER BY {dist.format(a="v.xq", b="c.cd")}, c.cent_id) AS r
-    FROM {vec_rel} v CROSS JOIN {cent_rel} c)
+             ORDER BY {_SQL_SQDIST.format(a="v.xq", b="c.cd")}, c.cent_id) AS r
+    FROM eq v CROSS JOIN {cent_rel} c)
   WHERE r = 1"""
 
-    def update(assigned_rel: str) -> str:
-        return f"""
+
+def _sql_lloyd_update(assigned_rel: str) -> str:
+    """One Lloyd update CTE: integer-sum means per centroid."""
+    return f"""
   SELECT cent_id,
          list(CAST(s AS DOUBLE) / n ORDER BY pos) AS cd
   FROM (
@@ -371,6 +368,30 @@ def _sql_kmeans() -> str:
     FROM {assigned_rel}, unnest(generate_series(1, len(xs))) t(i)
     GROUP BY cent_id, i)
   GROUP BY cent_id"""
+
+
+def _sql_lloyd_chain(sql: str) -> tuple[str, str]:
+    """Append KMEANS_ITERS assign/update CTE pairs (over `eq`, seeded by
+    `c0`); returns (sql, name of the final centroid relation)."""
+    prev = "c0"
+    for it in range(KMEANS_ITERS):
+        sql += f",\na{it} AS ({_sql_lloyd_assign(prev)}\n)"
+        sql += f",\nc{it + 1} AS ({_sql_lloyd_update(f'a{it}')}\n)"
+        prev = f"c{it + 1}"
+    return sql, prev
+
+
+def _sql_kmeans() -> str:
+    def assign(cent_rel: str) -> str:
+        return f"""
+  SELECT vec_id, cent_id, dist FROM (
+    SELECT v.vec_id, c.cent_id,
+           {_SQL_SQDIST.format(a="v.xq", b="c.cd")} AS dist,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_SQL_SQDIST.format(a="v.xq", b="c.cd")}, c.cent_id) AS r
+    FROM eq v CROSS JOIN {cent_rel} c)
+  WHERE r = 1"""
 
     sql = f"""
 WITH e AS (
@@ -383,13 +404,9 @@ eq AS (
   FROM e),
 c0 AS (SELECT vec_id AS cent_id, xq AS cd FROM eq
        WHERE vec_id % {CENT_MOD} = 0)"""
-    prev = "c0"
-    for it in range(KMEANS_ITERS):
-        sql += f",\na{it} AS ({assign('eq', prev)}\n)"
-        sql += f",\nc{it + 1} AS ({update(f'a{it}')}\n)"
-        prev = f"c{it + 1}"
+    sql, prev = _sql_lloyd_chain(sql)
     sql += f""",
-final AS ({assign('eq', prev)}
+final AS ({assign(prev)}
 )
 SELECT vec_id, cent_id, round(dist, 4) AS dist FROM final
 """
@@ -397,38 +414,15 @@ SELECT vec_id, cent_id, round(dist, 4) AS dist FROM final
 
 
 def _sql_ivf_trained() -> str:
-    dist = ("list_reduce(list_transform(generate_series(1, len({a})), "
-            "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)")
-
     def assign(n: int, id_expr: str, where: str = "") -> str:
         return f"""
   SELECT {id_expr} AS id, xq, nrm, cent_id FROM (
     SELECT v.vec_id, v.xq, v.nrm, c.cent_id,
            row_number() OVER (
              PARTITION BY v.vec_id
-             ORDER BY {dist.format(a="v.xq", b="c.cd")}, c.cent_id) AS r
+             ORDER BY {_SQL_SQDIST.format(a="v.xq", b="c.cd")}, c.cent_id) AS r
     FROM eq v CROSS JOIN ck c {where})
   WHERE r <= {n}"""
-
-    def update(assigned_rel: str) -> str:
-        return f"""
-  SELECT cent_id,
-         list(CAST(s AS DOUBLE) / n ORDER BY pos) AS cd
-  FROM (
-    SELECT cent_id, i AS pos, sum(xs[i]) AS s, count(*) AS n
-    FROM {assigned_rel}, unnest(generate_series(1, len(xs))) t(i)
-    GROUP BY cent_id, i)
-  GROUP BY cent_id"""
-
-    def lloyd_assign(cent_rel: str) -> str:
-        return f"""
-  SELECT vec_id, xs, cent_id FROM (
-    SELECT v.vec_id, v.xs, c.cent_id,
-           row_number() OVER (
-             PARTITION BY v.vec_id
-             ORDER BY {dist.format(a="v.xq", b="c.cd")}, c.cent_id) AS r
-    FROM eq v CROSS JOIN {cent_rel} c)
-  WHERE r = 1"""
 
     sql = f"""
 WITH e AS (
@@ -443,11 +437,7 @@ eq AS (
   FROM e),
 c0 AS (SELECT vec_id AS cent_id, xq AS cd FROM eq
        WHERE vec_id % {CENT_MOD} = 0)"""
-    prev = "c0"
-    for it in range(KMEANS_ITERS):
-        sql += f",\na{it} AS ({lloyd_assign(prev)}\n)"
-        sql += f",\nc{it + 1} AS ({update(f'a{it}')}\n)"
-        prev = f"c{it + 1}"
+    sql, prev = _sql_lloyd_chain(sql)
     sql += f""",
 ck AS (SELECT * FROM {prev}),
 corpus AS ({assign(1, 'vec_id')}

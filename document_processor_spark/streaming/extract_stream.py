@@ -55,7 +55,11 @@ def make_batch_processor(table: IceLite, run_id: str, engine: str,
         table.append(result, run_id=f"{run_id}-b{batch_id}",
                      extra={"engine": engine, "n_parts": n_parts,
                             "stream_run_id": run_id,
-                            "streaming_batch_id": batch_id})
+                            "streaming_batch_id": batch_id},
+                     # same write-side clustering as the batch job's default:
+                     # point reads must prune row groups regardless of which
+                     # entry point committed the snapshot
+                     cluster_by=["doc_id"])
     return process_batch
 
 

@@ -31,6 +31,8 @@ def main() -> int:
         return 2
     fq: dict[str, float] = {}
     d = {}
+    seen: dict[Path, set[str]] = {}
+    meta: dict[Path, tuple] = {}
     for src in srcs:
         line = [ln for ln in src.read_text().splitlines()
                 if ln.strip().startswith("{")][-1]
@@ -40,8 +42,39 @@ def main() -> int:
             print(f"{src}: no full_queries — run with SPARK_GRAFT_FULL=1",
                   file=sys.stderr)
             return 2
+        meta[src] = (d.get("sf"), d.get("cpus"))
+        seen[src] = set(part)
         for name, sec in part.items():
             fq[name] = min(fq.get(name, sec), sec)
+    # merged sweeps must measure the same thing: identical sf/cpus, and
+    # every query present in every sweep — otherwise a stale sweep from an
+    # older commit silently mixes scales or hides a missing baseline row
+    if len(set(meta.values())) > 1:
+        print(f"refusing to merge sweeps with differing sf/cpus: "
+              f"{ {str(k): v for k, v in meta.items()} }", file=sys.stderr)
+        return 2
+    for src, names in seen.items():
+        missing = set(fq) - names
+        if missing:
+            print(f"WARNING: {src} is missing {sorted(missing)} — its sweep "
+                  "predates those queries; rerun it or drop it from the "
+                  "merge so every query has a fresh number", file=sys.stderr)
+    # ... and the merge must cover the LIVE query registry: a query added
+    # after the sweeps ran would otherwise ship with no committed number
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entry
+    unbenched = sorted(set(entry.queries()) - set(fq))
+    if unbenched:
+        print(f"ERROR: registry queries with no benched number: {unbenched} "
+              "— rerun SPARK_GRAFT_FULL=1 python bench.py on the current "
+              "code", file=sys.stderr)
+        return 2
+    stale = sorted(set(fq) - set(entry.queries()))
+    if stale:
+        print(f"WARNING: dropping queries no longer in the registry: "
+              f"{stale}", file=sys.stderr)
+        for name in stale:
+            del fq[name]
     d["full_queries"] = fq
     d["full_total"] = round(sum(fq.values()), 3)
 
