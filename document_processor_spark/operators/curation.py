@@ -498,6 +498,110 @@ SELECT doc_id, source, tokens, seq FROM laid
 """
 
 
+# -- DSIR importance resampling -----------------------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al. 2023): weight each
+# raw document by log p_target(x) - log p_raw(x) under cheap hashed n-gram
+# models of a trusted target corpus vs the raw pool, then resample
+# proportionally — the published scale recipe for "pick the web data that
+# looks like the good data".  Deterministic analog: add-one-smoothed
+# word-bigram models, target = the LM_REF_MOD reference slice, raw = the
+# remaining pool.  Dataflow at 10^12 docs: two groupBy(gram) model
+# aggregates, one shuffle equi-join of exploded train grams against both
+# models (co-partitioned on gram), per-doc exact-order fold over the
+# sorted (c_target, c_raw) pairs — the same discipline as ta_lm_xent, so
+# the oracle is bit-identical.  Selection is a deterministic threshold on
+# the mean log-ratio (the resampling dial; Gumbel top-k adds a seeded
+# noise column, same plan shape).
+
+DSIR_T = 0.0  # mean nats/bigram toward the target; >= keeps the doc
+
+
+def q_cur_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_analysis import LM_REF_MOD, _bigrams_col
+
+    d = _docs(spark, sf_dir).select("doc_id", _bigrams_col().alias("grams"))
+    is_ref = F.col("doc_id") % LM_REF_MOD == 0
+    grams = d.select("doc_id", is_ref.alias("is_ref"),
+                     F.explode("grams").alias("gram"))
+    models = (grams.groupBy("gram")
+              .agg(F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+                   .alias("ct"),
+                   F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+                   .alias("cr")))
+    stats = (models.agg(
+        F.sum("ct").alias("nt"),
+        F.sum(F.when(F.col("ct") > 0, 1).otherwise(0)).alias("vt"),
+        F.sum("cr").alias("nr"),
+        F.sum(F.when(F.col("cr") > 0, 1).otherwise(0)).alias("vr")))
+    pairs = (grams.filter(~F.col("is_ref"))
+             .join(models, "gram")
+             .groupBy("doc_id")
+             .agg(F.array_sort(
+                 F.collect_list(F.struct("ct", "cr"))).alias("cs")))
+    fold = F.aggregate(
+        "cs", F.lit(0.0),
+        lambda acc, s: acc + (F.log(s["ct"].cast("double") + F.lit(1.0))
+                              - F.log(s["cr"].cast("double") + F.lit(1.0))))
+    ratio = F.round(
+        fold / F.size("cs").cast("double")
+        - F.log((F.col("nt") + F.col("vt")).cast("double"))
+        + F.log((F.col("nr") + F.col("vr")).cast("double")), 4)
+    return (pairs.crossJoin(F.broadcast(stats))
+            .select("doc_id",
+                    F.size("cs").cast("bigint").alias("n_bigrams"),
+                    ratio.alias("log_ratio"),
+                    (ratio >= DSIR_T).alias("selected")))
+
+
+def _sql_dsir_select() -> str:
+    from .text_analysis import LM_REF_MOD
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, doc_id % {LM_REF_MOD} = 0 AS is_ref,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS grams
+  FROM t),
+grams AS (SELECT doc_id, is_ref, unnest(grams) AS gram FROM g),
+models AS (
+  SELECT gram,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cr
+  FROM grams GROUP BY gram),
+stats AS (
+  SELECT sum(ct) AS nt,
+         sum(CASE WHEN ct > 0 THEN 1 ELSE 0 END) AS vt,
+         sum(cr) AS nr,
+         sum(CASE WHEN cr > 0 THEN 1 ELSE 0 END) AS vr
+  FROM models),
+pairs AS (
+  SELECT gr.doc_id,
+         list({{'ct': m.ct, 'cr': m.cr}} ORDER BY m.ct, m.cr) AS cs
+  FROM grams gr JOIN models m USING (gram)
+  WHERE NOT gr.is_ref
+  GROUP BY gr.doc_id),
+scored AS (
+  SELECT doc_id, cs,
+         round(list_reduce(list_transform(cs,
+                   s -> ln(CAST(s.ct AS DOUBLE) + 1.0)
+                      - ln(CAST(s.cr AS DOUBLE) + 1.0)), (x, y) -> x + y)
+                 / CAST(len(cs) AS DOUBLE)
+               - ln(CAST(nt + vt AS DOUBLE))
+               + ln(CAST(nr + vr AS DOUBLE)), 4) AS log_ratio
+  FROM pairs CROSS JOIN stats)
+SELECT doc_id,
+       CAST(len(cs) AS BIGINT) AS n_bigrams,
+       log_ratio,
+       log_ratio >= {DSIR_T} AS selected
+FROM scored
+"""
+
+
 QUERIES = {
     "cur_corpus_build": (q_cur_corpus_build, _sql_corpus_build()),
     "cur_decontaminate": (q_cur_decontaminate, SQL_CUR_DECONTAMINATE),
@@ -506,4 +610,5 @@ QUERIES = {
     "cur_pack_sequences": (q_cur_pack_sequences, SQL_CUR_PACK_SEQUENCES),
     "cur_pii_redact": (q_cur_pii_redact, SQL_CUR_PII_REDACT),
     "cur_quality_gate": (q_cur_quality_gate, _sql_quality_gate()),
+    "cur_dsir_select": (q_cur_dsir_select, _sql_dsir_select()),
 }

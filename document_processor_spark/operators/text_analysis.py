@@ -420,6 +420,111 @@ FROM t GROUP BY source
 """
 
 
+# -- LM cross-entropy filter (CCNet-style perplexity gate) -------------------
+#
+# CCNet (Wenzek et al. 2020) ranks web documents by the perplexity of a
+# Kneser-Ney LM trained on a trusted reference corpus and drops the worst
+# tail — the canonical statistical quality gate of a web-scale corpus
+# build.  The deterministic analog here: a word-bigram model with add-one
+# smoothing counted on a held-out reference slice (doc_id % LM_REF_MOD
+# == 0), scoring every other document by its cross-entropy under that
+# model.  Dataflow at 10^12 docs: the model is one groupBy(gram) over the
+# reference slice (bigram vocab can exceed broadcast size, so scoring
+# shuffle-joins on gram — co-partitioned equi-join, never a broadcast of
+# the vocab); per-doc scores fold over an array_sort'ed count list, the
+# same exact-order discipline as the kmeans distance folds, so the DuckDB
+# oracle is bit-identical.
+
+LM_REF_MOD = 7     # doc_id % LM_REF_MOD == 0 -> reference slice the LM counts
+LM_XENT_T = 6.9    # nats/bigram; docs at/above this are flagged
+# 6.9 sits at the fixture corpora's median xent (sf0.001 range
+# [6.64, 7.15], sf0.01 [6.58, 7.20]) so both flag outcomes occur;
+# a production gate would set this from a reference-percentile scan.
+
+
+def _bigrams_col():
+    """Adjacent lower-cased word bigrams as a narrow array expression —
+    no explode until the model join needs one row per gram."""
+    toks = F.filter(F.split(F.lower("text"), " ", -1),
+                    lambda w: w != F.lit(""))
+    n = F.size(toks)
+    return F.when(n >= 2, F.zip_with(
+        F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entropy (nats/bigram) of each training document under the
+    reference-slice bigram LM with add-one smoothing:
+    xent = ln(N + V) - mean(ln(c(g) + 1)) over the doc's bigrams, where
+    c(g) is the reference count, N the total reference bigrams, V the
+    vocabulary size.  High xent = far from the reference distribution —
+    the CCNet drop criterion."""
+    d = _docs(spark, sf_dir).select("doc_id", _bigrams_col().alias("grams"))
+    ref = d.filter(F.col("doc_id") % LM_REF_MOD == 0)
+    model = (ref.select(F.explode("grams").alias("gram"))
+             .groupBy("gram").agg(F.count(F.lit(1)).alias("c")))
+    stats = (model.agg(F.sum("c").alias("n_total"),
+                       F.count(F.lit(1)).alias("v")))
+    train = d.filter((F.col("doc_id") % LM_REF_MOD != 0)
+                     & (F.size("grams") > 0))
+    counts = (train.select("doc_id", F.explode("grams").alias("gram"))
+              .join(model, "gram", "left")
+              .select("doc_id", F.coalesce("c", F.lit(0)).alias("c"))
+              .groupBy("doc_id")
+              .agg(F.array_sort(F.collect_list("c")).alias("cs")))
+    fold = F.aggregate(
+        "cs", F.lit(0.0),
+        lambda acc, c: acc + F.log(c.cast("double") + F.lit(1.0)))
+    xent = F.round(
+        F.log((F.col("n_total") + F.col("v")).cast("double"))
+        - fold / F.size("cs").cast("double"), 4)
+    return (counts.crossJoin(F.broadcast(stats))
+            .select("doc_id",
+                    F.size("cs").cast("bigint").alias("n_bigrams"),
+                    xent.alias("xent"),
+                    (xent >= LM_XENT_T).alias("high_xent")))
+
+
+SQL_LM_XENT = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS grams
+  FROM t),
+model AS (
+  SELECT gram, count(*) AS c
+  FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id % {LM_REF_MOD} = 0)
+  GROUP BY gram),
+stats AS (SELECT sum(c) AS n_total, count(*) AS v FROM model),
+train AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+  WHERE doc_id % {LM_REF_MOD} <> 0 AND len(grams) > 0),
+counts AS (
+  SELECT tr.doc_id,
+         list(coalesce(m.c, 0) ORDER BY coalesce(m.c, 0)) AS cs
+  FROM train tr LEFT JOIN model m USING (gram)
+  GROUP BY tr.doc_id),
+scored AS (
+  SELECT doc_id, cs,
+         round(ln(CAST(n_total + v AS DOUBLE))
+               - list_reduce(list_transform(cs,
+                     c -> ln(CAST(c AS DOUBLE) + 1.0)), (x, y) -> x + y)
+                 / CAST(len(cs) AS DOUBLE), 4) AS xent
+  FROM counts CROSS JOIN stats)
+SELECT doc_id,
+       CAST(len(cs) AS BIGINT) AS n_bigrams,
+       xent,
+       xent >= {LM_XENT_T} AS high_xent
+FROM scored
+"""
+
+
 QUERIES = {
     "ta_corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "ta_langid": (q_langid, _sql_langid()),
@@ -429,4 +534,5 @@ QUERIES = {
     "ta_winnow": (q_winnow, SQL_WINNOW),
     "ta_repetition": (q_repetition, SQL_REPETITION),
     "ta_tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "ta_lm_xent": (q_lm_xent, SQL_LM_XENT),
 }

