@@ -462,10 +462,158 @@ FROM ranked WHERE rank <= {TOP_K}
     return sql
 
 
+# -- product quantization: PQ codes + ADC top-k ------------------------------
+#
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011) — the memory side of the real 100 TB ANN
+# stack (FAISS's IVF-PQ): each vector is split into PQ_M subvectors, each
+# subvector quantized to the nearest codeword of a per-subspace codebook,
+# so a 64-dim float vector compresses to PQ_M small codes; queries score
+# candidates with Asymmetric Distance Computation — a per-query table of
+# query-subvector→codeword distances, candidate distance = M table
+# lookups instead of a 64-dim dot product.
+#
+# Spark-first shape, and why it scales:
+# * the codebook is ONE broadcast row (PQ_M nested lists of codewords,
+#   deterministically sampled vec_id % PQ_SEED_MOD — the trained variant
+#   would run the same per-subspace Lloyd loop as ann_kmeans_train);
+# * ENCODING is map-side only: crossJoin with the 1-row broadcast, codes
+#   via narrow argmin folds (array_position of the array_min) — zero
+#   shuffle to encode 10^12 vectors, and the output (vec_id, PQ_M codes)
+#   is the compressed index a sink would persist;
+# * ADC scoring broadcasts the per-query distance tables (Q × M × K
+#   doubles, tiny) over one corpus-codes scan; the rank window is the
+#   only shuffle.  All folds are exact-order doubles, ties break on code
+#   index / vec_id, so the DuckDB oracle is bit-identical.
+
+PQ_M = 8            # subspaces (64-dim embeddings -> 8 dims each)
+PQ_SUB = 8          # dims per subvector
+PQ_SEED_MOD = 7     # vec_id % PQ_SEED_MOD == 0 -> codeword source vectors
+# Recall note: the fixture embeddings are near-uniform random — PQ's
+# worst case (no per-subspace cluster structure), so recall@5 vs exact
+# L2 sits near 0.2-0.3 here (pinned by the test canary); on real
+# embedding manifolds, and with Lloyd-trained codebooks (the same loop
+# as ann_kmeans_train run per subspace), published recall is far higher.
+# The operator's contract is the compression + ADC dataflow and its
+# bit-exact oracle, not the synthetic recall number.
+
+
+def _sqdist(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _pq_subspaces():
+    """sequence 0..PQ_M-1 as the outer loop of every PQ expression.
+
+    Structure warning: the per-subspace slices MUST be driven by a real
+    lambda VARIABLE (transform over this sequence), never by sibling
+    lambdas that differ only in a captured Python constant.  Spark 4.1
+    mis-binds F.array(transform(.., m=0), transform(.., m=1), ...) —
+    element k of every transform takes sibling k's constant, and
+    project-collapse re-creates the broken shape even when the siblings
+    start in separate projected columns (pinned by
+    test_pq_lambda_sibling_isolation)."""
+    return F.sequence(F.lit(0), F.lit(PQ_M - 1))
+
+
+def _pq_codebook(e: DataFrame) -> DataFrame:
+    """One row: cbs[m][k] = subvector m of the k-th seed vector (seeds
+    ordered by vec_id) — the per-subspace codebooks, broadcast-ready."""
+    agg = (e.filter(F.col("vec_id") % PQ_SEED_MOD == 0)
+           .groupBy()
+           .agg(F.array_sort(
+               F.collect_list(F.struct("vec_id", "v"))).alias("sv")))
+    cbs = F.transform(
+        _pq_subspaces(),
+        lambda m: F.transform(
+            "sv", lambda s: F.slice(s["v"], m * PQ_SUB + 1, F.lit(PQ_SUB))))
+    return agg.select(cbs.alias("cbs"))
+
+
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    cb = _pq_codebook(e)
+
+    # dtab[m][k] = sq-L2 of the row's m-th subvector to codeword k — one
+    # nested-lambda tree (see _pq_subspaces' structure warning)
+    dtab = F.transform(
+        _pq_subspaces(),
+        lambda m: F.transform(
+            F.element_at("cbs", m + 1),
+            lambda cw: _sqdist(
+                F.slice(F.col("v"), m * PQ_SUB + 1, F.lit(PQ_SUB)), cw)))
+    codes = F.transform(dtab,
+                        lambda ds: F.array_position(ds, F.array_min(ds)))
+    enc = (e.crossJoin(F.broadcast(cb))
+           .select("vec_id", codes.alias("codes")))
+    q = (e.filter(F.col("vec_id") % QUERY_MOD == 0)
+         .crossJoin(F.broadcast(cb))
+         .select(F.col("vec_id").alias("query_id"), dtab.alias("dtab")))
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(F.element_at("dtab", m + 1),
+                            F.element_at("codes", m + 1).cast("int"))
+        adc = term if adc is None else adc + term
+    pairs = (enc.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "vec_id", adc.alias("adc")))
+    w = W.partitionBy("query_id").orderBy("adc", "vec_id")
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "vec_id",
+                    F.col("rank").cast("bigint").alias("rank"),
+                    F.round("adc", 6).alias("adc_dist")))
+
+
+def _sql_pq_adc() -> str:
+    def sub(v: str, m: int) -> str:
+        return f"{v}[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}]"
+
+    def sq(a: str, b: str) -> str:
+        return ("list_reduce(list_transform(generate_series(1, len({a})), "
+                "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
+                "(x, y) -> x + y)").format(a=a, b=b)
+
+    def ds(m: int) -> str:
+        return (f"list_transform(cbs[{m + 1}], "
+                f"cw -> {sq(sub('v', m), 'cw')})")
+
+    codes = ", ".join(
+        f"list_position({ds(m)}, list_min({ds(m)}))" for m in range(PQ_M))
+    dtab = ", ".join(ds(m) for m in range(PQ_M))
+    adc = " + ".join(
+        f"q.dtab[{m + 1}][e.codes[{m + 1}]]" for m in range(PQ_M))
+    cbs = ", ".join(
+        f"list_transform(sv, s -> {sub('s.v', m)})" for m in range(PQ_M))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (
+  SELECT [{cbs}] AS cbs
+  FROM (SELECT list({{'vec_id': vec_id, 'v': v}} ORDER BY vec_id) AS sv
+        FROM e WHERE vec_id % {PQ_SEED_MOD} = 0)),
+enc AS (
+  SELECT vec_id, [{codes}] AS codes FROM e CROSS JOIN cb),
+q AS (
+  SELECT vec_id AS query_id, [{dtab}] AS dtab
+  FROM e CROSS JOIN cb WHERE vec_id % {QUERY_MOD} = 0),
+pairs AS (
+  SELECT q.query_id, e.vec_id, {adc} AS adc
+  FROM enc e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc, vec_id) AS rank
+  FROM pairs)
+SELECT query_id, vec_id, rank, round(adc, 6) AS adc_dist
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF),
     "ann_kmeans_train": (q_ann_kmeans_train, _sql_kmeans()),
     "ann_ivf_trained_topk": (q_ann_ivf_trained_topk, _sql_ivf_trained()),
+    "ann_pq_adc_topk": (q_ann_pq_adc_topk, _sql_pq_adc()),
 }

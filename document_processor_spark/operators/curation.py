@@ -602,6 +602,59 @@ FROM scored
 """
 
 
+# -- deterministic global shuffle + shard layout (the training exporter) ------
+#
+# The last step of every corpus build: a global pseudo-random shuffle of
+# the curated documents and a split into fixed shards with a stable
+# within-shard order and per-document token offsets — exactly what a
+# trainer's data loader consumes.  Randomness is the md5 hash of doc_id
+# (seedable by salting the hashed string), so the layout is reproducible
+# run-to-run and cluster-size-independent: no rand(), no RDD shuffle.
+#
+# Scale shape: ONE hash shuffle.  shard = h % N_SHARDS is the partition
+# key; the rank/offset windows partition by shard, so Spark plans a
+# single exchange on shard and sorts within partitions — at 10^12 docs
+# the same plan with N_SHARDS ~ 10^5 keeps every sort task bounded
+# (shard count is the parallelism dial, the dataflow is unchanged).
+
+N_SHARDS = 8
+
+
+def q_cur_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).cast("bigint").alias("tokens"),
+        _hash_u(F.col("doc_id")).alias("h"))
+    d = d.withColumn("shard", (F.col("h") % N_SHARDS).cast("bigint"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    woff = w.rowsBetween(Window.unboundedPreceding, -1)
+    return d.select(
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "doc_id", "tokens",
+        F.coalesce(F.sum("tokens").over(woff), F.lit(0))
+         .cast("bigint").alias("token_offset"))
+
+
+SQL_CUR_SHARD_EXPORT = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % {SAMPLE_MOD} AS h
+  FROM documents)
+SELECT CAST(h % {N_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % {N_SHARDS}
+                               ORDER BY h, doc_id) AS BIGINT) AS pos,
+       doc_id, tokens,
+       CAST(coalesce(sum(tokens) OVER (
+              PARTITION BY h % {N_SHARDS} ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS BIGINT) AS token_offset
+FROM d
+"""
+
+
 QUERIES = {
     "cur_corpus_build": (q_cur_corpus_build, _sql_corpus_build()),
     "cur_decontaminate": (q_cur_decontaminate, SQL_CUR_DECONTAMINATE),
@@ -611,4 +664,5 @@ QUERIES = {
     "cur_pii_redact": (q_cur_pii_redact, SQL_CUR_PII_REDACT),
     "cur_quality_gate": (q_cur_quality_gate, _sql_quality_gate()),
     "cur_dsir_select": (q_cur_dsir_select, _sql_dsir_select()),
+    "cur_shard_export": (q_cur_shard_export, SQL_CUR_SHARD_EXPORT),
 }

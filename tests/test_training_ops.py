@@ -182,3 +182,92 @@ def test_dsir_log_ratio_contract(spark):
     # the weight must discriminate: the fixture corpus has docs on both
     # sides of the target/raw divide
     assert {r["selected"] for r in rows} == {True, False}
+
+
+def test_pq_adc_contract(spark):
+    """PQ/ADC structure: dense ranks ascending in adc, no self-match,
+    non-negative distances, and a recall canary vs EXACT L2 top-k (the
+    metric ADC approximates).  Measured recall@5 on the near-uniform
+    synthetic embeddings — PQ's worst case, no subspace cluster
+    structure — is ~0.18 at sf0.001; the floor guards against a lookup
+    bug (wrong code/table indexing lands at the ~0.01 random baseline),
+    not a quality target."""
+    from document_processor_spark.operators import ann
+    rows = ann.q_ann_pq_adc_topk(spark, SF_DIR).collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        assert r["vec_id"] != r["query_id"]
+        assert r["adc_dist"] >= 0.0
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)
+    # exact-L2 truth via the same embeddings
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    e = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+         .select("vec_id", F.transform(
+             "embedding", lambda x: x.cast("double")).alias("v")))
+    qs = e.filter(F.col("vec_id") % ann.QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    d = F.aggregate(F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x)
+    w = W.partitionBy("query_id").orderBy("d", "vec_id")
+    truth_rows = (e.crossJoin(F.broadcast(qs))
+                  .filter(F.col("vec_id") != F.col("query_id"))
+                  .select("query_id", "vec_id", d.alias("d"))
+                  .withColumn("r", F.row_number().over(w))
+                  .filter(F.col("r") <= ann.TOP_K).collect())
+    truth: dict = {}
+    for r in truth_rows:
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {q: {r["vec_id"] for r in rs} for q, rs in by_q.items()}
+    total = sum(len(v) for v in truth.values())
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    assert hits / total >= 0.1, f"PQ recall collapsed: {hits / total}"
+
+
+def test_shard_export_contract(spark):
+    """Every document lands in exactly one shard; positions are dense
+    from 1 within each shard; token offsets telescope (each row's offset
+    = previous offset + previous tokens); all shards are populated."""
+    rows = curation.q_cur_shard_export(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert len(rows) == docs.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == set(range(curation.N_SHARDS))
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in rs] == list(range(1, len(rs) + 1))
+        off = 0
+        for r in rs:
+            assert r["token_offset"] == off
+            off += r["tokens"]
+
+
+def test_pq_lambda_sibling_isolation(spark):
+    """Regression pin for the workaround in ann._pq_subspaces: sibling
+    HOF lambdas differing only in a captured Python constant mis-bind in
+    Spark 4.1 (element k of every transform takes sibling k's constant),
+    even when first analyzed as separate columns (project-collapse
+    recreates the broken shape).  The nested-lambda structure must yield
+    cbs[m][k] == seed_k.v[m*SUB : (m+1)*SUB] exactly."""
+    from pyspark.sql import functions as F
+    from document_processor_spark.operators import ann
+    e = ann._emb(spark, SF_DIR).select("vec_id", "v")
+    sv = (e.filter(F.col("vec_id") % ann.PQ_SEED_MOD == 0)
+          .groupBy().agg(F.array_sort(
+              F.collect_list(F.struct("vec_id", "v"))).alias("sv"))
+          .collect()[0]["sv"])
+    cbs = ann._pq_codebook(e).collect()[0]["cbs"]
+    assert len(cbs) == ann.PQ_M and len(cbs[0]) == len(sv)
+    for m in range(ann.PQ_M):
+        for k, s in enumerate(sv):
+            assert cbs[m][k] == list(
+                s["v"][m * ann.PQ_SUB:(m + 1) * ann.PQ_SUB]), (m, k)

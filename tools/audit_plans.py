@@ -63,6 +63,10 @@ NOTES = {
         "crossJoin with a broadcast 1-ROW aggregate (target/raw totals + "
         "vocab sizes) — constant-size side; the model join is equi on "
         "gram"),
+    "ann_pq_adc_topk": (
+        "BNLJ = broadcast of the 1-ROW PQ codebook (encode + query "
+        "tables) and of the bounded query-side ADC tables vs one "
+        "corpus-codes scan — the documented ADC shape"),
 }
 
 HEADER = '''# PLANS.md — physical-plan audit of the driver query surface
