@@ -620,12 +620,14 @@ FROM scored
 N_SHARDS = 8
 
 
-def q_cur_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).select(
+def shard_layout(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """(shard, pos, doc_id, tokens, token_offset) for any (doc_id, text)
+    frame — shared by the driver query and the writer job."""
+    d = docs.select(
         "doc_id",
         F.size(F.split("text", " ", -1)).cast("bigint").alias("tokens"),
         _hash_u(F.col("doc_id")).alias("h"))
-    d = d.withColumn("shard", (F.col("h") % N_SHARDS).cast("bigint"))
+    d = d.withColumn("shard", (F.col("h") % n_shards).cast("bigint"))
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
     woff = w.rowsBetween(Window.unboundedPreceding, -1)
     return d.select(
@@ -634,6 +636,10 @@ def q_cur_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "tokens",
         F.coalesce(F.sum("tokens").over(woff), F.lit(0))
          .cast("bigint").alias("token_offset"))
+
+
+def q_cur_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_layout(_docs(spark, sf_dir))
 
 
 SQL_CUR_SHARD_EXPORT = f"""
@@ -655,6 +661,58 @@ FROM d
 """
 
 
+# -- temperature-scaled source mixing ------------------------------------------
+#
+# Multinomial mixture reweighting with temperature — the knob every
+# multilingual LLM corpus uses (mT5/XLM-R-style alpha sampling): language
+# s with n_s documents is kept with probability p_s = (n_min/n_s)^(1-alpha),
+# so alpha=1 keeps the natural mix, alpha=0 equalizes all languages to the
+# smallest, and MIX_ALPHA=0.5 square-root-flattens the head (the fixture
+# corpus is source-uniform but language-skewed, en 2-3x fr).  Fully
+# deterministic and map-side: the per-source counts are a tiny broadcast
+# aggregate, membership is the same md5 integer test as
+# cur_stratified_sample (u < floor(p_s * SAMPLE_MOD)), evaluated with
+# identical IEEE double ops in both engines — no rand(), reproducible at
+# any cluster size.
+
+MIX_ALPHA = 0.5
+
+
+def q_cur_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lang"))
+    nmin = counts.agg(F.min("n_lang").alias("n_min"))
+    rates = (counts.crossJoin(F.broadcast(nmin))
+             .select("lang", "n_lang",
+                     F.floor(F.pow(F.col("n_min").cast("double")
+                                   / F.col("n_lang").cast("double"),
+                                   F.lit(1.0 - MIX_ALPHA))
+                             * F.lit(SAMPLE_MOD))
+                     .cast("bigint").alias("keep_scaled")))
+    return (d.join(F.broadcast(rates), "lang")
+            .select("doc_id", "lang", "n_lang", "keep_scaled",
+                    (_hash_u(F.col("doc_id")) < F.col("keep_scaled"))
+                    .alias("selected")))
+
+
+SQL_CUR_TEMPERATURE_MIX = f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+  FROM documents GROUP BY lang),
+rates AS (
+  SELECT lang, n_lang,
+         CAST(floor(pow(CAST((SELECT min(n_lang) FROM counts) AS DOUBLE)
+                        / CAST(n_lang AS DOUBLE), {1.0 - MIX_ALPHA})
+                    * {SAMPLE_MOD}) AS BIGINT) AS keep_scaled
+  FROM counts)
+SELECT d.doc_id, d.lang, r.n_lang, r.keep_scaled,
+       ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+         % {SAMPLE_MOD} < r.keep_scaled AS selected
+FROM documents d JOIN rates r USING (lang)
+"""
+
+
 QUERIES = {
     "cur_corpus_build": (q_cur_corpus_build, _sql_corpus_build()),
     "cur_decontaminate": (q_cur_decontaminate, SQL_CUR_DECONTAMINATE),
@@ -665,4 +723,5 @@ QUERIES = {
     "cur_quality_gate": (q_cur_quality_gate, _sql_quality_gate()),
     "cur_dsir_select": (q_cur_dsir_select, _sql_dsir_select()),
     "cur_shard_export": (q_cur_shard_export, SQL_CUR_SHARD_EXPORT),
+    "cur_temperature_mix": (q_cur_temperature_mix, SQL_CUR_TEMPERATURE_MIX),
 }

@@ -267,6 +267,40 @@ GROUP BY source
 """
 
 
+
+# -- grouping-sets rollup ----------------------------------------------------------
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup: revenue at (returnflag, linestatus), per returnflag
+    subtotals, and the grand total in ONE pass — Spark's Expand node
+    replicates rows per grouping set MAP-SIDE and partial-aggregates
+    before the single hash shuffle, exactly the plan a 10^12-row cube
+    build wants (never union-of-3-scans).  grouping_id() disambiguates
+    subtotal NULLs from data NULLs; decimal sums keep the result
+    partial-order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.grouping_id().cast("bigint").alias("gid"),
+                 F.sum(rev).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_rows"))
+            .select("l_returnflag", "l_linestatus", "gid",
+                    "revenue", "n_rows"))
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
 QUERIES = {
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "rel_asof_attribution": (q_asof_attribution, SQL_ASOF_ATTRIBUTION),
@@ -275,4 +309,5 @@ QUERIES = {
     "rel_top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "rel_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "rel_tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING_HOURLY),
+    "rel_revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
 }

@@ -525,6 +525,85 @@ FROM scored
 """
 
 
+# -- word-entropy / lexical-diversity signal ----------------------------------
+#
+# Shannon entropy of the within-document word distribution plus the
+# type-token ratio — the lexical-diversity quality signals (a boilerplate
+# page or keyword-stuffed spam page has low entropy; Gopher/C4-class
+# filters cut on exactly this family).  Implementation is MAP-ONLY, zero
+# shuffle, pure Catalyst: sort the token array, find run boundaries with
+# an indexed filter against a sentinel-padded shifted view (no
+# out-of-bounds element_at, ANSI-safe), difference consecutive boundary
+# positions into run lengths, and fold -sum((c/n) ln(c/n)) in boundary
+# order — the same exact-order discipline as every fold here, so the
+# DuckDB oracle is bit-identical.  At 10^12 docs this is one narrow
+# projection over the scan.
+
+
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower("text"), " ", -1),
+                    lambda w: w != F.lit(""))
+    d = d.select("doc_id", F.array_sort(toks).alias("st"))
+    n = F.size("st")
+    # shifted view padded with "" (tokens are non-empty, so the sentinel
+    # can never equal a token): position i is a run end iff st[i] != pad[i+1]
+    pad = F.concat("st", F.array(F.lit("")))
+    ends = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.element_at(F.col("st"), i)
+        != F.element_at(pad, (i + F.lit(1)).cast("int")))
+    d = d.filter(n > 0).select(
+        "doc_id", n.alias("n"), ends.alias("ends"))
+    counts = F.transform(
+        F.sequence(F.lit(1), F.size("ends")),
+        lambda j: F.when(j == 1, F.element_at(F.col("ends"), F.lit(1)))
+        .otherwise(F.element_at(F.col("ends"), j.cast("int"))
+                   - F.element_at(F.col("ends"), (j - F.lit(1)).cast("int"))))
+    d = d.select("doc_id", "n", counts.alias("cs"))
+    p = lambda c: c.cast("double") / F.col("n").cast("double")  # noqa: E731
+    ent = -F.aggregate(
+        "cs", F.lit(0.0),
+        lambda acc, c: acc + p(c) * F.log(p(c)))
+    return d.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_words"),
+        F.size("cs").cast("bigint").alias("n_types"),
+        F.round(ent, 4).alias("word_entropy"),
+        F.round(F.size("cs").cast("double") / F.col("n").cast("double"), 4)
+         .alias("type_token_ratio"))
+
+
+SQL_ENTROPY = """
+WITH t AS (
+  SELECT doc_id,
+         list_sort(list_filter(string_split(lower(text), ' '),
+                               w -> w <> '')) AS st
+  FROM documents),
+r AS (
+  SELECT doc_id, len(st) AS n,
+         list_filter(generate_series(1, len(st)),
+                     i -> st[i] <> coalesce(st[i + 1], '')) AS ends
+  FROM t WHERE len(st) > 0),
+c AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(1, len(ends)),
+                        j -> CASE WHEN j = 1 THEN ends[1]
+                                  ELSE ends[j] - ends[j - 1] END) AS cs
+  FROM r)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       CAST(len(cs) AS BIGINT) AS n_types,
+       round(-list_reduce(list_transform(cs,
+                 c -> (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))),
+             (x, y) -> x + y), 4) AS word_entropy,
+       round(CAST(len(cs) AS DOUBLE) / CAST(n AS DOUBLE), 4)
+         AS type_token_ratio
+FROM c
+"""
+
+
 QUERIES = {
     "ta_corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "ta_langid": (q_langid, _sql_langid()),
@@ -535,4 +614,5 @@ QUERIES = {
     "ta_repetition": (q_repetition, SQL_REPETITION),
     "ta_tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "ta_lm_xent": (q_lm_xent, SQL_LM_XENT),
+    "ta_entropy": (q_entropy, SQL_ENTROPY),
 }

@@ -271,3 +271,49 @@ def test_pq_lambda_sibling_isolation(spark):
         for k, s in enumerate(sv):
             assert cbs[m][k] == list(
                 s["v"][m * ann.PQ_SUB:(m + 1) * ann.PQ_SUB]), (m, k)
+
+
+def test_entropy_contract(spark):
+    """0 <= H <= ln(n_types) (uniform bound); H == 0 iff one type;
+    n_types <= n_words; TTR in (0, 1]."""
+    import math
+    rows = text_analysis.q_entropy(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_types"] <= r["n_words"]
+        assert 0.0 <= r["word_entropy"] <= round(
+            math.log(r["n_types"]), 4) + 1e-9
+        if r["n_types"] == 1:
+            assert abs(r["word_entropy"]) == 0.0
+        assert 0.0 < r["type_token_ratio"] <= 1.0
+        # Spark ROUND is half-up, Python round() banker's — compare
+        # with a half-ulp tolerance at 4 decimals
+        assert abs(r["type_token_ratio"]
+                   - r["n_types"] / r["n_words"]) <= 5e-5
+
+
+def test_temperature_mix_contract(spark):
+    """The smallest language keeps everything (p=1); larger languages
+    keep a sqrt-flattened fraction; selection matches the hash test."""
+    rows = curation.q_cur_temperature_mix(spark, SF_DIR).collect()
+    assert rows
+    n_min = min(r["n_lang"] for r in rows)
+    for r in rows:
+        expected = int((n_min / r["n_lang"])
+                       ** (1.0 - curation.MIX_ALPHA)
+                       * curation.SAMPLE_MOD)
+        assert abs(r["keep_scaled"] - expected) <= 1
+        if r["n_lang"] == n_min:
+            assert r["keep_scaled"] == curation.SAMPLE_MOD
+            assert r["selected"]
+    # the flattening must bite: at least one language below full keep,
+    # and its realized rate should be within a loose band of keep_scaled
+    partial = [r for r in rows if r["n_lang"] > n_min]
+    assert partial
+    by_lang: dict = {}
+    for r in partial:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rate = sum(r["selected"] for r in rs) / len(rs)
+        want = rs[0]["keep_scaled"] / curation.SAMPLE_MOD
+        assert abs(rate - want) < 0.2, (lang, rate, want)

@@ -63,6 +63,9 @@ NOTES = {
         "crossJoin with a broadcast 1-ROW aggregate (target/raw totals + "
         "vocab sizes) — constant-size side; the model join is equi on "
         "gram"),
+    "cur_temperature_mix": (
+        "crossJoin with a broadcast 1-ROW aggregate (global min language "
+        "count) — constant-size side"),
     "ann_pq_adc_topk": (
         "BNLJ = broadcast of the 1-ROW PQ codebook (encode + query "
         "tables) and of the bounded query-side ADC tables vs one "
