@@ -531,32 +531,33 @@ def _pq_codebook(e: DataFrame) -> DataFrame:
     return agg.select(cbs.alias("cbs"))
 
 
-def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir).select("vec_id", "v")
-    cb = _pq_codebook(e)
-
-    # dtab[m][k] = sq-L2 of the row's m-th subvector to codeword k — one
-    # nested-lambda tree (see _pq_subspaces' structure warning)
-    dtab = F.transform(
+def _pq_dtab():
+    """dtab[m][k] = sq-L2 of the row's m-th subvector to codeword k — one
+    nested-lambda tree (see _pq_subspaces' structure warning)."""
+    return F.transform(
         _pq_subspaces(),
         lambda m: F.transform(
             F.element_at("cbs", m + 1),
             lambda cw: _sqdist(
                 F.slice(F.col("v"), m * PQ_SUB + 1, F.lit(PQ_SUB)), cw)))
-    codes = F.transform(dtab,
-                        lambda ds: F.array_position(ds, F.array_min(ds)))
-    enc = (e.crossJoin(F.broadcast(cb))
-           .select("vec_id", codes.alias("codes")))
-    q = (e.filter(F.col("vec_id") % QUERY_MOD == 0)
-         .crossJoin(F.broadcast(cb))
-         .select(F.col("vec_id").alias("query_id"), dtab.alias("dtab")))
+
+
+def _pq_codes():
+    return F.transform(_pq_dtab(),
+                       lambda ds: F.array_position(ds, F.array_min(ds)))
+
+
+def _pq_adc():
+    """M table lookups, summed left-to-right — the ADC distance."""
     adc = None
     for m in range(PQ_M):
         term = F.element_at(F.element_at("dtab", m + 1),
                             F.element_at("codes", m + 1).cast("int"))
         adc = term if adc is None else adc + term
-    pairs = (enc.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-             .select("query_id", "vec_id", adc.alias("adc")))
+    return adc
+
+
+def _pq_rank(pairs: DataFrame) -> DataFrame:
     w = W.partitionBy("query_id").orderBy("adc", "vec_id")
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOP_K)
@@ -565,40 +566,152 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("adc", 6).alias("adc_dist")))
 
 
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    cb = _pq_codebook(e)
+    enc = (e.crossJoin(F.broadcast(cb))
+           .select("vec_id", _pq_codes().alias("codes")))
+    q = (e.filter(F.col("vec_id") % QUERY_MOD == 0)
+         .crossJoin(F.broadcast(cb))
+         .select(F.col("vec_id").alias("query_id"), _pq_dtab().alias("dtab")))
+    pairs = (enc.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "vec_id", _pq_adc().alias("adc")))
+    return _pq_rank(pairs)
+
+
+def _pq_sql_sub(v: str, m: int) -> str:
+    return f"{v}[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}]"
+
+
+def _pq_sql_sq(a: str, b: str) -> str:
+    return ("list_reduce(list_transform(generate_series(1, len({a})), "
+            "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
+            "(x, y) -> x + y)").format(a=a, b=b)
+
+
+def _pq_sql_ds(m: int) -> str:
+    return (f"list_transform(cbs[{m + 1}], "
+            f"cw -> {_pq_sql_sq(_pq_sql_sub('v', m), 'cw')})")
+
+
+def _pq_sql_parts() -> dict[str, str]:
+    cbs = ", ".join(f"list_transform(sv, s -> {_pq_sql_sub('s.v', m)})"
+                    for m in range(PQ_M))
+    cb_cte = (f"cb AS (\n  SELECT [{cbs}] AS cbs\n"
+              "  FROM (SELECT list({'vec_id': vec_id, 'v': v} "
+              "ORDER BY vec_id) AS sv\n"
+              f"        FROM e WHERE vec_id % {PQ_SEED_MOD} = 0))")
+    return {
+        "codes": ", ".join(
+            f"list_position({_pq_sql_ds(m)}, list_min({_pq_sql_ds(m)}))"
+            for m in range(PQ_M)),
+        "dtab": ", ".join(_pq_sql_ds(m) for m in range(PQ_M)),
+        "cb_cte": cb_cte,
+    }
+
+
+def _pq_sql_adc(code_rel: str, tab_rel: str) -> str:
+    return " + ".join(
+        f"{tab_rel}.dtab[{m + 1}][{code_rel}.codes[{m + 1}]]"
+        for m in range(PQ_M))
+
+
 def _sql_pq_adc() -> str:
-    def sub(v: str, m: int) -> str:
-        return f"{v}[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}]"
-
-    def sq(a: str, b: str) -> str:
-        return ("list_reduce(list_transform(generate_series(1, len({a})), "
-                "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
-                "(x, y) -> x + y)").format(a=a, b=b)
-
-    def ds(m: int) -> str:
-        return (f"list_transform(cbs[{m + 1}], "
-                f"cw -> {sq(sub('v', m), 'cw')})")
-
-    codes = ", ".join(
-        f"list_position({ds(m)}, list_min({ds(m)}))" for m in range(PQ_M))
-    dtab = ", ".join(ds(m) for m in range(PQ_M))
-    adc = " + ".join(
-        f"q.dtab[{m + 1}][e.codes[{m + 1}]]" for m in range(PQ_M))
-    cbs = ", ".join(
-        f"list_transform(sv, s -> {sub('s.v', m)})" for m in range(PQ_M))
+    p = _pq_sql_parts()
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cb AS (
-  SELECT [{cbs}] AS cbs
-  FROM (SELECT list({{'vec_id': vec_id, 'v': v}} ORDER BY vec_id) AS sv
-        FROM e WHERE vec_id % {PQ_SEED_MOD} = 0)),
+{p["cb_cte"]},
 enc AS (
-  SELECT vec_id, [{codes}] AS codes FROM e CROSS JOIN cb),
+  SELECT vec_id, [{p["codes"]}] AS codes FROM e CROSS JOIN cb),
 q AS (
-  SELECT vec_id AS query_id, [{dtab}] AS dtab
+  SELECT vec_id AS query_id, [{p["dtab"]}] AS dtab
   FROM e CROSS JOIN cb WHERE vec_id % {QUERY_MOD} = 0),
 pairs AS (
-  SELECT q.query_id, e.vec_id, {adc} AS adc
+  SELECT q.query_id, e.vec_id, {_pq_sql_adc("e", "q")} AS adc
   FROM enc e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc, vec_id) AS rank
+  FROM pairs)
+SELECT query_id, vec_id, rank, round(adc, 6) AS adc_dist
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# -- IVF-PQ: coarse cells + ADC scoring — the FAISS-shipping shape ------------
+
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the memory-bounded ANN index the 100 TB deployment
+    actually runs (FAISS IVFADC, Jégou et al. 2011 §V): coarse cells
+    bound the CANDIDATE COUNT (nprobe × cell size, never the corpus) and
+    PQ codes bound the PER-CANDIDATE COST (PQ_M table lookups) and the
+    index footprint (codes, not vectors — the corpus's float payload
+    never reaches the scoring join).  Cell assignment is L2 to the
+    broadcast centroid set (consistent with ADC's metric, unlike the
+    cosine cells of ann_ivf_topk); codes/tables come from the broadcast
+    1-row codebook; the only shuffle is the equi-join on cent_id."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    cb = _pq_codebook(e)
+    cents = (e.filter(F.col("vec_id") % CENT_MOD == 0)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("v").alias("cv")))
+    cdist = _sqdist(F.col("v"), F.col("cv"))
+
+    def cells(side: DataFrame, id_col: str, n: int) -> DataFrame:
+        w = W.partitionBy(id_col).orderBy("cdist", "cent_id")
+        return (side.crossJoin(F.broadcast(cents))
+                .select(id_col, "v", "cent_id", cdist.alias("cdist"))
+                .withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") <= n)
+                .drop("cdist", "r"))
+
+    enc = (cells(e, "vec_id", 1)
+           .crossJoin(F.broadcast(cb))
+           .select("vec_id", "cent_id", _pq_codes().alias("codes")))
+    qs = (e.filter(F.col("vec_id") % QUERY_MOD == 0)
+          .select(F.col("vec_id").alias("query_id"), "v"))
+    q = (cells(qs, "query_id", N_PROBE)
+         .crossJoin(F.broadcast(cb))
+         .select("query_id", "cent_id", _pq_dtab().alias("dtab")))
+    pairs = (enc.join(q, "cent_id")
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "vec_id", _pq_adc().alias("adc")))
+    return _pq_rank(pairs)
+
+
+def _sql_ivf_pq() -> str:
+    p = _pq_sql_parts()
+
+    def assign(n: int, id_expr: str, where: str = "") -> str:
+        return f"""
+  SELECT {id_expr} AS id, v, cent_id FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_pq_sql_sq("e.v", "c.cv")}, c.cent_id) AS r
+    FROM e CROSS JOIN cents c {where})
+  WHERE r <= {n}"""
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{p["cb_cte"]},
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+          WHERE vec_id % {CENT_MOD} = 0),
+assigned AS ({assign(1, 'vec_id')}
+),
+enc AS (
+  SELECT id AS vec_id, cent_id, [{p["codes"]}] AS codes
+  FROM assigned CROSS JOIN cb),
+probes AS ({assign(N_PROBE, 'vec_id',
+                   f'WHERE e.vec_id % {QUERY_MOD} = 0')}
+),
+q AS (
+  SELECT id AS query_id, cent_id, [{p["dtab"]}] AS dtab
+  FROM probes CROSS JOIN cb),
+pairs AS (
+  SELECT q.query_id, a.vec_id, {_pq_sql_adc("a", "q")} AS adc
+  FROM enc a JOIN q USING (cent_id) WHERE a.vec_id <> q.query_id),
 ranked AS (
   SELECT query_id, vec_id, adc,
          row_number() OVER (PARTITION BY query_id
@@ -616,4 +729,5 @@ QUERIES = {
     "ann_kmeans_train": (q_ann_kmeans_train, _sql_kmeans()),
     "ann_ivf_trained_topk": (q_ann_ivf_trained_topk, _sql_ivf_trained()),
     "ann_pq_adc_topk": (q_ann_pq_adc_topk, _sql_pq_adc()),
+    "ann_ivf_pq_topk": (q_ann_ivf_pq_topk, _sql_ivf_pq()),
 }

@@ -317,3 +317,47 @@ def test_temperature_mix_contract(spark):
         rate = sum(r["selected"] for r in rs) / len(rs)
         want = rs[0]["keep_scaled"] / curation.SAMPLE_MOD
         assert abs(rate - want) < 0.2, (lang, rate, want)
+
+
+def test_ivf_pq_contract(spark):
+    """IVF-PQ structure + recall canary vs exact L2 (measured ~0.2 at
+    sf0.001 on the worst-case uniform embeddings; the floor guards a
+    probe/lookup bug landing at the ~0.01 random baseline).  Also pins
+    the candidate-bounding property: every result must come from one of
+    the query's probed cells."""
+    from pyspark.sql import functions as F
+    from document_processor_spark.operators import ann
+    rows = ann.q_ann_ivf_pq_topk(spark, SF_DIR).collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        assert r["vec_id"] != r["query_id"]
+        assert r["adc_dist"] >= 0.0
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)
+    # recall floor vs exact L2
+    e = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+         .select("vec_id", F.transform(
+             "embedding", lambda x: x.cast("double")).alias("v")))
+    qs = e.filter(F.col("vec_id") % ann.QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    from pyspark.sql import Window as W
+    d = F.aggregate(F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x)
+    w = W.partitionBy("query_id").orderBy("d", "vec_id")
+    truth_rows = (e.crossJoin(F.broadcast(qs))
+                  .filter(F.col("vec_id") != F.col("query_id"))
+                  .select("query_id", "vec_id", d.alias("d"))
+                  .withColumn("r", F.row_number().over(w))
+                  .filter(F.col("r") <= ann.TOP_K).collect())
+    truth: dict = {}
+    for r in truth_rows:
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {q: {r["vec_id"] for r in rs} for q, rs in by_q.items()}
+    total = sum(len(v) for v in truth.values())
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    assert hits / total >= 0.1, f"IVF-PQ recall collapsed: {hits / total}"

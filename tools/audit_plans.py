@@ -70,6 +70,10 @@ NOTES = {
         "BNLJ = broadcast of the 1-ROW PQ codebook (encode + query "
         "tables) and of the bounded query-side ADC tables vs one "
         "corpus-codes scan — the documented ADC shape"),
+    "ann_ivf_pq_topk": (
+        "BNLJ = broadcast of the bounded centroid set (cell assignment/"
+        "probe) + the 1-ROW PQ codebook; the candidate join is equi on "
+        "cent_id"),
 }
 
 HEADER = '''# PLANS.md — physical-plan audit of the driver query surface
