@@ -301,6 +301,89 @@ FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
+
+# -- funnel / sequential-pattern analysis -------------------------------------------
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view -> click -> purchase): per user, the
+    first view, the first click AT/AFTER that view, and the first
+    purchase at/after that click — the sequential-pattern operator event
+    warehouses ship as MATCH_RECOGNIZE / windowFunnel.  Three conditional
+    -min aggregations co-partitioned on user_id (the exchange is reused
+    across stages); time is microseconds RELATIVE to the user's first
+    event (timestamp differences only — timezone-free, both engines
+    identical).  NULL ordering does the gating: `us >= tv` is NULL until
+    the previous stage fired, so the conditional min skips it."""
+    ev = _t(spark, sf_dir, "events")
+    t0 = F.min("ts").over(W.partitionBy("user_id"))
+    b = (ev.withColumn("t0", t0)
+         .select("user_id", "event_type",
+                 F.expr("timestampdiff(MICROSECOND, t0, ts)").alias("us")))
+    v = b.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.when(F.col("event_type") == "view", F.col("us")))
+         .alias("tv"))
+    c = (b.join(v, "user_id")
+         .groupBy("user_id")
+         .agg(F.min("n_events").alias("n_events"),
+              F.min("tv").alias("tv"),
+              F.min(F.when((F.col("event_type") == "click")
+                           & (F.col("us") >= F.col("tv")), F.col("us")))
+               .alias("tc")))
+    pr = (b.join(c, "user_id")
+          .groupBy("user_id")
+          .agg(F.min("n_events").alias("n_events"),
+               F.min("tv").alias("tv"),
+               F.min("tc").alias("tc"),
+               F.min(F.when((F.col("event_type") == "purchase")
+                            & (F.col("us") >= F.col("tc")), F.col("us")))
+                .alias("tp")))
+    stage = (F.when(F.col("tv").isNull(), 0)
+             .when(F.col("tc").isNull(), 1)
+             .when(F.col("tp").isNull(), 2)
+             .otherwise(3))
+    return pr.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        stage.cast("bigint").alias("funnel_stage"),
+        F.col("tv").cast("bigint").alias("view_us"),
+        F.col("tc").cast("bigint").alias("click_us"),
+        F.col("tp").cast("bigint").alias("purchase_us"),
+        (F.col("tp") - F.col("tv")).cast("bigint")
+         .alias("view_to_purchase_us"))
+
+
+SQL_FUNNEL = """
+WITH b AS (
+  SELECT user_id, event_type,
+         date_diff('microsecond',
+                   min(ts) OVER (PARTITION BY user_id), ts) AS us
+  FROM events),
+v AS (
+  SELECT user_id, count(*) AS n_events,
+         min(CASE WHEN event_type = 'view' THEN us END) AS tv
+  FROM b GROUP BY user_id),
+c AS (
+  SELECT b.user_id, min(v.n_events) AS n_events, min(v.tv) AS tv,
+         min(CASE WHEN event_type = 'click' AND us >= tv THEN us END) AS tc
+  FROM b JOIN v USING (user_id) GROUP BY b.user_id),
+p AS (
+  SELECT b.user_id, min(c.n_events) AS n_events, min(c.tv) AS tv,
+         min(c.tc) AS tc,
+         min(CASE WHEN event_type = 'purchase' AND us >= tc THEN us END) AS tp
+  FROM b JOIN c USING (user_id) GROUP BY b.user_id)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(CASE WHEN tv IS NULL THEN 0
+                 WHEN tc IS NULL THEN 1
+                 WHEN tp IS NULL THEN 2 ELSE 3 END AS BIGINT) AS funnel_stage,
+       CAST(tv AS BIGINT) AS view_us,
+       CAST(tc AS BIGINT) AS click_us,
+       CAST(tp AS BIGINT) AS purchase_us,
+       CAST(tp - tv AS BIGINT) AS view_to_purchase_us
+FROM p
+"""
+
 QUERIES = {
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "rel_asof_attribution": (q_asof_attribution, SQL_ASOF_ATTRIBUTION),
@@ -310,4 +393,5 @@ QUERIES = {
     "rel_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "rel_tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING_HOURLY),
     "rel_revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    "rel_funnel": (q_funnel, SQL_FUNNEL),
 }

@@ -361,3 +361,53 @@ def test_ivf_pq_contract(spark):
     total = sum(len(v) for v in truth.values())
     hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
     assert hits / total >= 0.1, f"IVF-PQ recall collapsed: {hits / total}"
+
+
+def test_funnel_stage_invariants(spark):
+    """Stage gating: timestamps exist exactly up to the reached stage and
+    are ordered view <= click <= purchase; the duration column only
+    exists at stage 3 and telescopes."""
+    from document_processor_spark.operators import relational
+    rows = relational.q_funnel(spark, SF_DIR).collect()
+    assert rows
+    stages = set()
+    for r in rows:
+        s = r["funnel_stage"]
+        stages.add(s)
+        assert (r["view_us"] is not None) == (s >= 1)
+        assert (r["click_us"] is not None) == (s >= 2)
+        assert (r["purchase_us"] is not None) == (s >= 3)
+        if s >= 2:
+            assert r["view_us"] <= r["click_us"]
+        if s >= 3:
+            assert r["click_us"] <= r["purchase_us"]
+            assert r["view_to_purchase_us"] == (
+                r["purchase_us"] - r["view_us"])
+        else:
+            assert r["view_to_purchase_us"] is None
+    assert stages, "no users"
+    # exact recomputation in pure Python for every user
+    ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+          .select("user_id", "event_type", "ts").collect())
+    by_user: dict = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append(
+            (e["ts"], e["event_type"]))
+    got = {r["user_id"]: r for r in rows}
+    assert set(got) == set(by_user)
+    for uid, evs in by_user.items():
+        evs.sort()
+        t0 = evs[0][0]
+        def micros(t):
+            d = t - t0
+            return (d.days * 86_400_000_000 + d.seconds * 1_000_000
+                    + d.microseconds)
+        us = [(micros(t), et) for t, et in evs]
+        tv = min((u for u, et in us if et == "view"), default=None)
+        tc = (min((u for u, et in us if et == "click" and u >= tv),
+                  default=None) if tv is not None else None)
+        tp = (min((u for u, et in us if et == "purchase" and u >= tc),
+                  default=None) if tc is not None else None)
+        r = got[uid]
+        assert (r["view_us"], r["click_us"], r["purchase_us"]) == \
+            (tv, tc, tp), (uid, tv, tc, tp, r)
