@@ -17,8 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .dedup import (_SQL_DOT, _SQL_NORM, _bucket_expr, _dbl, _dot, _norm,
-                    _sql_bucket)
+from .dedup import (_SQL_DOT, _SQL_NORM, _bucket_expr, _dbl, _desc_then_id,
+                    _dot, _norm, _sql_bucket)
 
 TOP_K = 5
 QUERY_MOD = 50          # vec_id % 50 == 0 → query set
@@ -130,23 +130,38 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse cells (nearest centroid by cosine); each query probes only its
     N_PROBE nearest cells, so scored candidates are bounded by
     nprobe × cell size, never the corpus.  Centroids are a deterministic
-    sample (vec_id % CENT_MOD == 0) and broadcast to both the assignment
-    and the probe stage — no shuffle until the (cent_id)-bucketed
-    candidate join, which AQE rebalances on skewed cells.  At real scale
-    the centroid set comes from a KMeans sketch; the dataflow is identical."""
+    sample (vec_id % CENT_MOD == 0), collected into a one-row sorted
+    array and broadcast — cell assignment is a NARROW per-row argmin
+    (transform + array_sort over (ccos, cent_id) structs, the same
+    exact-order folds and tie-break the former row_number window used),
+    so zero shuffle touches the corpus until the candidate join, and the
+    probe side (queries × N_PROBE rows) is small enough to broadcast:
+    the rank window over bounded candidates is the only shuffle.  At
+    real scale the centroid set comes from a KMeans sketch (K
+    codebook-sized, so the one-row array stays broadcastable); the
+    dataflow is identical."""
     e = _emb(spark, sf_dir)
-    cents = (e.filter(F.col("vec_id") % CENT_MOD == 0)
-             .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"),
-                     F.col("nrm").alias("cnrm")))
+    carr = (e.filter(F.col("vec_id") % CENT_MOD == 0)
+            .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"),
+                    F.col("nrm").alias("cnrm"))
+            .groupBy()
+            .agg(F.array_sort(F.collect_list(
+                F.struct("cent_id", "cv", "cnrm"))).alias("carr")))
 
     def nearest_cells(side: DataFrame, id_col: str, n: int) -> DataFrame:
-        cos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
-        w = W.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cent_id"))
-        return (side.crossJoin(F.broadcast(cents))
-                .select(id_col, "v", "nrm", "cent_id", cos.alias("ccos"))
-                .withColumn("crank", F.row_number().over(w))
-                .filter(F.col("crank") <= n)
-                .drop("ccos", "crank"))
+        scored = F.transform(
+            "carr",
+            lambda c: F.struct(
+                (_dot(F.col("v"), c["cv"])
+                 / (F.col("nrm") * c["cnrm"])).alias("ccos"),
+                c["cent_id"].alias("cent_id")))
+        near = F.slice(F.array_sort(scored, _desc_then_id("ccos")), 1, n)
+        # explode (a generator) pins ONE evaluation of the scored array —
+        # a plain projection risks CollapseProject duplicating the fold
+        return (side.crossJoin(F.broadcast(carr))
+                .select(id_col, "v", "nrm", F.explode(near).alias("nc"))
+                .select(id_col, "v", "nrm",
+                        F.col("nc")["cent_id"].alias("cent_id")))
 
     assigned = nearest_cells(e, "vec_id", 1)
     q = (e.filter(F.col("vec_id") % QUERY_MOD == 0)
@@ -154,7 +169,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = nearest_cells(q, "query_id", N_PROBE) \
         .select("query_id", F.col("v").alias("qv"), F.col("nrm").alias("qnrm"),
                 "cent_id")
-    pairs = (assigned.join(probes, "cent_id")
+    pairs = (assigned.join(F.broadcast(probes), "cent_id")
              .filter(F.col("vec_id") != F.col("query_id"))
              .select("query_id", "vec_id",
                      (_dot(F.col("qv"), F.col("v"))
@@ -235,16 +250,27 @@ _QUANT = 1_000_000.0
 
 def _kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, xq, cent_id): nearest centroid by squared L2, exact-order
-    fold, ties to the lowest cent_id."""
-    dist = F.aggregate(
-        F.zip_with(F.col("xq"), F.col("cd"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    w = W.partitionBy("vec_id").orderBy("dist", "cent_id")
-    return (vecs.crossJoin(F.broadcast(cents))
-            .select("vec_id", "xs", "xq", "cent_id", dist.alias("dist"))
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
-            .select("vec_id", "xs", "xq", "cent_id", "dist"))
+    fold, ties to the lowest cent_id.  Narrow argmin over the one-row
+    broadcast centroid array — assignment is map-side, zero shuffle; the
+    (dist, cent_id) struct array_min reproduces the former window's
+    ORDER BY dist, cent_id exactly (natural struct ordering)."""
+    karr = cents.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cd"))).alias("karr"))
+    scored = F.transform(
+        "karr",
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("xq"), c["cd"],
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x).alias("dist"),
+            c["cent_id"].alias("cent_id")))
+    # explode of the 1-element slice pins ONE evaluation of the fold array
+    return (vecs.crossJoin(F.broadcast(karr))
+            .select("vec_id", "xs", "xq",
+                    F.explode(F.array(F.array_min(scored))).alias("nc"))
+            .select("vec_id", "xs", "xq",
+                    F.col("nc")["cent_id"].alias("cent_id"),
+                    F.col("nc")["dist"].alias("dist")))
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,19 +332,26 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors.  Same scale shape as ann_ivf_topk: broadcast centroids,
     candidates bounded by nprobe x cell."""
     e = _quantized(spark, sf_dir).withColumn("nrm", _norm(F.col("xq")))
-    cents = F.broadcast(_train_centroids(e, KMEANS_ITERS))
-
-    dist = F.aggregate(
-        F.zip_with(F.col("xq"), F.col("cd"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
+    karr = _train_centroids(e, KMEANS_ITERS).groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cd"))).alias("karr"))
 
     def cells(side: DataFrame, id_col: str, n: int) -> DataFrame:
-        w = W.partitionBy(id_col).orderBy("cdist", "cent_id")
-        return (side.crossJoin(cents)
-                .select(id_col, "xq", "nrm", "cent_id", dist.alias("cdist"))
-                .withColumn("r", F.row_number().over(w))
-                .filter(F.col("r") <= n)
-                .drop("cdist", "r"))
+        scored = F.transform(
+            "karr",
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("xq"), c["cd"],
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x).alias("cdist"),
+                c["cent_id"].alias("cent_id")))
+        # narrow argmin (natural (cdist, cent_id) struct sort ≡ the former
+        # ORDER BY cdist, cent_id window); explode pins one evaluation
+        return (side.crossJoin(F.broadcast(karr))
+                .select(id_col, "xq", "nrm",
+                        F.explode(
+                            F.slice(F.array_sort(scored), 1, n)).alias("nc"))
+                .select(id_col, "xq", "nrm",
+                        F.col("nc")["cent_id"].alias("cent_id")))
 
     corpus = cells(e, "vec_id", 1)
     q = (e.filter(F.col("vec_id") % QUERY_MOD == 0)
@@ -326,7 +359,7 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = cells(q, "query_id", N_PROBE).select(
         "query_id", F.col("xq").alias("qv"), F.col("nrm").alias("qnrm"),
         "cent_id")
-    pairs = (corpus.join(probes, "cent_id")
+    pairs = (corpus.join(F.broadcast(probes), "cent_id")
              .filter(F.col("vec_id") != F.col("query_id"))
              .select("query_id", "vec_id",
                      (_dot(F.col("qv"), F.col("xq"))
@@ -650,21 +683,31 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     never reaches the scoring join).  Cell assignment is L2 to the
     broadcast centroid set (consistent with ADC's metric, unlike the
     cosine cells of ann_ivf_topk); codes/tables come from the broadcast
-    1-row codebook; the only shuffle is the equi-join on cent_id."""
+    1-row codebook; cell assignment is a narrow per-row argmin over the
+    broadcast centroid array (map-side — nothing shuffles to build the
+    index), and the per-query (dtab, cent_id) side broadcasts, so the
+    rank window over the bounded candidates is the only shuffle."""
     e = _emb(spark, sf_dir).select("vec_id", "v")
     cb = _pq_codebook(e)
-    cents = (e.filter(F.col("vec_id") % CENT_MOD == 0)
-             .select(F.col("vec_id").alias("cent_id"),
-                     F.col("v").alias("cv")))
-    cdist = _sqdist(F.col("v"), F.col("cv"))
+    carr = (e.filter(F.col("vec_id") % CENT_MOD == 0)
+            .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+            .groupBy()
+            .agg(F.array_sort(
+                F.collect_list(F.struct("cent_id", "cv"))).alias("carr")))
 
     def cells(side: DataFrame, id_col: str, n: int) -> DataFrame:
-        w = W.partitionBy(id_col).orderBy("cdist", "cent_id")
-        return (side.crossJoin(F.broadcast(cents))
-                .select(id_col, "v", "cent_id", cdist.alias("cdist"))
-                .withColumn("r", F.row_number().over(w))
-                .filter(F.col("r") <= n)
-                .drop("cdist", "r"))
+        scored = F.transform(
+            "carr",
+            lambda c: F.struct(_sqdist(F.col("v"), c["cv"]).alias("cdist"),
+                               c["cent_id"].alias("cent_id")))
+        # narrow argmin ≡ the former ORDER BY cdist, cent_id window;
+        # explode pins one evaluation of the fold array
+        return (side.crossJoin(F.broadcast(carr))
+                .select(id_col, "v",
+                        F.explode(
+                            F.slice(F.array_sort(scored), 1, n)).alias("nc"))
+                .select(id_col, "v",
+                        F.col("nc")["cent_id"].alias("cent_id")))
 
     enc = (cells(e, "vec_id", 1)
            .crossJoin(F.broadcast(cb))
@@ -674,7 +717,7 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (cells(qs, "query_id", N_PROBE)
          .crossJoin(F.broadcast(cb))
          .select("query_id", "cent_id", _pq_dtab().alias("dtab")))
-    pairs = (enc.join(q, "cent_id")
+    pairs = (enc.join(F.broadcast(q), "cent_id")
              .filter(F.col("vec_id") != F.col("query_id"))
              .select("query_id", "vec_id", _pq_adc().alias("adc")))
     return _pq_rank(pairs)

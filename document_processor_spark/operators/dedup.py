@@ -684,6 +684,20 @@ SEM_CENT_MOD = 31   # vec_id % 31 == 0 → deterministic coarse centroid
 SEM_T = 0.4         # within-cell cosine above which the later doc is pruned
 
 
+def _desc_then_id(score_field: str):
+    """array_sort comparator ≡ ORDER BY score DESC, cent_id — the exact
+    window ordering the narrow cell-assignment argmin replaces (no
+    NULL/NaN branch: the scores are total on the fixture domain, as the
+    window version already assumed)."""
+    def cmp(l, r):
+        return (F.when(l[score_field] > r[score_field], F.lit(-1))
+                .when(l[score_field] < r[score_field], F.lit(1))
+                .when(l["cent_id"] < r["cent_id"], F.lit(-1))
+                .when(l["cent_id"] > r["cent_id"], F.lit(1))
+                .otherwise(F.lit(0)))
+    return cmp
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) as a dataflow: embeddings are
     clustered to coarse centroid cells, and WITHIN each cell any vector
@@ -691,8 +705,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping one representative per semantic near-dup group.  The pair
     search never leaves a cell — at 10^12 rows the per-cell pair join is
     bounded by cell size (k grows with sqrt(N) to keep cells constant),
-    exactly the IVF partitioning ann.py uses; centroids are broadcast
-    (tiny), the only corpus shuffle is the cell-key equi-join.  Centroids
+    exactly the IVF partitioning ann.py uses; centroids are broadcast as
+    a one-row sorted array and cell assignment is a narrow per-row
+    argmax (no N×K explode, no window shuffle) — the only corpus
+    shuffle is the cell-key equi-join.  Centroids
     here are a deterministic sample (vec_id % SEM_CENT_MOD == 0); at real
     scale a KMeans sketch supplies them — same dataflow.  Output is one
     row per vector: its cell, keep/prune decision, and the pruning
@@ -700,17 +716,26 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _pin(_emb(spark, sf_dir)
              .select("vec_id", _dbl("embedding").alias("v"))
              .withColumn("nrm", _norm(F.col("v"))))
-    cents = (e.filter(F.col("vec_id") % SEM_CENT_MOD == 0)
-             .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"),
-                     F.col("nrm").alias("cnrm")))
-    from pyspark.sql import Window as W
-    ccos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
-    w = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
-    assigned = (e.crossJoin(F.broadcast(cents))
-                .select("vec_id", "v", "nrm", "cent_id", ccos.alias("ccos"))
-                .withColumn("r", F.row_number().over(w))
-                .filter(F.col("r") == 1)
-                .select("vec_id", "v", "nrm", "cent_id"))
+    carr = (e.filter(F.col("vec_id") % SEM_CENT_MOD == 0)
+            .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"),
+                    F.col("nrm").alias("cnrm"))
+            .groupBy()
+            .agg(F.array_sort(F.collect_list(
+                F.struct("cent_id", "cv", "cnrm"))).alias("carr")))
+    scored = F.transform(
+        "carr",
+        lambda c: F.struct(
+            (_dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"]))
+            .alias("ccos"),
+            c["cent_id"].alias("cent_id")))
+    # narrow per-row argmax (comparator ≡ the former ORDER BY ccos DESC,
+    # cent_id window) over the one-row broadcast centroid array — zero
+    # shuffle to assign cells; explode pins one evaluation of the folds
+    near = F.slice(F.array_sort(scored, _desc_then_id("ccos")), 1, 1)
+    assigned = (e.crossJoin(F.broadcast(carr))
+                .select("vec_id", "v", "nrm", F.explode(near).alias("nc"))
+                .select("vec_id", "v", "nrm",
+                        F.col("nc")["cent_id"].alias("cent_id")))
     a = assigned.select(F.col("vec_id").alias("va"), F.col("v").alias("v_a"),
                         F.col("nrm").alias("nrm_a"), "cent_id")
     b = assigned.select(F.col("vec_id").alias("vb"), F.col("v").alias("v_b"),
