@@ -22,7 +22,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     out: dict[str, tuple[QueryFn, str | None]] = {}
     out.update(extraction_ops.QUERIES)
     for mod_name in ("dedup", "ann", "text_analysis", "relational",
-                     "multimodal", "pipeline_ops", "curation"):
+                     "multimodal", "pipeline_ops", "curation", "stream_ops"):
         mod = importlib.import_module(f".{mod_name}", __package__)
         out.update(mod.QUERIES)
     return out

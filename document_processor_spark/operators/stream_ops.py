@@ -1,0 +1,191 @@
+"""Structured Streaming operators exposed as ORACLE-GATED driver queries.
+
+Round-2 left the streaming surface (windowed aggregation, bounded-state
+dedup, foreachBatch extraction) proven by pytest only — the driver's
+rows-only check.  These queries upgrade it to the same hash-compare gate
+as every batch operator: each runs a REAL streaming query (file source →
+`Trigger.AvailableNow` → memory/IceLite sink) inside the query function,
+then returns the materialized result as a batch DataFrame whose content a
+DuckDB ANSI oracle restates exactly.
+
+Determinism notes shared by all three:
+* the session timezone is pinned to UTC inside each query — `F.window`
+  aligns to epoch hours and the oracle's naive `date_trunc` matches only
+  when the parquet-naive → internal conversion is identity (the repo's
+  own session builder already pins UTC; the driver's session may not);
+* sums that cross micro-batch/partition boundaries are DECIMAL(18,4)
+  (associative), mirroring relational.q_tumbling_hourly's discipline;
+* no timestamp column is emitted — buckets are `timestampdiff` integers
+  relative to the corpus min, the same engine-neutral convention as the
+  batch rel_* queries.
+
+At 100 TB these shapes are the live-ingest front-end of the engine: the
+windowed aggregation's state is partitioned by (window, event_type) — a
+4N-executor cluster splits shuffle and state 4N ways; the dedup state is
+bounded by the watermark horizon, not the stream length; the extraction
+stream commits one idempotent IceLite snapshot per micro-batch, so a
+crash replay never double-ingests a file (reference parity: the
+request/response service of app/api.py:41-98 ingests documents exactly
+once per request — the stream is the same contract per file).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.icelite import IceLite
+from ..job import SPANS_TABLE
+from ..streaming.extract_stream import start_extract_stream
+from ..streaming.windowed import EVENTS_DDL
+from .pipeline_ops import SQL_PIPE_EXTRACT, derived_corpus
+
+MICROS_PER_HOUR = 3_600_000_000.0
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation as a STREAMING query with a
+    batch oracle: events stream in from the parquet file source, a
+    2-hour watermark bounds lateness, `F.window("1 hour")` buckets by
+    event time, and the complete-mode memory sink holds the final
+    aggregate once `Trigger.AvailableNow` drains the source.  The
+    returned frame re-keys each window as hours-since-corpus-min (pure
+    instant arithmetic — timezone-free), so the oracle is the plain
+    GROUP BY date_trunc('hour', ts) any batch engine runs.  The single
+    events.parquet FILE is staged (hard-link, else copy) into a temp dir
+    first — the streaming file source only accepts directories."""
+    _utc(spark)
+    name = f"stream_tb_{uuid.uuid4().hex[:8]}"
+    inp = Path(tempfile.mkdtemp(prefix="stream_tb_")) / "in"
+    inp.mkdir()
+    ev_file = Path(sf_dir) / "events.parquet"
+    try:
+        (inp / "events.parquet").hardlink_to(ev_file)
+    except OSError:
+        shutil.copy(ev_file, inp / "events.parquet")
+    src = spark.readStream.schema(EVENTS_DDL).parquet(str(inp))
+    agg = (src.withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,4)")).alias("sv")))
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    t0 = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .agg(F.date_trunc("hour", F.min("ts")).alias("t0h")))
+    bucket = F.floor(F.expr("timestampdiff(MICROSECOND, t0h, w.start)")
+                     / MICROS_PER_HOUR)
+    return (spark.table(name).crossJoin(F.broadcast(t0))
+            .select(bucket.cast("bigint").alias("hour_bucket"),
+                    "event_type", "n_events",
+                    F.col("sv").cast("double").alias("sum_value")))
+
+
+SQL_STREAM_TUMBLING_HOURLY = """
+WITH t0 AS (SELECT date_trunc('hour', min(ts)) AS t0h FROM events)
+SELECT CAST(floor(date_diff('microsecond', t0.t0h, date_trunc('hour', ts))
+                  / 3600000000.0) AS BIGINT) AS hour_bucket,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events, t0
+GROUP BY 1, 2
+"""
+
+
+def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup proven across MICRO-BATCHES: the
+    events file is staged twice in a temp source dir with
+    maxFilesPerTrigger=1, so the second micro-batch replays every row of
+    the first.  ``dropDuplicatesWithinWatermark(event_id)`` must emit
+    each event exactly once — replayed rows inside the 2-hour watermark
+    horizon hit live state (dup-dropped), older ones are dropped as late
+    (beyond-watermark rows never pass a stateful operator) — and state
+    stays O(keys within the horizon), the only shape that survives an
+    unbounded feed.  Oracle: the events table itself (event_id is
+    unique), no timestamp column emitted."""
+    df, q = _run_dedup_replay(spark, sf_dir)
+    return df
+
+
+def _run_dedup_replay(spark: SparkSession, sf_dir: str):
+    """Body of q_stream_dedup_replay; returns (result df, finished query)
+    so tests can inspect recentProgress — the hash gate proves the OUTPUT
+    equals the events table, only the progress log proves the stream
+    really ingested every row twice across ≥2 micro-batches."""
+    _utc(spark)
+    base = Path(tempfile.mkdtemp(prefix="stream_dedup_"))
+    inp = base / "in"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.coalesce(1).write.parquet(str(inp))
+    part = next(inp.glob("part-*.parquet"))
+    shutil.copy(part, inp / f"replay-{part.name}")
+    name = f"stream_dd_{uuid.uuid4().hex[:8]}"
+    src = (spark.readStream.schema(EVENTS_DDL)
+           .option("maxFilesPerTrigger", 1).parquet(str(inp)))
+    deduped = (src.withWatermark("ts", "2 hours")
+               .dropDuplicatesWithinWatermark(["event_id"])
+               .select("event_id", "user_id", "event_type", "value", "props"))
+    q = (deduped.writeStream.outputMode("append").format("memory")
+         .queryName(name)
+         .option("checkpointLocation", str(base / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name), q
+
+
+SQL_STREAM_DEDUP_REPLAY = """
+SELECT event_id, user_id, event_type, value, props FROM events
+"""
+
+
+def q_stream_extract_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full extraction pipeline run as a STREAM — the derived
+    interleaved corpus lands as 4 parquet files, Structured Streaming
+    ingests them 2 files per micro-batch through the identical batch
+    dataflow (foreachBatch → parse → fallback → assemble), and each batch
+    commits one idempotent IceLite snapshot.  Reading the table back and
+    exploding spans must be byte-identical to the BATCH oracle
+    (SQL_PIPE_EXTRACT — the same ANSI restatement pipe_extract_catalyst
+    is gated on): incremental ingestion changes commit granularity and
+    lineage, never content."""
+    df, table = _run_extract_snapshot(spark, sf_dir)
+    return df
+
+
+def _run_extract_snapshot(spark: SparkSession, sf_dir: str):
+    """Body of q_stream_extract_snapshot; returns (result df, IceLite
+    table) so tests can assert the ingest really committed one snapshot
+    per micro-batch — granularity the content hash cannot see."""
+    _utc(spark)
+    base = Path(tempfile.mkdtemp(prefix="stream_extract_"))
+    inp = base / "in"
+    derived_corpus(spark, sf_dir).repartition(4).write.parquet(str(inp))
+    q = start_extract_stream(
+        spark, str(inp), str(base / "wh"), str(base / "ckpt"),
+        run_id="drv", engine="sql",
+        n_parts=spark.sparkContext.defaultParallelism,
+        available_now=True, max_files_per_trigger=2)
+    q.awaitTermination()
+    table = IceLite(str(base / "wh"), SPANS_TABLE)
+    df = (table.read_spans(spark)
+          .select("doc_id", F.explode("spans").alias("s"))
+          .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"))
+    return df, table
+
+
+QUERIES = {
+    "stream_tumbling_hourly": (q_stream_tumbling_hourly,
+                               SQL_STREAM_TUMBLING_HOURLY),
+    "stream_dedup_replay": (q_stream_dedup_replay, SQL_STREAM_DEDUP_REPLAY),
+    "stream_extract_snapshot": (q_stream_extract_snapshot, SQL_PIPE_EXTRACT),
+}

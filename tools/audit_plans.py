@@ -33,11 +33,18 @@ NOTES = {
         "BNLJ = broadcast QUERY side vs one corpus scan — the documented "
         "brute baseline shape"),
     "ann_ivf_topk": (
-        "BNLJ = broadcast of the bounded centroid set for cell assignment; "
-        "candidate join itself is equi on cent_id (SortMergeJoin col)"),
+        "BNLJ = crossJoin with the broadcast 1-ROW centroid ARRAY (narrow "
+        "per-row argmin cell assignment — constant-size side); the "
+        "candidate join is broadcast-hash equi on cent_id (probe side "
+        "bounded by queries x nprobe)"),
     "rel_tumbling_hourly": (
         "crossJoin with a broadcast 1-ROW aggregate (corpus min ts) — "
         "constant-size side"),
+    "stream_tumbling_hourly": (
+        "crossJoin with a broadcast 1-ROW aggregate (corpus min ts) on the "
+        "post-stream re-key — constant-size side, same shape as "
+        "rel_tumbling_hourly; the streaming aggregation itself is a "
+        "watermarked stateful shuffle on (window, event_type)"),
     "cur_stratified_sample": (
         "crossJoin with a broadcast 1-ROW aggregate (global min stratum "
         "count) — constant-size side"),
@@ -45,16 +52,19 @@ NOTES = {
         "crossJoin with a broadcast 1-ROW aggregate (corpus doc count) — "
         "constant-size side"),
     "dedup_semantic": (
-        "BNLJ = broadcast of the bounded centroid set for cell assignment "
-        "(same shape as ann_ivf_topk); the prune join is equi on cent_id"),
+        "BNLJ = crossJoin with the broadcast 1-ROW centroid ARRAY (narrow "
+        "argmax cell assignment, same shape as ann_ivf_topk); the prune "
+        "join is equi on cent_id"),
     "ann_kmeans_train": (
-        "BNLJ = broadcast of the K-centroid set in each Lloyd assignment "
-        "step (K rows, bounded); the centroid update is a (cent_id, dim) "
-        "integer partial aggregation, never a join"),
+        "BNLJ = crossJoin with the broadcast 1-ROW K-centroid ARRAY in "
+        "each Lloyd assignment step (narrow argmin, constant-size side); "
+        "the centroid update is a (cent_id, dim) integer partial "
+        "aggregation, never a join"),
     "ann_ivf_trained_topk": (
-        "BNLJ = broadcast of the bounded trained-centroid set (Lloyd "
-        "steps + cell assignment + probe; same shape as ann_ivf_topk); "
-        "the candidate join is equi on cent_id"),
+        "BNLJ = crossJoin with the broadcast 1-ROW trained-centroid ARRAY "
+        "(Lloyd steps + narrow argmin assignment + probe; same shape as "
+        "ann_ivf_topk); the candidate join is broadcast-hash equi on "
+        "cent_id"),
     "ta_lm_xent": (
         "crossJoin with a broadcast 1-ROW aggregate (LM total count + "
         "vocab size) — constant-size side; the vocab join itself is equi "
@@ -71,9 +81,9 @@ NOTES = {
         "tables) and of the bounded query-side ADC tables vs one "
         "corpus-codes scan — the documented ADC shape"),
     "ann_ivf_pq_topk": (
-        "BNLJ = broadcast of the bounded centroid set (cell assignment/"
-        "probe) + the 1-ROW PQ codebook; the candidate join is equi on "
-        "cent_id"),
+        "BNLJ = crossJoin with the broadcast 1-ROW centroid ARRAY (narrow "
+        "argmin cells) + the 1-ROW PQ codebook; the candidate join is "
+        "broadcast-hash equi on cent_id (per-query dtab side bounded)"),
 }
 
 HEADER = '''# PLANS.md — physical-plan audit of the driver query surface
