@@ -661,6 +661,83 @@ FROM d
 """
 
 
+# -- Z-order (Morton) multi-dimensional layout ---------------------------------
+#
+# Z-ORDER clustering — the lakehouse layout move (Delta OPTIMIZE ZORDER
+# BY, Iceberg sort-order z-curves) that the repo's 1-D clustered write
+# (icelite.append(cluster_by=...)) cannot express: interleaving the bits
+# of TWO predicate dimensions puts rows that are close in BOTH dimensions
+# into the same file, so file-level min/max stats prune scans for
+# predicates on EITHER dimension.  Here the curve runs over (lang,
+# n_chars-bucket): lang is quantized to 2 bits scaled into an 8-bit lane,
+# length to 8 bits, and the 16-bit Morton key's top 6 bits are the file
+# bucket — every bucket is a RECTANGLE in (lang, length) space (one lang,
+# length range <= 64 chars wide; pinned by test_zorder_buckets_are_
+# rectangles), which is exactly the data-skipping guarantee.  Pure
+# integer bit arithmetic, map-only, zero shuffle at any corpus size; the
+# write path reuses the existing clustered append with zkey as the
+# cluster key (the curve linearizes 2-D locality into the 1-D sort the
+# writer already preserves).
+
+ZORDER_LANGS = ["en", "fr", "de", "es"]
+ZORDER_LEN_DIV = 2      # n_chars -> 8-bit bucket: floor(n_chars/2), cap 255
+ZORDER_BUCKET_SHIFT = 10  # zbucket = zkey >> 10 -> 64 file buckets
+
+
+def _zorder_exprs(dialect: str) -> str:
+    """The interleave sum, generated once so both engines share identical
+    structure: zkey bit 2i = length bit i, bit 2i+1 = scaled-lang bit i."""
+    if dialect == "spark":
+        even = [f"shiftleft((shiftright(b_len, {i}) & 1), {2 * i})"
+                for i in range(8)]
+        odd = [f"shiftleft((shiftright(b_l8, {i}) & 1), {2 * i + 1})"
+               for i in range(8)]
+    else:
+        even = [f"(((b_len >> {i}) & 1) << {2 * i})" for i in range(8)]
+        odd = [f"(((b_l8 >> {i}) & 1) << {2 * i + 1})" for i in range(8)]
+    return " + ".join(even + odd)
+
+
+def q_cur_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lang_ix = F.when(F.col("lang") == "en", F.lit(0))
+    for i, lg in enumerate(ZORDER_LANGS[1:], start=1):
+        lang_ix = lang_ix.when(F.col("lang") == lg, F.lit(i))
+    lang_ix = lang_ix.otherwise(F.lit(3))
+    d = (_docs(spark, sf_dir)
+         .select("doc_id",
+                 F.least(F.floor(F.col("n_chars") / ZORDER_LEN_DIV),
+                         F.lit(255)).cast("bigint").alias("b_len"),
+                 lang_ix.cast("bigint").alias("b_lang")))
+    d = d.withColumn("b_l8", F.shiftleft(F.col("b_lang"), 6))
+    return (d.withColumn("zkey", F.expr(_zorder_exprs("spark")))
+            .select("doc_id", "b_len", "b_lang",
+                    F.col("zkey").cast("bigint").alias("zkey"),
+                    F.shiftright(F.col("zkey"), ZORDER_BUCKET_SHIFT)
+                    .cast("bigint").alias("zbucket")))
+
+
+def _sql_zorder_layout() -> str:
+    cases = " ".join(f"WHEN '{lg}' THEN {i}"
+                     for i, lg in enumerate(ZORDER_LANGS))
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(least(floor(n_chars / {ZORDER_LEN_DIV}), 255) AS BIGINT)
+           AS b_len,
+         CAST(CASE lang {cases} ELSE 3 END AS BIGINT) AS b_lang
+  FROM documents),
+k AS (
+  SELECT doc_id, b_len, b_lang, b_lang << 6 AS b_l8 FROM d),
+z AS (
+  SELECT doc_id, b_len, b_lang,
+         {_zorder_exprs("duckdb")} AS zkey
+  FROM k)
+SELECT doc_id, b_len, b_lang, CAST(zkey AS BIGINT) AS zkey,
+       CAST(zkey >> {ZORDER_BUCKET_SHIFT} AS BIGINT) AS zbucket
+FROM z
+"""
+
+
 # -- temperature-scaled source mixing ------------------------------------------
 #
 # Multinomial mixture reweighting with temperature — the knob every
@@ -724,4 +801,5 @@ QUERIES = {
     "cur_dsir_select": (q_cur_dsir_select, _sql_dsir_select()),
     "cur_shard_export": (q_cur_shard_export, SQL_CUR_SHARD_EXPORT),
     "cur_temperature_mix": (q_cur_temperature_mix, SQL_CUR_TEMPERATURE_MIX),
+    "cur_zorder_layout": (q_cur_zorder_layout, _sql_zorder_layout()),
 }

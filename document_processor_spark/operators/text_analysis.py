@@ -604,6 +604,110 @@ FROM c
 """
 
 
+# -- BM25 retrieval over an inverted index ------------------------------------
+#
+# Okapi BM25 (Robertson et al., TREC-3) as a dataflow — the textual twin
+# of the ann_*_topk family, and the retrieval primitive a corpus build
+# uses for decontamination sweeps and targeted-source mining.  The shape
+# IS the search engine's: `tf` is the inverted index (postings sharded by
+# word — ONE corpus shuffle builds it, and a sink would persist it), the
+# query side is a handful of term rows joined to the vocab-sized df table
+# (equi on word, never broadcast — vocab can exceed 10^9 rows, same rule
+# as ta_lm_xent), and scoring probes postings by word, so per-term work is
+# bounded by posting-list length, never the corpus.  The per-(query, doc)
+# score is an exact-order fold over the word-sorted term scores — bit-
+# identical in DuckDB — and the final top-k is a per-query bounded window.
+# At 10^12 docs the one addition is the hot-term stoplist already modeled
+# in dedup_ngram_jaccard (drop postings longer than a cap); the fixture's
+# 31-word vocab makes every term "hot" and the operator still bounds work
+# by construction.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_MOD = 83   # doc_id % 83 == 0 -> query documents
+BM25_TOP_K = 5
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k BM25 matches per query document (its distinct words are the
+    query terms).  idf = ln(1 + (N - df + 0.5)/(df + 0.5)); ties break
+    score DESC, doc_id ASC."""
+    d = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    tf = (d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("word"))
+          .filter(F.col("word") != "")
+          .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf")))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = F.broadcast(dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                               F.sum("dl").alias("total_dl")))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    qt = (tf.filter(F.col("doc_id") % BM25_QUERY_MOD == 0)
+          .select(F.col("doc_id").alias("query_id"), "word")
+          .join(dfreq, "word"))
+    cand = (tf.join(dl, "doc_id").join(qt, "word")
+            .filter(F.col("doc_id") != F.col("query_id"))
+            .crossJoin(stats))
+    avgdl = (F.col("total_dl").cast("double")
+             / F.col("n_docs").cast("double"))
+    idf = F.log(F.lit(1.0) + ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    ts = (idf * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+          / (F.col("tf") + F.lit(BM25_K1)
+             * (F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl))))
+    grouped = (cand.select("query_id", "doc_id", "word", ts.alias("ts"))
+               .groupBy("query_id", "doc_id")
+               .agg(F.array_sort(
+                   F.collect_list(F.struct("word", "ts"))).alias("terms")))
+    score = F.aggregate("terms", F.lit(0.0), lambda acc, t: acc + t["ts"])
+    from pyspark.sql import Window as W
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (grouped.select("query_id", "doc_id", score.alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= BM25_TOP_K)
+            .select("query_id", F.col("rank").cast("bigint").alias("rank"),
+                    "doc_id", F.round("score", 6).alias("bm25")))
+
+
+SQL_BM25_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, u.word AS word
+  FROM documents, unnest(string_split(text, ' ')) AS u(word)
+  WHERE length(text) > 0 AND u.word <> ''),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+qt AS (
+  SELECT tf.doc_id AS query_id, tf.word, dfreq.df
+  FROM tf JOIN dfreq USING (word)
+  WHERE tf.doc_id % {BM25_QUERY_MOD} = 0),
+cand AS (
+  SELECT qt.query_id, tf.doc_id, qt.word,
+         ln(1.0 + ((st.n_docs - qt.df) + 0.5) / (qt.df + 0.5))
+           * (tf.tf * {BM25_K1 + 1.0})
+           / (tf.tf + {BM25_K1}
+              * ({1.0 - BM25_B} + {BM25_B}
+                 * (CAST(dl.dl AS DOUBLE)
+                    / (CAST(st.total_dl AS DOUBLE)
+                       / CAST(st.n_docs AS DOUBLE))))) AS ts
+  FROM tf JOIN dl USING (doc_id) JOIN qt USING (word) CROSS JOIN st
+  WHERE tf.doc_id <> qt.query_id),
+grouped AS (
+  SELECT query_id, doc_id,
+         list_reduce(list_prepend(0.0, list(ts ORDER BY word)),
+                     (x, y) -> x + y) AS score
+  FROM cand GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM grouped)
+SELECT query_id, rank, doc_id, round(score, 6) AS bm25
+FROM ranked WHERE rank <= {BM25_TOP_K}
+"""
+
+
 QUERIES = {
     "ta_corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "ta_langid": (q_langid, _sql_langid()),
@@ -615,4 +719,5 @@ QUERIES = {
     "ta_tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "ta_lm_xent": (q_lm_xent, SQL_LM_XENT),
     "ta_entropy": (q_entropy, SQL_ENTROPY),
+    "ta_bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
 }

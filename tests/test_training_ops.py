@@ -411,3 +411,83 @@ def test_funnel_stage_invariants(spark):
         r = got[uid]
         assert (r["view_us"], r["click_us"], r["purchase_us"]) == \
             (tv, tc, tp), (uid, tv, tc, tp, r)
+
+
+def test_bm25_topk_contract(spark):
+    """BM25 invariants the oracle's hash compare can't express: bounded
+    dense ranks in strict score order, no self-match, term overlap with
+    the query document, and an exact pure-Python recomputation of the
+    returned scores (same fold order: word-sorted, left-to-right)."""
+    import math
+
+    rows = text_analysis.q_bm25_topk(spark, SF_DIR).collect()
+    assert rows
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()}
+    words = {d: [w for w in t.split(" ") if w] for d, t in docs.items()}
+    tf = {d: {} for d in words}
+    for d, ws in words.items():
+        for w in ws:
+            tf[d][w] = tf[d].get(w, 0) + 1
+    nonempty = [d for d in words if words[d]]
+    n_docs = len(nonempty)
+    avgdl = sum(len(words[d]) for d in nonempty) / n_docs
+    df = {}
+    for d in nonempty:
+        for w in tf[d]:
+            df[w] = df.get(w, 0) + 1
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) <= {d for d in nonempty
+                         if d % text_analysis.BM25_QUERY_MOD == 0}
+    k1, b = text_analysis.BM25_K1, text_analysis.BM25_B
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= text_analysis.BM25_TOP_K
+        qwords = set(tf[qid])
+        prev = None
+        for r in rs:
+            assert r["doc_id"] != qid
+            shared = qwords & set(tf[r["doc_id"]])
+            assert shared, "returned doc shares no query term"
+            score = 0.0
+            for w in sorted(shared):
+                idf = math.log(1.0 + ((n_docs - df[w]) + 0.5) / (df[w] + 0.5))
+                dl = len(words[r["doc_id"]])
+                t = tf[r["doc_id"]][w]
+                score += (idf * (t * (k1 + 1.0))
+                          / (t + k1 * ((1.0 - b) + b * (dl / avgdl))))
+            assert abs(round(score, 6) - r["bm25"]) < 1e-9, (qid, r)
+            if prev is not None:
+                assert (prev["bm25"], ) >= (r["bm25"], ) or (
+                    prev["bm25"] == r["bm25"]
+                    and prev["doc_id"] < r["doc_id"])
+            prev = r
+
+
+def test_zorder_buckets_are_rectangles(spark):
+    """The data-skipping contract of the Morton layout: every zbucket
+    (file) is a rectangle in (lang, length) space — exactly one language
+    and a length-bucket range <= 32 (top-3 b_len bits fixed) — so a
+    predicate on either dimension prunes buckets by min/max alone.  Also
+    pins the key round-trip: de-interleaving zkey recovers (b_len, b_l8)."""
+    rows = curation.q_cur_zorder_layout(spark, SF_DIR).collect()
+    assert rows
+    by_bucket: dict = {}
+    for r in rows:
+        # round-trip: even bits -> b_len, odd bits -> b_lang << 6
+        b_len = sum(((r["zkey"] >> (2 * i)) & 1) << i for i in range(8))
+        b_l8 = sum(((r["zkey"] >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert b_len == r["b_len"]
+        assert b_l8 == r["b_lang"] << 6
+        assert r["zbucket"] == r["zkey"] >> curation.ZORDER_BUCKET_SHIFT
+        by_bucket.setdefault(r["zbucket"], []).append(r)
+    assert len(by_bucket) > 1, "corpus must spread across buckets"
+    for b, rs in by_bucket.items():
+        langs = {r["b_lang"] for r in rs}
+        lens = [r["b_len"] for r in rs]
+        assert len(langs) == 1, f"bucket {b} mixes languages {langs}"
+        assert max(lens) - min(lens) <= 32, f"bucket {b} length range"
+        assert max(lens) >> 5 == min(lens) >> 5

@@ -51,6 +51,10 @@ NOTES = {
     "ta_tfidf_topk": (
         "crossJoin with a broadcast 1-ROW aggregate (corpus doc count) — "
         "constant-size side"),
+    "ta_bm25_topk": (
+        "crossJoin with a broadcast 1-ROW aggregate (doc count + total "
+        "doc length for avgdl) — constant-size side; the postings probe "
+        "and df joins are equi on word"),
     "dedup_semantic": (
         "BNLJ = crossJoin with the broadcast 1-ROW centroid ARRAY (narrow "
         "argmax cell assignment, same shape as ann_ivf_topk); the prune "
