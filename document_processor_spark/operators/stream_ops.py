@@ -183,9 +183,87 @@ def _run_extract_snapshot(spark: SparkSession, sf_dir: str):
     return df, table
 
 
+def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals through a custom stateful operator
+    (applyInPandasWithState GroupState; the transformWithStateInPandas
+    twin is written and environment-gated — see
+    streaming/transform_state.py): events are staged as TWO deterministic
+    files — b0 = even event_id, b1 = odd — ingested one file per
+    micro-batch, so every user's state row provably carries across
+    micro-batches; the operator emits the updated (count, quantized-value
+    sum, emission ordinal) row per user per batch.  The oracle restates
+    both emissions in ANSI SQL: emission 1 aggregates the even half,
+    emission 2 the whole table — integer-quantized sums make every
+    addition associative, so the hash compare is exact."""
+    df, q = _run_running_totals(spark, sf_dir)
+    return df
+
+
+def _run_running_totals(spark: SparkSession, sf_dir: str):
+    """Body of q_stream_running_totals; returns (result df, finished
+    query) so tests can assert the two-micro-batch shape from
+    recentProgress."""
+    import os
+
+    from ..streaming.transform_state import running_totals
+
+    _utc(spark)
+    base = Path(tempfile.mkdtemp(prefix="stream_tws_"))
+    inp = base / "in"
+    inp.mkdir()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for i, batch in enumerate((ev.filter(F.col("event_id") % 2 == 0),
+                               ev.filter(F.col("event_id") % 2 == 1))):
+        stage = base / f"stage{i}"
+        batch.coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        dst = inp / f"b{i}.parquet"
+        shutil.copy(part, dst)
+        # file source orders micro-batches by mod time: pin b0 first
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    name = f"stream_tws_{uuid.uuid4().hex[:8]}"
+    src = (spark.readStream.schema(EVENTS_DDL)
+           .option("maxFilesPerTrigger", 1)
+           .option("latestFirst", "false").parquet(str(inp)))
+    out = running_totals(src)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name)
+         .option("checkpointLocation", str(base / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name), q
+
+
+SQL_STREAM_RUNNING_TOTALS = """
+WITH q AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 10000) AS BIGINT) AS vq
+  FROM events),
+b0 AS (
+  SELECT user_id, count(*) AS c0, sum(vq) AS s0
+  FROM q WHERE event_id % 2 = 0 GROUP BY user_id),
+ball AS (
+  SELECT user_id, count(*) AS ca, sum(vq) AS sa FROM q GROUP BY user_id),
+b1u AS (SELECT DISTINCT user_id FROM q WHERE event_id % 2 = 1)
+SELECT user_id, CAST(1 AS BIGINT) AS emit_seq,
+       CAST(c0 AS BIGINT) AS n_events_cum, CAST(s0 AS BIGINT) AS sum_q_cum
+FROM b0
+UNION ALL
+SELECT b.user_id,
+       CAST(CASE WHEN b0.user_id IS NULL THEN 1 ELSE 2 END AS BIGINT)
+         AS emit_seq,
+       CAST(b.ca AS BIGINT) AS n_events_cum,
+       CAST(b.sa AS BIGINT) AS sum_q_cum
+FROM ball b JOIN b1u USING (user_id)
+LEFT JOIN b0 ON b0.user_id = b.user_id
+"""
+
+
 QUERIES = {
     "stream_tumbling_hourly": (q_stream_tumbling_hourly,
                                SQL_STREAM_TUMBLING_HOURLY),
     "stream_dedup_replay": (q_stream_dedup_replay, SQL_STREAM_DEDUP_REPLAY),
     "stream_extract_snapshot": (q_stream_extract_snapshot, SQL_PIPE_EXTRACT),
+    "stream_running_totals": (q_stream_running_totals,
+                              SQL_STREAM_RUNNING_TOTALS),
 }
