@@ -180,8 +180,15 @@ def main() -> int:
     if os.environ.get("SPARK_GRAFT_FULL"):
         import __spark_entry__ as entry
 
+        # SPARK_GRAFT_FULL_ONLY=a,b,c: measure a subset with the identical
+        # methodology — for delta sweeps of newly added queries, merged
+        # into the committed baseline by tools/report_full_bench.py
+        only = {n for n in os.environ.get(
+            "SPARK_GRAFT_FULL_ONLY", "").split(",") if n}
         full: dict[str, float] = {}
         for name, q in sorted(entry.queries().items()):
+            if only and name not in only:
+                continue
             print(f"[bench] full:{name} ...", file=sys.stderr, flush=True)
             walls = []
             for _ in range(2):

@@ -452,10 +452,112 @@ FROM t
 """
 
 
+# -- perceptual-hash near-dup over decoded images ------------------------------
+#
+# Image near-dup — the multimodal core of a 100 TB training-data dedup:
+# a dHash-family perceptual signature (difference hash: bit i = 1 iff
+# pixel i is darker than pixel i+1 — the gradient-sign sketch behind
+# pHash/dHash) computed from the GENUINELY DECODED pixel stream inside
+# the Arrow-batched Python stage (the only Python — decode is where the
+# real PIL/libav call swaps in), then near-dup pairs via EXACTLY the
+# pigeonhole machinery text simhash uses (dedup.q_dedup_simhash_pairs):
+# Hamming <= T pairs must agree on one of T+1 signature chunks, so
+# candidates come from an equi-join on (chunk_idx, chunk_val) — one
+# shuffle, fan-out bounded by bucket size, never O(N²) — and exact
+# bit_count(xor) verifies.  The oracle restates the signature at
+# code-point level (ascii(substr)) — identical to the byte-level Python
+# value on this corpus, an assumption pinned by
+# test_phash_fixture_is_ascii, exactly the contract the other fake-codec
+# oracles already rely on.
+
+PHASH_BITS = 16
+PHASH_CHUNKS = 3        # T+1 chunks for Hamming <= PHASH_HAMMING_T
+PHASH_HAMMING_T = 2
+
+
+def dhash16(pixels: bytes) -> int:
+    """16-bit difference hash over the first 17 pixel bytes."""
+    h = 0
+    for i in range(PHASH_BITS):
+        if pixels[i] < pixels[i + 1]:
+            h |= 1 << i
+    return h
+
+
+def _phash_batches(it: Iterator["object"]) -> Iterator["object"]:
+    import pandas as pd
+    for pdf in it:
+        rows = []
+        for doc_id, payload, mt in zip(pdf["doc_id"], pdf["payload"],
+                                       pdf["media_type"]):
+            d = decode_media(payload, mt)
+            if len(d["pixels"]) >= PHASH_BITS + 1:  # oracle: length(text)>=17
+                rows.append((doc_id, dhash16(d["pixels"])))
+        yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = (fake_media_table(spark, sf_dir)
+            .filter(F.col("media_type") == "image/png"))
+    sig = imgs.mapInPandas(_phash_batches, "doc_id bigint, dhash bigint")
+    bits_per = PHASH_BITS // PHASH_CHUNKS  # 16//3 = 5; last chunk gets 6
+    chunked = sig.select(
+        "doc_id", "dhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftright("dhash", c * bits_per).bitwiseAND(
+                    F.lit((1 << (bits_per if c < PHASH_CHUNKS - 1
+                                 else PHASH_BITS
+                                 - bits_per * (PHASH_CHUNKS - 1))) - 1)
+                ).alias("chunk_val"))
+            for c in range(PHASH_CHUNKS)])).alias("ch")
+    ).select("doc_id", "dhash", "ch.chunk_idx", "ch.chunk_val")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    ham = F.expr("bit_count(a.dhash ^ b.dhash)")
+    return (a.join(b, ["chunk_idx", "chunk_val"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("d1"),
+                    F.col("b.doc_id").alias("d2"),
+                    ham.cast("bigint").alias("hamming"))
+            .filter(F.col("hamming") <= PHASH_HAMMING_T)
+            .distinct())
+
+
+def _sql_phash_neardup() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN ascii(substr(px, {i + 1}, 1)) "
+        f"< ascii(substr(px, {i + 2}, 1)) THEN {1 << i} ELSE 0 END)"
+        for i in range(PHASH_BITS))
+    bits_per = PHASH_BITS // PHASH_CHUNKS
+    chunks = []
+    for c in range(PHASH_CHUNKS):
+        width = (bits_per if c < PHASH_CHUNKS - 1
+                 else PHASH_BITS - bits_per * (PHASH_CHUNKS - 1))
+        chunks.append(
+            f"SELECT doc_id, dhash, {c} AS chunk_idx, "
+            f"(dhash >> {c * bits_per}) & {(1 << width) - 1} AS chunk_val "
+            "FROM sig")
+    chunk_sql = " UNION ALL ".join(chunks)
+    return f"""
+WITH img AS (
+  SELECT doc_id, substr(text, 1, 32) AS px
+  FROM documents WHERE n_chars % 3 = 0 AND length(text) >= {PHASH_BITS + 1}),
+sig AS (SELECT doc_id, {terms} AS dhash FROM img),
+ch AS ({chunk_sql})
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+FROM ch a JOIN ch b USING (chunk_idx, chunk_val)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.dhash, b.dhash)) <= {PHASH_HAMMING_T}
+"""
+
+
 QUERIES = {
     "mm_media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "mm_media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     "mm_media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "mm_frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "mm_media_transcode": (q_media_transcode, SQL_MEDIA_TRANSCODE),
+    "mm_phash_neardup": (q_phash_neardup, _sql_phash_neardup()),
 }

@@ -8,7 +8,7 @@ as every batch operator: each runs a REAL streaming query (file source →
 then returns the materialized result as a batch DataFrame whose content a
 DuckDB ANSI oracle restates exactly.
 
-Determinism notes shared by all three:
+Determinism notes shared by these queries:
 * the session timezone is pinned to UTC inside each query — `F.window`
   aligns to epoch hours and the oracle's naive `date_trunc` matches only
   when the parquet-naive → internal conversion is identity (the repo's
@@ -52,6 +52,30 @@ def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+class _pinned_state_partitions:
+    """Temporarily pin spark.sql.shuffle.partitions to the core count for
+    a streaming run: every stateful-stream partition materializes its own
+    state store per micro-batch, so a 256-partition default pays 8x the
+    store setup for identical results (state is hash-partitioned either
+    way — the setting is perf-only).  On a real cluster the state
+    partition count is sized once to the executor count and kept stable
+    across restarts (it is baked into the checkpoint)."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+
+    def __enter__(self):
+        self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(self._spark.sparkContext.defaultParallelism))
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
+        return False
+
+
 def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation as a STREAMING query with a
     batch oracle: events stream in from the parquet file source, a
@@ -72,14 +96,15 @@ def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (inp / "events.parquet").hardlink_to(ev_file)
     except OSError:
         shutil.copy(ev_file, inp / "events.parquet")
-    src = spark.readStream.schema(EVENTS_DDL).parquet(str(inp))
-    agg = (src.withWatermark("ts", "2 hours")
-           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-           .agg(F.count(F.lit(1)).alias("n_events"),
-                F.sum(F.col("value").cast("decimal(18,4)")).alias("sv")))
-    q = (agg.writeStream.outputMode("complete").format("memory")
-         .queryName(name).trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _pinned_state_partitions(spark):
+        src = spark.readStream.schema(EVENTS_DDL).parquet(str(inp))
+        agg = (src.withWatermark("ts", "2 hours")
+               .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(18,4)")).alias("sv")))
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
     t0 = (spark.read.parquet(f"{sf_dir}/events.parquet")
           .agg(F.date_trunc("hour", F.min("ts")).alias("t0h")))
     bucket = F.floor(F.expr("timestampdiff(MICROSECOND, t0h, w.start)")
@@ -130,16 +155,18 @@ def _run_dedup_replay(spark: SparkSession, sf_dir: str):
     part = next(inp.glob("part-*.parquet"))
     shutil.copy(part, inp / f"replay-{part.name}")
     name = f"stream_dd_{uuid.uuid4().hex[:8]}"
-    src = (spark.readStream.schema(EVENTS_DDL)
-           .option("maxFilesPerTrigger", 1).parquet(str(inp)))
-    deduped = (src.withWatermark("ts", "2 hours")
-               .dropDuplicatesWithinWatermark(["event_id"])
-               .select("event_id", "user_id", "event_type", "value", "props"))
-    q = (deduped.writeStream.outputMode("append").format("memory")
-         .queryName(name)
-         .option("checkpointLocation", str(base / "ckpt"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _pinned_state_partitions(spark):
+        src = (spark.readStream.schema(EVENTS_DDL)
+               .option("maxFilesPerTrigger", 1).parquet(str(inp)))
+        deduped = (src.withWatermark("ts", "2 hours")
+                   .dropDuplicatesWithinWatermark(["event_id"])
+                   .select("event_id", "user_id", "event_type", "value",
+                           "props"))
+        q = (deduped.writeStream.outputMode("append").format("memory")
+             .queryName(name)
+             .option("checkpointLocation", str(base / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(name), q
 
 
@@ -222,15 +249,16 @@ def _run_running_totals(spark: SparkSession, sf_dir: str):
         # file source orders micro-batches by mod time: pin b0 first
         os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
     name = f"stream_tws_{uuid.uuid4().hex[:8]}"
-    src = (spark.readStream.schema(EVENTS_DDL)
-           .option("maxFilesPerTrigger", 1)
-           .option("latestFirst", "false").parquet(str(inp)))
-    out = running_totals(src)
-    q = (out.writeStream.outputMode("append").format("memory")
-         .queryName(name)
-         .option("checkpointLocation", str(base / "ckpt"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _pinned_state_partitions(spark):
+        src = (spark.readStream.schema(EVENTS_DDL)
+               .option("maxFilesPerTrigger", 1)
+               .option("latestFirst", "false").parquet(str(inp)))
+        out = running_totals(src)
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName(name)
+             .option("checkpointLocation", str(base / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(name), q
 
 

@@ -615,8 +615,9 @@ FROM c
 # (equi on word, never broadcast — vocab can exceed 10^9 rows, same rule
 # as ta_lm_xent), and scoring probes postings by word, so per-term work is
 # bounded by posting-list length, never the corpus.  The per-(query, doc)
-# score is an exact-order fold over the word-sorted term scores — bit-
-# identical in DuckDB — and the final top-k is a per-query bounded window.
+# score is an exact-order fold over the VALUE-sorted term scores (equal
+# doubles commute, so no string rides the shuffle) — bit-identical in
+# DuckDB — and the final top-k is a per-query bounded window.
 # At 10^12 docs the one addition is the hot-term stoplist already modeled
 # in dedup_ngram_jaccard (drop postings longer than a cap); the fixture's
 # 31-word vocab makes every term "hot" and the operator still bounds work
@@ -624,7 +625,7 @@ FROM c
 
 BM25_K1 = 1.2
 BM25_B = 0.75
-BM25_QUERY_MOD = 83   # doc_id % 83 == 0 -> query documents
+BM25_QUERY_MOD = 499  # doc_id % 499 == 0 -> query documents
 BM25_TOP_K = 5
 
 
@@ -654,11 +655,13 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           / (F.col("tf") + F.lit(BM25_K1)
              * (F.lit(1.0 - BM25_B)
                 + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl))))
-    grouped = (cand.select("query_id", "doc_id", "word", ts.alias("ts"))
+    # fold order: term scores sorted by VALUE — equal doubles commute
+    # exactly, so this is deterministic without carrying the word string
+    # through the shuffle (same narrow-fold trick as ta_lm_xent)
+    grouped = (cand.select("query_id", "doc_id", ts.alias("ts"))
                .groupBy("query_id", "doc_id")
-               .agg(F.array_sort(
-                   F.collect_list(F.struct("word", "ts"))).alias("terms")))
-    score = F.aggregate("terms", F.lit(0.0), lambda acc, t: acc + t["ts"])
+               .agg(F.array_sort(F.collect_list("ts")).alias("terms")))
+    score = F.aggregate("terms", F.lit(0.0), lambda acc, t: acc + t)
     from pyspark.sql import Window as W
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
     return (grouped.select("query_id", "doc_id", score.alias("score"))
@@ -695,7 +698,7 @@ cand AS (
   WHERE tf.doc_id <> qt.query_id),
 grouped AS (
   SELECT query_id, doc_id,
-         list_reduce(list_prepend(0.0, list(ts ORDER BY word)),
+         list_reduce(list_prepend(0.0, list(ts ORDER BY ts)),
                      (x, y) -> x + y) AS score
   FROM cand GROUP BY query_id, doc_id),
 ranked AS (

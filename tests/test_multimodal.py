@@ -121,3 +121,38 @@ def test_media_transcode_formats_and_quality(spark):
         multimodal.transcode_media(media, image_format="gif")
     with pytest.raises(ValueError):
         multimodal.transcode_media(media, quality=0)
+
+
+def test_phash_fixture_is_ascii(spark):
+    """The mm_phash_neardup oracle works at code-point level; the Python
+    stage hashes bytes.  They agree iff the corpus text is pure ASCII —
+    pin that (the same fixture assumption the other fake-codec oracles
+    rely on)."""
+    import pyspark.sql.functions as F
+    bad = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+           .filter(F.length(F.encode("text", "UTF-8")) != F.length("text"))
+           .count())
+    assert bad == 0
+
+
+def test_phash_neardup_exact_bruteforce(spark):
+    """The pigeonhole bucket join must return EXACTLY the Hamming<=T pairs
+    a brute-force all-pairs scan finds — recall 1.0 by the pigeonhole
+    guarantee (T+1 chunks), precision 1.0 by the bit_count verify."""
+    from document_processor_spark.operators import multimodal as mm
+
+    rows = mm.q_phash_neardup(spark, "/root/testdata/sf0.001").collect()
+    got = {(r["d1"], r["d2"]): r["hamming"] for r in rows}
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").collect()
+    sigs = {d["doc_id"]: mm.dhash16(d["text"][:32].encode())
+            for d in docs if d["n_chars"] % 3 == 0 and len(d["text"]) >= 17}
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= mm.PHASH_HAMMING_T:
+                want[(a, b)] = h
+    assert got == want
+    assert want, "fixture must produce at least one near-dup pair"

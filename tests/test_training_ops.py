@@ -452,13 +452,16 @@ def test_bm25_topk_contract(spark):
             assert r["doc_id"] != qid
             shared = qwords & set(tf[r["doc_id"]])
             assert shared, "returned doc shares no query term"
-            score = 0.0
-            for w in sorted(shared):
+            terms = []
+            for w in shared:
                 idf = math.log(1.0 + ((n_docs - df[w]) + 0.5) / (df[w] + 0.5))
                 dl = len(words[r["doc_id"]])
                 t = tf[r["doc_id"]][w]
-                score += (idf * (t * (k1 + 1.0))
-                          / (t + k1 * ((1.0 - b) + b * (dl / avgdl))))
+                terms.append(idf * (t * (k1 + 1.0))
+                             / (t + k1 * ((1.0 - b) + b * (dl / avgdl))))
+            score = 0.0
+            for ts_v in sorted(terms):   # the engine folds value-sorted
+                score += ts_v
             assert abs(round(score, 6) - r["bm25"]) < 1e-9, (qid, r)
             if prev is not None:
                 assert (prev["bm25"], ) >= (r["bm25"], ) or (
