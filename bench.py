@@ -183,8 +183,13 @@ def main() -> int:
         # SPARK_GRAFT_FULL_ONLY=a,b,c: measure a subset with the identical
         # methodology — for delta sweeps of newly added queries, merged
         # into the committed baseline by tools/report_full_bench.py
-        only = {n for n in os.environ.get(
-            "SPARK_GRAFT_FULL_ONLY", "").split(",") if n}
+        only = {n.strip() for n in os.environ.get(
+            "SPARK_GRAFT_FULL_ONLY", "").split(",") if n.strip()}
+        unknown = only - set(entry.queries())
+        if unknown:
+            print(f"[bench] FATAL: SPARK_GRAFT_FULL_ONLY names unknown "
+                  f"queries: {sorted(unknown)}", file=sys.stderr)
+            return 2
         full: dict[str, float] = {}
         for name, q in sorted(entry.queries().items()):
             if only and name not in only:

@@ -264,10 +264,13 @@ def _kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
                            lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0), lambda acc, x: acc + x).alias("dist"),
             c["cent_id"].alias("cent_id")))
-    # explode of the 1-element slice pins ONE evaluation of the fold array
+    # explode of the 1-element slice pins ONE evaluation of the fold
+    # array; slice (not array(array_min)) so an empty centroid set yields
+    # ZERO rows — the old crossJoin behavior — not one NULL-keyed row
     return (vecs.crossJoin(F.broadcast(karr))
             .select("vec_id", "xs", "xq",
-                    F.explode(F.array(F.array_min(scored))).alias("nc"))
+                    F.explode(
+                        F.slice(F.array_sort(scored), 1, 1)).alias("nc"))
             .select("vec_id", "xs", "xq",
                     F.col("nc")["cent_id"].alias("cent_id"),
                     F.col("nc")["dist"].alias("dist")))

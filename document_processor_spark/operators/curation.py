@@ -671,7 +671,8 @@ FROM d
 # predicates on EITHER dimension.  Here the curve runs over (lang,
 # n_chars-bucket): lang is quantized to 2 bits scaled into an 8-bit lane,
 # length to 8 bits, and the 16-bit Morton key's top 6 bits are the file
-# bucket — every bucket is a RECTANGLE in (lang, length) space (one lang,
+# bucket (32 reachable: 2 lang bits x 3 length bits; one interleave bit
+# is constant) — every bucket is a RECTANGLE in (lang, length) space (one lang,
 # length range <= 64 chars wide; pinned by test_zorder_buckets_are_
 # rectangles), which is exactly the data-skipping guarantee.  Pure
 # integer bit arithmetic, map-only, zero shuffle at any corpus size; the
@@ -681,7 +682,9 @@ FROM d
 
 ZORDER_LANGS = ["en", "fr", "de", "es"]
 ZORDER_LEN_DIV = 2      # n_chars -> 8-bit bucket: floor(n_chars/2), cap 255
-ZORDER_BUCKET_SHIFT = 10  # zbucket = zkey >> 10 -> 64 file buckets
+ZORDER_BUCKET_SHIFT = 10  # zbucket = zkey >> 10: 6 bits, 32 reachable
+# (the odd lane's bit 11 pairs with b_l8 bit 5, constant 0 — lang only
+# occupies bits 6-7 of its 8-bit lane)
 
 
 def _zorder_exprs(dialect: str) -> str:

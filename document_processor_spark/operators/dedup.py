@@ -685,13 +685,18 @@ SEM_T = 0.4         # within-cell cosine above which the later doc is pruned
 
 
 def _desc_then_id(score_field: str):
-    """array_sort comparator ≡ ORDER BY score DESC, cent_id — the exact
-    window ordering the narrow cell-assignment argmin replaces (no
-    NULL/NaN branch: the scores are total on the fixture domain, as the
-    window version already assumed)."""
+    """array_sort comparator ≡ ORDER BY score DESC NULLS LAST, cent_id —
+    the exact window ordering the narrow cell-assignment argmin replaced.
+    The NULL branches matter for totality: a zero-norm vector makes the
+    cosine NULL (x/0 -> NULL), and without them both l>r and l<r are
+    false, making NULL tie with every real score and breaking the sort's
+    transitivity."""
     def cmp(l, r):
-        return (F.when(l[score_field] > r[score_field], F.lit(-1))
-                .when(l[score_field] < r[score_field], F.lit(1))
+        ls, rs = l[score_field], r[score_field]
+        return (F.when(ls.isNull() & rs.isNotNull(), F.lit(1))
+                .when(ls.isNotNull() & rs.isNull(), F.lit(-1))
+                .when(ls > rs, F.lit(-1))
+                .when(ls < rs, F.lit(1))
                 .when(l["cent_id"] < r["cent_id"], F.lit(-1))
                 .when(l["cent_id"] > r["cent_id"], F.lit(1))
                 .otherwise(F.lit(0)))

@@ -48,8 +48,24 @@ from .pipeline_ops import SQL_PIPE_EXTRACT, derived_corpus
 MICROS_PER_HOUR = 3_600_000_000.0
 
 
-def _utc(spark: SparkSession) -> None:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+class _utc_session:
+    """Pin the session timezone to UTC for the duration of a stream run,
+    restoring the caller's setting on exit (the driver session is shared;
+    a permanent mutation would leak into unrelated queries).  Every
+    RETURNED plan below is timezone-free (instant arithmetic only), so
+    restoring before the driver collects is safe."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+
+    def __enter__(self):
+        self._prev = self._spark.conf.get("spark.sql.session.timeZone")
+        self._spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.session.timeZone", self._prev)
+        return False
 
 
 class _pinned_state_partitions:
@@ -86,17 +102,19 @@ def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     instant arithmetic — timezone-free), so the oracle is the plain
     GROUP BY date_trunc('hour', ts) any batch engine runs.  The single
     events.parquet FILE is staged (hard-link, else copy) into a temp dir
-    first — the streaming file source only accepts directories."""
-    _utc(spark)
+    first — the streaming file source only accepts directories; staging
+    and checkpoint are removed once the drain finishes (the result lives
+    in the memory sink)."""
     name = f"stream_tb_{uuid.uuid4().hex[:8]}"
-    inp = Path(tempfile.mkdtemp(prefix="stream_tb_")) / "in"
+    base = Path(tempfile.mkdtemp(prefix="stream_tb_"))
+    inp = base / "in"
     inp.mkdir()
     ev_file = Path(sf_dir) / "events.parquet"
     try:
         (inp / "events.parquet").hardlink_to(ev_file)
     except OSError:
         shutil.copy(ev_file, inp / "events.parquet")
-    with _pinned_state_partitions(spark):
+    with _utc_session(spark), _pinned_state_partitions(spark):
         src = spark.readStream.schema(EVENTS_DDL).parquet(str(inp))
         agg = (src.withWatermark("ts", "2 hours")
                .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -105,11 +123,19 @@ def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (agg.writeStream.outputMode("complete").format("memory")
              .queryName(name).trigger(availableNow=True).start())
         q.awaitTermination()
-    t0 = (spark.read.parquet(f"{sf_dir}/events.parquet")
-          .agg(F.date_trunc("hour", F.min("ts")).alias("t0h")))
-    bucket = F.floor(F.expr("timestampdiff(MICROSECOND, t0h, w.start)")
+        # corpus-min UTC hour in epoch micros, computed EAGERLY while the
+        # session is still pinned to UTC (same LTZ schema the stream
+        # used, so naive parquet values land as the same instants); the
+        # one-row collect keeps the RETURNED plan timezone-free
+        t0h_us = (spark.read.schema(EVENTS_DDL)
+                  .parquet(f"{sf_dir}/events.parquet")
+                  .agg((F.floor(F.unix_micros(F.min("ts")) / MICROS_PER_HOUR)
+                        * F.lit(3_600_000_000)).cast("long").alias("us"))
+                  .collect()[0]["us"])
+    shutil.rmtree(base, ignore_errors=True)
+    bucket = F.floor((F.unix_micros(F.col("w.start")) - F.lit(t0h_us))
                      / MICROS_PER_HOUR)
-    return (spark.table(name).crossJoin(F.broadcast(t0))
+    return (spark.table(name)
             .select(bucket.cast("bigint").alias("hour_bucket"),
                     "event_type", "n_events",
                     F.col("sv").cast("double").alias("sum_value")))
@@ -147,7 +173,8 @@ def _run_dedup_replay(spark: SparkSession, sf_dir: str):
     so tests can inspect recentProgress — the hash gate proves the OUTPUT
     equals the events table, only the progress log proves the stream
     really ingested every row twice across ≥2 micro-batches."""
-    _utc(spark)
+    from ..streaming.windowed import dedup_stream
+
     base = Path(tempfile.mkdtemp(prefix="stream_dedup_"))
     inp = base / "in"
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -155,18 +182,17 @@ def _run_dedup_replay(spark: SparkSession, sf_dir: str):
     part = next(inp.glob("part-*.parquet"))
     shutil.copy(part, inp / f"replay-{part.name}")
     name = f"stream_dd_{uuid.uuid4().hex[:8]}"
-    with _pinned_state_partitions(spark):
+    with _utc_session(spark), _pinned_state_partitions(spark):
         src = (spark.readStream.schema(EVENTS_DDL)
                .option("maxFilesPerTrigger", 1).parquet(str(inp)))
-        deduped = (src.withWatermark("ts", "2 hours")
-                   .dropDuplicatesWithinWatermark(["event_id"])
-                   .select("event_id", "user_id", "event_type", "value",
-                           "props"))
+        deduped = dedup_stream(src).select(
+            "event_id", "user_id", "event_type", "value", "props")
         q = (deduped.writeStream.outputMode("append").format("memory")
              .queryName(name)
              .option("checkpointLocation", str(base / "ckpt"))
              .trigger(availableNow=True).start())
         q.awaitTermination()
+    shutil.rmtree(base, ignore_errors=True)
     return spark.table(name), q
 
 
@@ -193,16 +219,20 @@ def _run_extract_snapshot(spark: SparkSession, sf_dir: str):
     """Body of q_stream_extract_snapshot; returns (result df, IceLite
     table) so tests can assert the ingest really committed one snapshot
     per micro-batch — granularity the content hash cannot see."""
-    _utc(spark)
     base = Path(tempfile.mkdtemp(prefix="stream_extract_"))
     inp = base / "in"
     derived_corpus(spark, sf_dir).repartition(4).write.parquet(str(inp))
-    q = start_extract_stream(
-        spark, str(inp), str(base / "wh"), str(base / "ckpt"),
-        run_id="drv", engine="sql",
-        n_parts=spark.sparkContext.defaultParallelism,
-        available_now=True, max_files_per_trigger=2)
-    q.awaitTermination()
+    with _utc_session(spark):
+        q = start_extract_stream(
+            spark, str(inp), str(base / "wh"), str(base / "ckpt"),
+            run_id="drv", engine="sql",
+            n_parts=spark.sparkContext.defaultParallelism,
+            available_now=True, max_files_per_trigger=2)
+        q.awaitTermination()
+    # the returned frame READS the warehouse — keep it; drop the staged
+    # corpus copy and the finished checkpoint
+    shutil.rmtree(inp, ignore_errors=True)
+    shutil.rmtree(base / "ckpt", ignore_errors=True)
     table = IceLite(str(base / "wh"), SPANS_TABLE)
     df = (table.read_spans(spark)
           .select("doc_id", F.explode("spans").alias("s"))
@@ -234,7 +264,6 @@ def _run_running_totals(spark: SparkSession, sf_dir: str):
 
     from ..streaming.transform_state import running_totals
 
-    _utc(spark)
     base = Path(tempfile.mkdtemp(prefix="stream_tws_"))
     inp = base / "in"
     inp.mkdir()
@@ -249,7 +278,7 @@ def _run_running_totals(spark: SparkSession, sf_dir: str):
         # file source orders micro-batches by mod time: pin b0 first
         os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
     name = f"stream_tws_{uuid.uuid4().hex[:8]}"
-    with _pinned_state_partitions(spark):
+    with _utc_session(spark), _pinned_state_partitions(spark):
         src = (spark.readStream.schema(EVENTS_DDL)
                .option("maxFilesPerTrigger", 1)
                .option("latestFirst", "false").parquet(str(inp)))
@@ -259,6 +288,7 @@ def _run_running_totals(spark: SparkSession, sf_dir: str):
              .option("checkpointLocation", str(base / "ckpt"))
              .trigger(availableNow=True).start())
         q.awaitTermination()
+    shutil.rmtree(base, ignore_errors=True)
     return spark.table(name), q
 
 

@@ -633,10 +633,14 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k BM25 matches per query document (its distinct words are the
     query terms).  idf = ln(1 + (N - df + 0.5)/(df + 0.5)); ties break
     score DESC, doc_id ASC."""
+    from .dedup import _pin
     d = _docs(spark, sf_dir).filter(F.length("text") > 0)
-    tf = (d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("word"))
-          .filter(F.col("word") != "")
-          .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf")))
+    # tf feeds FOUR plan branches (dl, dfreq, qt, the candidate probe) —
+    # pin it so the tokenize/explode/groupBy corpus pass runs once
+    tf = _pin(
+        d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf")))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = F.broadcast(dl.agg(F.count(F.lit(1)).alias("n_docs"),
                                F.sum("dl").alias("total_dl")))

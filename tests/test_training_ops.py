@@ -464,9 +464,9 @@ def test_bm25_topk_contract(spark):
                 score += ts_v
             assert abs(round(score, 6) - r["bm25"]) < 1e-9, (qid, r)
             if prev is not None:
-                assert (prev["bm25"], ) >= (r["bm25"], ) or (
+                assert prev["bm25"] > r["bm25"] or (
                     prev["bm25"] == r["bm25"]
-                    and prev["doc_id"] < r["doc_id"])
+                    and prev["doc_id"] < r["doc_id"]), (prev, r)
             prev = r
 
 

@@ -40,11 +40,6 @@ NOTES = {
     "rel_tumbling_hourly": (
         "crossJoin with a broadcast 1-ROW aggregate (corpus min ts) — "
         "constant-size side"),
-    "stream_tumbling_hourly": (
-        "crossJoin with a broadcast 1-ROW aggregate (corpus min ts) on the "
-        "post-stream re-key — constant-size side, same shape as "
-        "rel_tumbling_hourly; the streaming aggregation itself is a "
-        "watermarked stateful shuffle on (window, event_type)"),
     "cur_stratified_sample": (
         "crossJoin with a broadcast 1-ROW aggregate (global min stratum "
         "count) — constant-size side"),
@@ -111,6 +106,12 @@ the broadcast no longer fits).  Invariants enforced across the surface:
 * **Scan pruning.** Parquet scans carry `PushedFilters`/narrow
   `ReadSchema` where the query filters/projects (Python-stage inputs
   read the payload column by necessity).
+
+Caveat: the `stream_*` rows audit the POST-STREAM read-back plan (the
+query functions run a real streaming job and return the materialized
+sink) — the streaming dataflow itself (watermark/state/Python stages) is
+not visible to a batch `explain` and is covered by the streaming pytest
+suite instead.
 
 | query | joins | properties | cartesian-flag note |
 |---|---|---|---|
