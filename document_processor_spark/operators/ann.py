@@ -322,8 +322,12 @@ def q_ann_kmeans_train(spark: SparkSession, sf_dir: str,
     e = _quantized(spark, sf_dir)
     cents = _train_centroids(e, iters)
     final = _kmeans_assign(e, cents)
+    # integer-quantized distance (floor(dist*1e4) as BIGINT): round-on-double
+    # diverges between Spark's HALF_UP BigDecimal rounding and DuckDB at
+    # decimal-boundary ulps; floor quantization is bit-exact on both engines
     return final.select("vec_id", "cent_id",
-                        F.round("dist", 4).alias("dist"))
+                        F.floor(F.col("dist") * 10000)
+                        .cast("long").alias("dist"))
 
 
 def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,7 +448,7 @@ c0 AS (SELECT vec_id AS cent_id, xq AS cd FROM eq
     sql += f""",
 final AS ({assign(prev)}
 )
-SELECT vec_id, cent_id, round(dist, 4) AS dist FROM final
+SELECT vec_id, cent_id, CAST(floor(dist * 10000) AS BIGINT) AS dist FROM final
 """
     return sql
 

@@ -607,53 +607,148 @@ FROM pairs WHERE cos >= {COSINE_T}
 CC_MAX_ITERS = 25
 
 
-def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS,
+                         algo: str = "propagate",
+                         metrics: dict | None = None) -> DataFrame:
+    """Connected components over an undirected pair graph
+    (columns d1, d2) → labels (node, label = component-min node id).
+
+    Two interchangeable dataflows, selected by `algo`:
+
+    * ``propagate`` (default) — min-label propagation: each round is one
+      equi-join (edges ⋈ labels, shuffle on the node key) + a min
+      aggregation with map-side partial agg.  Converges in O(diameter)
+      rounds — the right default for near-dup graphs, whose diameters
+      are short in practice (similarity is near-transitive).
+    * ``star`` — the alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SoCC'14): each round rewires every node toward its neighborhood
+      minimum, halving component height, so convergence is O(log n)
+      rounds regardless of diameter.  The opt-in path for adversarial
+      graphs (a 10^5-long chain would need 10^5 propagation rounds but
+      ~17 star rounds).  Each star step is a groupBy + join on the node
+      key — same shuffle shape as propagation, just a different rewiring
+      rule.
+
+    Per-round lineage is truncated (localCheckpoint pin) so the physical
+    plan does not grow with iterations — at 10^12-doc scale each round's
+    table would be a reliable checkpoint (`spark.document_processor.pin`).
+
+    `metrics`, when given, is filled in place with the loop telemetry the
+    no-silent-truncation rule requires: algo, max_iters, per-round
+    changed-row counts, round count, and whether the loop converged
+    before the cap (a non-converged run is also logged at WARNING).
+    Driver-side logic is only the convergence test (one count per round);
+    labels never leave the cluster."""
+    rounds: list[int] = []
+    converged = False
+    if algo == "propagate":
+        edges = _pin(pairs.union(
+            pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))))
+        labels = _pin(edges.select(F.col("d1").alias("node")).distinct()
+                      .select("node", F.col("node").alias("label")))
+        for _ in range(max_iters):
+            prop = (edges.join(labels, edges["d1"] == labels["node"])
+                    .select(F.col("d2").alias("node"), "label"))
+            new_labels = _pin(labels.select("node", "label").union(prop)
+                              .groupBy("node")
+                              .agg(F.min("label").alias("label")))
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "node")
+                       .filter(F.col("n.label") != F.col("o.label")).count())
+            rounds.append(changed)
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+    elif algo == "star":
+        # state: a deduped directed edge list; at convergence it is a
+        # union of stars, every node pointing at its component minimum
+        edges = _pin(pairs.select(F.col("d1").alias("u"),
+                                  F.col("d2").alias("v"))
+                     .filter(F.col("u") != F.col("v")).distinct())
+        for _ in range(max_iters):
+            sym = edges.union(edges.select(F.col("v").alias("u"),
+                                           F.col("u").alias("v")))
+            # large-star: every node u links its LARGER neighbors to
+            # m(u) = min(Γ(u) ∪ {u})
+            lmin = (sym.groupBy("u")
+                    .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+            large = (sym.join(lmin, "u")
+                     .filter(F.col("v") > F.col("u"))
+                     .filter(F.col("v") != F.col("m"))
+                     .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                     .distinct())
+            # small-star: orient (big, small), link every small neighbor
+            # AND big itself to the minimum of the small neighborhood
+            oriented = (large.select(F.greatest("u", "v").alias("b"),
+                                     F.least("u", "v").alias("s")))
+            smin = oriented.groupBy("b").agg(F.min("s").alias("m"))
+            small = _pin(
+                oriented.join(smin, "b")
+                .select(F.col("s").alias("u"), F.col("m").alias("v"))
+                .union(smin.select(F.col("b").alias("u"),
+                                   F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v")).distinct())
+            changed = (small.subtract(edges)
+                       .union(edges.subtract(small)).count())
+            rounds.append(changed)
+            edges = small
+            if changed == 0:
+                converged = True
+                break
+        labels = (edges.select(F.col("u").alias("node"),
+                               F.col("v").alias("label"))
+                  .union(edges.select(F.col("v").alias("node"),
+                                      F.col("v").alias("label")))
+                  .groupBy("node").agg(F.min("label").alias("label")))
+    else:
+        raise ValueError(f"unknown connected-components algo: {algo!r}")
+    if not converged:
+        logging.getLogger(__name__).warning(
+            "connected_components(%s) hit max_iters=%d without converging "
+            "(last round changed %d rows) — labels may be partial",
+            algo, max_iters, rounds[-1] if rounds else -1)
+    if metrics is not None:
+        metrics.update(algo=algo, max_iters=max_iters,
+                       changed_per_round=rounds, n_rounds=len(rounds),
+                       converged=converged)
+    return labels
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str,
+                       algo: str = "propagate",
+                       metrics: dict | None = None) -> DataFrame:
     """Cluster resolution — the step a real dedup pipeline runs AFTER pair
     generation: connected components over the verified MinHash pair graph,
     assigning every document a canonical cluster representative (the
     component-min doc_id) and the cluster size.
 
-    Iterative min-label propagation on DataFrames: each round is one
-    equi-join (edges ⋈ labels, shuffle on the node key) + a min
-    aggregation with map-side partial agg; labels converge in O(graph
-    diameter) rounds.  Near-dup clusters have short diameters in practice
-    (similarity is near-transitive), so rounds stay in single digits; at
-    adversarial diameters the O(log n) large-star/small-star contraction
-    is the drop-in replacement for the propagation step.  Per-round
-    lineage is truncated (localCheckpoint pin) so the physical plan does
-    not grow with iterations — at 10^12-doc scale each round's label table
-    would be a checkpoint table.  Driver-side logic is only the
-    convergence test (a count per round); labels never leave the cluster.
+    Label resolution delegates to :func:`connected_components` — min-label
+    propagation by default (O(diameter) rounds; near-dup clusters have
+    short diameters in practice because similarity is near-transitive),
+    with the O(log n) large-star/small-star contraction as the opt-in
+    ``algo="star"`` path for adversarial diameters.  `metrics`, when
+    given, receives the loop telemetry (rounds, changed-per-round,
+    converged).
 
     Non-dup documents are their own singleton cluster (left anti to the
     edge set avoids shuffling the whole corpus through the loop: only
     documents that appear in a pair — a small fraction — iterate)."""
-    from pyspark.sql import Window
-
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
-    edges = _pin(pairs.union(
-        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))))
-    labels = _pin(edges.select(F.col("d1").alias("node")).distinct()
-                  .select("node", F.col("node").alias("label")))
-    for _ in range(CC_MAX_ITERS):
-        prop = (edges.join(labels, edges["d1"] == labels["node"])
-                .select(F.col("d2").alias("node"), "label"))
-        new_labels = _pin(labels.select("node", "label").union(prop)
-                          .groupBy("node").agg(F.min("label").alias("label")))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = connected_components(pairs, algo=algo, metrics=metrics)
     docs = _docs(spark, sf_dir).select("doc_id")
     assigned = (docs.join(labels, docs["doc_id"] == labels["node"], "left")
                 .select("doc_id",
                         F.coalesce("label", "doc_id").alias("cluster_id")))
-    return assigned.select(
-        "doc_id", "cluster_id",
-        F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
-         .alias("n_members"))
+    # cluster size via groupBy+join, NOT a partitionBy-window count: a
+    # window materializes an entire cluster in one task, so one mega
+    # boilerplate cluster (millions of members — the common case in web
+    # dedup) pins a straggler; groupBy gets map-side partial aggregation
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    return (assigned.join(sizes, "cluster_id")
+            .select("doc_id", "cluster_id", "n_members"))
 
 
 SQL_DEDUP_COMPONENTS = f"""

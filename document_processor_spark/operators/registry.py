@@ -12,6 +12,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# The driver's correctness gate samples the FIRST 50 registry entries, so
+# ordering is exposure: queries named here are emitted first (in this
+# order), everything else follows in module order.  Keep (a) queries that
+# have never had a driver CORRECTNESS row and (b) queries whose
+# implementation changed this round at the head of this list; rotate
+# long-stable green families into the tail.
+_PRIORITY: tuple[str, ...] = (
+    # r3-shipped, never driver-checked (stream/cur/mm/pipe = 26 queries)
+    "stream_tumbling_hourly", "stream_dedup_replay",
+    "stream_extract_snapshot", "stream_running_totals",
+    "cur_corpus_build", "cur_decontaminate", "cur_stratified_sample",
+    "cur_pack_sequences", "cur_pii_redact", "cur_quality_gate",
+    "cur_dsir_select", "cur_shard_export", "cur_temperature_mix",
+    "cur_zorder_layout",
+    "mm_media_features", "mm_media_decode", "mm_media_resize",
+    "mm_frame_sample", "mm_media_transcode", "mm_phash_neardup",
+    "pipe_extract_catalyst", "pipe_extract_arrow", "pipe_extract_page_range",
+    "pipe_extract_ocr_fast", "pipe_extract_ocr_full", "pipe_extract_curate",
+    # changed this round — need fresh driver rows
+    "ann_kmeans_train", "ta_tfidf_topk", "dedup_components",
+)
+
 
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     # imports fail LOUDLY: a broken operator module must surface as a
@@ -19,10 +41,16 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     import importlib
 
     from . import extraction_ops
-    out: dict[str, tuple[QueryFn, str | None]] = {}
-    out.update(extraction_ops.QUERIES)
+    raw: dict[str, tuple[QueryFn, str | None]] = {}
+    raw.update(extraction_ops.QUERIES)
     for mod_name in ("dedup", "ann", "text_analysis", "relational",
                      "multimodal", "pipeline_ops", "curation", "stream_ops"):
         mod = importlib.import_module(f".{mod_name}", __package__)
-        out.update(mod.QUERIES)
+        raw.update(mod.QUERIES)
+    missing = [n for n in _PRIORITY if n not in raw]
+    if missing:  # a renamed/removed query must fail loudly, not silently
+        raise KeyError(f"_PRIORITY names not in registry: {missing}")
+    out: dict[str, tuple[QueryFn, str | None]] = {
+        n: raw[n] for n in _PRIORITY}
+    out.update((n, q) for n, q in raw.items() if n not in out)
     return out

@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import shutil
 import tempfile
-import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -92,6 +91,16 @@ class _pinned_state_partitions:
         return False
 
 
+def _sink_name(spark: SparkSession, name: str) -> str:
+    """FIXED per-query memory-sink name, dropped before each run: a fresh
+    uuid per invocation leaks one materialized result table per run into
+    the shared long-lived session (the r1 cache-leak class _pin() was
+    built to kill) — a fixed name bounds growth to one retained table per
+    query.  dropTempView is a no-op bool when absent."""
+    spark.catalog.dropTempView(name)
+    return name
+
+
 def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation as a STREAMING query with a
     batch oracle: events stream in from the parquet file source, a
@@ -105,34 +114,39 @@ def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     first — the streaming file source only accepts directories; staging
     and checkpoint are removed once the drain finishes (the result lives
     in the memory sink)."""
-    name = f"stream_tb_{uuid.uuid4().hex[:8]}"
+    name = _sink_name(spark, "stream_tb_sink")
     base = Path(tempfile.mkdtemp(prefix="stream_tb_"))
-    inp = base / "in"
-    inp.mkdir()
-    ev_file = Path(sf_dir) / "events.parquet"
     try:
-        (inp / "events.parquet").hardlink_to(ev_file)
-    except OSError:
-        shutil.copy(ev_file, inp / "events.parquet")
-    with _utc_session(spark), _pinned_state_partitions(spark):
-        src = spark.readStream.schema(EVENTS_DDL).parquet(str(inp))
-        agg = (src.withWatermark("ts", "2 hours")
-               .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-               .agg(F.count(F.lit(1)).alias("n_events"),
-                    F.sum(F.col("value").cast("decimal(18,4)")).alias("sv")))
-        q = (agg.writeStream.outputMode("complete").format("memory")
-             .queryName(name).trigger(availableNow=True).start())
-        q.awaitTermination()
-        # corpus-min UTC hour in epoch micros, computed EAGERLY while the
-        # session is still pinned to UTC (same LTZ schema the stream
-        # used, so naive parquet values land as the same instants); the
-        # one-row collect keeps the RETURNED plan timezone-free
-        t0h_us = (spark.read.schema(EVENTS_DDL)
-                  .parquet(f"{sf_dir}/events.parquet")
-                  .agg((F.floor(F.unix_micros(F.min("ts")) / MICROS_PER_HOUR)
-                        * F.lit(3_600_000_000)).cast("long").alias("us"))
-                  .collect()[0]["us"])
-    shutil.rmtree(base, ignore_errors=True)
+        inp = base / "in"
+        inp.mkdir()
+        ev_file = Path(sf_dir) / "events.parquet"
+        try:
+            (inp / "events.parquet").hardlink_to(ev_file)
+        except OSError:
+            shutil.copy(ev_file, inp / "events.parquet")
+        with _utc_session(spark), _pinned_state_partitions(spark):
+            src = spark.readStream.schema(EVENTS_DDL).parquet(str(inp))
+            agg = (src.withWatermark("ts", "2 hours")
+                   .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                   .agg(F.count(F.lit(1)).alias("n_events"),
+                        F.sum(F.col("value").cast("decimal(18,4)"))
+                        .alias("sv")))
+            q = (agg.writeStream.outputMode("complete").format("memory")
+                 .queryName(name).trigger(availableNow=True).start())
+            q.awaitTermination()
+            # corpus-min UTC hour in epoch micros, computed EAGERLY while
+            # the session is still pinned to UTC (same LTZ schema the
+            # stream used, so naive parquet values land as the same
+            # instants); the one-row collect keeps the RETURNED plan
+            # timezone-free
+            t0h_us = (spark.read.schema(EVENTS_DDL)
+                      .parquet(f"{sf_dir}/events.parquet")
+                      .agg((F.floor(F.unix_micros(F.min("ts"))
+                                    / MICROS_PER_HOUR)
+                            * F.lit(3_600_000_000)).cast("long").alias("us"))
+                      .collect()[0]["us"])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     bucket = F.floor((F.unix_micros(F.col("w.start")) - F.lit(t0h_us))
                      / MICROS_PER_HOUR)
     return (spark.table(name)
@@ -176,23 +190,25 @@ def _run_dedup_replay(spark: SparkSession, sf_dir: str):
     from ..streaming.windowed import dedup_stream
 
     base = Path(tempfile.mkdtemp(prefix="stream_dedup_"))
-    inp = base / "in"
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev.coalesce(1).write.parquet(str(inp))
-    part = next(inp.glob("part-*.parquet"))
-    shutil.copy(part, inp / f"replay-{part.name}")
-    name = f"stream_dd_{uuid.uuid4().hex[:8]}"
-    with _utc_session(spark), _pinned_state_partitions(spark):
-        src = (spark.readStream.schema(EVENTS_DDL)
-               .option("maxFilesPerTrigger", 1).parquet(str(inp)))
-        deduped = dedup_stream(src).select(
-            "event_id", "user_id", "event_type", "value", "props")
-        q = (deduped.writeStream.outputMode("append").format("memory")
-             .queryName(name)
-             .option("checkpointLocation", str(base / "ckpt"))
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
-    shutil.rmtree(base, ignore_errors=True)
+    try:
+        inp = base / "in"
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev.coalesce(1).write.parquet(str(inp))
+        part = next(inp.glob("part-*.parquet"))
+        shutil.copy(part, inp / f"replay-{part.name}")
+        name = _sink_name(spark, "stream_dd_sink")
+        with _utc_session(spark), _pinned_state_partitions(spark):
+            src = (spark.readStream.schema(EVENTS_DDL)
+                   .option("maxFilesPerTrigger", 1).parquet(str(inp)))
+            deduped = dedup_stream(src).select(
+                "event_id", "user_id", "event_type", "value", "props")
+            q = (deduped.writeStream.outputMode("append").format("memory")
+                 .queryName(name)
+                 .option("checkpointLocation", str(base / "ckpt"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     return spark.table(name), q
 
 
@@ -220,17 +236,22 @@ def _run_extract_snapshot(spark: SparkSession, sf_dir: str):
     table) so tests can assert the ingest really committed one snapshot
     per micro-batch — granularity the content hash cannot see."""
     base = Path(tempfile.mkdtemp(prefix="stream_extract_"))
-    inp = base / "in"
-    derived_corpus(spark, sf_dir).repartition(4).write.parquet(str(inp))
-    with _utc_session(spark):
-        q = start_extract_stream(
-            spark, str(inp), str(base / "wh"), str(base / "ckpt"),
-            run_id="drv", engine="sql",
-            n_parts=spark.sparkContext.defaultParallelism,
-            available_now=True, max_files_per_trigger=2)
-        q.awaitTermination()
-    # the returned frame READS the warehouse — keep it; drop the staged
-    # corpus copy and the finished checkpoint
+    try:
+        inp = base / "in"
+        derived_corpus(spark, sf_dir).repartition(4).write.parquet(str(inp))
+        with _utc_session(spark):
+            q = start_extract_stream(
+                spark, str(inp), str(base / "wh"), str(base / "ckpt"),
+                run_id="drv", engine="sql",
+                n_parts=spark.sparkContext.defaultParallelism,
+                available_now=True, max_files_per_trigger=2)
+            q.awaitTermination()
+    except BaseException:
+        # failure path: nothing useful in the warehouse either — drop ALL
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    # success: the returned frame READS the warehouse — keep it; drop the
+    # staged corpus copy and the finished checkpoint
     shutil.rmtree(inp, ignore_errors=True)
     shutil.rmtree(base / "ckpt", ignore_errors=True)
     table = IceLite(str(base / "wh"), SPANS_TABLE)
@@ -265,30 +286,32 @@ def _run_running_totals(spark: SparkSession, sf_dir: str):
     from ..streaming.transform_state import running_totals
 
     base = Path(tempfile.mkdtemp(prefix="stream_tws_"))
-    inp = base / "in"
-    inp.mkdir()
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    for i, batch in enumerate((ev.filter(F.col("event_id") % 2 == 0),
-                               ev.filter(F.col("event_id") % 2 == 1))):
-        stage = base / f"stage{i}"
-        batch.coalesce(1).write.parquet(str(stage))
-        part = next(stage.glob("part-*.parquet"))
-        dst = inp / f"b{i}.parquet"
-        shutil.copy(part, dst)
-        # file source orders micro-batches by mod time: pin b0 first
-        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
-    name = f"stream_tws_{uuid.uuid4().hex[:8]}"
-    with _utc_session(spark), _pinned_state_partitions(spark):
-        src = (spark.readStream.schema(EVENTS_DDL)
-               .option("maxFilesPerTrigger", 1)
-               .option("latestFirst", "false").parquet(str(inp)))
-        out = running_totals(src)
-        q = (out.writeStream.outputMode("append").format("memory")
-             .queryName(name)
-             .option("checkpointLocation", str(base / "ckpt"))
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
-    shutil.rmtree(base, ignore_errors=True)
+    try:
+        inp = base / "in"
+        inp.mkdir()
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        for i, batch in enumerate((ev.filter(F.col("event_id") % 2 == 0),
+                                   ev.filter(F.col("event_id") % 2 == 1))):
+            stage = base / f"stage{i}"
+            batch.coalesce(1).write.parquet(str(stage))
+            part = next(stage.glob("part-*.parquet"))
+            dst = inp / f"b{i}.parquet"
+            shutil.copy(part, dst)
+            # file source orders micro-batches by mod time: pin b0 first
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        name = _sink_name(spark, "stream_tws_sink")
+        with _utc_session(spark), _pinned_state_partitions(spark):
+            src = (spark.readStream.schema(EVENTS_DDL)
+                   .option("maxFilesPerTrigger", 1)
+                   .option("latestFirst", "false").parquet(str(inp)))
+            out = running_totals(src)
+            q = (out.writeStream.outputMode("append").format("memory")
+                 .queryName(name)
+                 .option("checkpointLocation", str(base / "ckpt"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     return spark.table(name), q
 
 

@@ -340,7 +340,10 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = (tf.groupBy("word")
            .agg(F.count(F.lit(1)).cast("double").alias("df")))
     from pyspark.sql import Window as W
-    scored = (tf.join(F.broadcast(df_), "word").crossJoin(n_docs)
+    # plain equi-join on word — no broadcast hint: distinct-word count is
+    # vocab-sized (10^9+ at web scale, same rule as ta_lm_xent/ta_bm25);
+    # AQE still picks a broadcast when df_ actually fits
+    scored = (tf.join(df_, "word").crossJoin(n_docs)
               .select("doc_id", "word", "tf",
                       (F.col("tf") * (F.log((F.col("n_docs") + 1)
                                             / (F.col("df") + 1)) + 1))

@@ -4,12 +4,15 @@ propagation loop's building blocks through a monkeypatched pair source."""
 
 from __future__ import annotations
 
+import pytest
+
 from document_processor_spark.operators import dedup
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def test_components_on_known_graph(spark, monkeypatch, tmp_path):
+@pytest.mark.parametrize("algo", ["propagate", "star"])
+def test_components_on_known_graph(spark, monkeypatch, tmp_path, algo):
     # documents: a..g; pairs: chain a-b-c, pair e-f; d and g singletons
     docs = spark.createDataFrame(
         [(x,) for x in "abcdefg"], "doc_id string")
@@ -22,7 +25,9 @@ def test_components_on_known_graph(spark, monkeypatch, tmp_path):
         return spark.createDataFrame(pair_rows, "d1 string, d2 string")
 
     monkeypatch.setattr(dedup, "q_dedup_minhash_lsh", fake_pairs)
-    out = dedup.q_dedup_components(spark, str(tmp_path))
+    metrics: dict = {}
+    out = dedup.q_dedup_components(spark, str(tmp_path),
+                                   algo=algo, metrics=metrics)
     got = sorted((r["doc_id"], r["cluster_id"], r["n_members"])
                  for r in out.collect())
     assert got == [
@@ -31,6 +36,43 @@ def test_components_on_known_graph(spark, monkeypatch, tmp_path):
         ("e", "e", 2), ("f", "e", 2),
         ("g", "g", 1),
     ]
+    assert metrics["algo"] == algo
+    assert metrics["converged"] is True
+    assert metrics["n_rounds"] == len(metrics["changed_per_round"])
+    assert metrics["changed_per_round"][-1] == 0
+
+
+def test_star_converges_on_adversarial_chain(spark):
+    """A 256-node chain has diameter 255 — min-label propagation would
+    need 255 rounds (far past CC_MAX_ITERS), but the alternating
+    large-star/small-star contraction halves component height each
+    round, so it converges in O(log n) rounds."""
+    n = 256
+    nodes = [f"n{i:03d}" for i in range(n)]
+    chain = spark.createDataFrame(list(zip(nodes, nodes[1:])),
+                                  "d1 string, d2 string")
+    metrics: dict = {}
+    labels = dedup.connected_components(chain, algo="star", metrics=metrics)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got == {x: "n000" for x in nodes}
+    assert metrics["converged"] is True
+    # log2(256) = 8; allow slack for the alternating schedule
+    assert metrics["n_rounds"] <= 16
+
+
+def test_propagate_reports_nonconvergence_honestly(spark):
+    """The no-silent-truncation rule: when the round cap is hit before
+    the labels settle, metrics must say so instead of pretending."""
+    n = 12
+    nodes = [f"n{i:02d}" for i in range(n)]
+    chain = spark.createDataFrame(list(zip(nodes, nodes[1:])),
+                                  "d1 string, d2 string")
+    metrics: dict = {}
+    dedup.connected_components(chain, max_iters=3, algo="propagate",
+                               metrics=metrics).collect()
+    assert metrics["converged"] is False
+    assert metrics["n_rounds"] == 3
+    assert metrics["changed_per_round"][-1] > 0
 
 
 def test_components_converges_on_long_chain(spark, monkeypatch, tmp_path):
