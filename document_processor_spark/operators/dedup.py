@@ -1082,8 +1082,19 @@ LEFT JOIN shared sd USING (doc_id)
 """
 
 
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution through the O(log n) large-star/small-star
+    contraction (the adversarial-diameter path of
+    :func:`connected_components`).  Same labels as the propagation
+    default — the oracle IS the shared SQL — so the driver row proves the
+    two dataflows agree on the real pair graph, not just on the pytest
+    fixture."""
+    return q_dedup_components(spark, sf_dir, algo="star")
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_components_star": (q_dedup_components_star, SQL_DEDUP_COMPONENTS),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_subdoc": (q_dedup_subdoc, SQL_DEDUP_SUBDOC),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),

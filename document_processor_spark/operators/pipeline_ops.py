@@ -228,6 +228,78 @@ FROM chosen
 """
 
 
+SKEW_MOD = 100
+SKEW_N = 2000
+
+
+def skew_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-heavy input: hot documents (doc_id % SKEW_MOD == 0) carry
+    SKEW_N pdf_text spans while the rest carry 2 — the shape of the
+    flagship fixture's 50k-span doc (entry()), re-derived from the
+    documents table so it earns a DuckDB oracle.  Exercises assemble's
+    per-doc collect+sort aggregation under one giant group: reading order
+    is a per-doc total order, so the group is irreducible at any scale —
+    the engine must survive the straggler, not re-shard it."""
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .repartition(spark.sparkContext.defaultParallelism))
+    n = F.when(F.col("doc_id") % SKEW_MOD == 0,
+               F.lit(SKEW_N)).otherwise(F.lit(2))
+    head = F.substring("text", 1, 20)
+
+    def mk(i):
+        return F.struct(
+            F.lit("pdf_text").alias("kind"),
+            F.concat(F.when(i % 10 == 0, F.lit("H1: ")).otherwise(F.lit("")),
+                     head, F.lit(" "), i.cast("string")).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            i.cast("int").alias("offset"))
+
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(F.sequence(F.lit(0), n - 1), mk).alias("spans"))
+
+
+def q_extract_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5-S15 under heavy per-document skew — the driver-row twin of the
+    pytest-only flagship skew doc (verdict r3 item 9)."""
+    out = pipeline.extract_documents(skew_corpus(spark, sf_dir),
+                                     engine="sql")
+    return (out.select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"))
+
+
+# all spans are non-empty pdf_text on page 0, so the extraction contract
+# reduces to glyph-clean + the heading-prefix classification + renumber;
+# the fallback/page machinery is identity here (no pdf_scan anywhere)
+SQL_PIPE_EXTRACT_SKEW = f"""
+WITH raw AS (
+  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id, text
+  FROM documents
+),
+series AS (
+  SELECT i FROM generate_series(0, {SKEW_N} - 1) AS t(i)
+),
+spans AS (
+  SELECT doc_id, i,
+         CASE WHEN i % 10 = 0 THEN 'H1: ' ELSE '' END
+           || substr(text, 1, 20) || ' ' || i AS payload
+  FROM raw JOIN series
+    ON i < CASE WHEN did % {SKEW_MOD} = 0 THEN {SKEW_N} ELSE 2 END
+),
+c1 AS (
+  SELECT doc_id, i, {_CLEAN.format(x="payload")} AS cleaned FROM spans
+)
+SELECT doc_id,
+       CASE WHEN cleaned LIKE 'H1:%' OR cleaned LIKE 'H2:%'
+            THEN 'heading' ELSE 'paragraph' END AS kind,
+       cleaned AS text,
+       CAST(NULL AS VARCHAR) AS media_ref,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+            AS INTEGER) AS offset
+FROM c1
+"""
+
+
 def q_extract_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end integration: the extraction engine's output feeds the
     curation stats in ONE declarative plan — no materialization between
@@ -302,4 +374,5 @@ QUERIES = {
     "pipe_extract_ocr_fast": (q_extract_ocr_fast, SQL_PIPE_EXTRACT_OCR_FAST),
     "pipe_extract_ocr_full": (q_extract_ocr_full, SQL_PIPE_EXTRACT_OCR_FULL),
     "pipe_extract_curate": (q_extract_curate, SQL_PIPE_EXTRACT_CURATE),
+    "pipe_extract_skew": (q_extract_skew, SQL_PIPE_EXTRACT_SKEW),
 }

@@ -32,6 +32,8 @@ _PRIORITY: tuple[str, ...] = (
     "pipe_extract_ocr_fast", "pipe_extract_ocr_full", "pipe_extract_curate",
     # changed this round — need fresh driver rows
     "ann_kmeans_train", "ta_tfidf_topk", "dedup_components",
+    # new this round
+    "dedup_components_star", "pipe_extract_skew",
 )
 
 
