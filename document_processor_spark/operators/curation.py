@@ -793,8 +793,50 @@ FROM documents d JOIN rates r USING (lang)
 """
 
 
+# -- per-domain cap ----------------------------------------------------------------
+
+DOMAIN_CAP = 20  # max expected docs kept per source
+
+
+def q_cur_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain volume cap (the FineWeb/Dolma balancing step): a source
+    contributing more than DOMAIN_CAP documents is downsampled to an
+    EXPECTED cap by the deterministic hash test
+    keep ⇔ u(doc_id) * n_src < SAMPLE_MOD * cap — exact integer
+    cross-multiplication, reproducible at any cluster size.  The
+    expected-count form is the scale-right one: keeping exactly the cap
+    would need a per-source sort (one straggler task for a mega-domain),
+    while the hash test is map-side after a plain equi-join with the
+    per-source count table (AQE broadcasts it only when it actually
+    fits — at web scale #domains is itself huge, same rule as the vocab
+    tables).  Under-cap sources pass untouched."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    return (d.join(counts, "source")
+            .withColumn("u", _hash_u(F.col("doc_id")))
+            .filter((F.col("n_src") <= DOMAIN_CAP)
+                    | (F.col("u") * F.col("n_src")
+                       < F.lit(SAMPLE_MOD) * F.lit(DOMAIN_CAP)))
+            .select("doc_id", "source", "n_src"))
+
+
+SQL_CUR_DOMAIN_CAP = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+hashed AS (
+  SELECT d.doc_id, d.source, c.n_src,
+         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % {SAMPLE_MOD} AS u
+  FROM documents d JOIN counts c USING (source))
+SELECT doc_id, source, n_src
+FROM hashed
+WHERE n_src <= {DOMAIN_CAP} OR u * n_src < {SAMPLE_MOD} * {DOMAIN_CAP}
+"""
+
+
 QUERIES = {
     "cur_corpus_build": (q_cur_corpus_build, _sql_corpus_build()),
+    "cur_domain_cap": (q_cur_domain_cap, SQL_CUR_DOMAIN_CAP),
     "cur_decontaminate": (q_cur_decontaminate, SQL_CUR_DECONTAMINATE),
     "cur_stratified_sample": (q_cur_stratified_sample,
                               SQL_CUR_STRATIFIED_SAMPLE),

@@ -33,7 +33,8 @@ _PRIORITY: tuple[str, ...] = (
     # changed this round — need fresh driver rows
     "ann_kmeans_train", "ta_tfidf_topk", "dedup_components",
     # new this round
-    "dedup_components_star", "pipe_extract_skew",
+    "dedup_components_star", "pipe_extract_skew", "stream_sliding_hourly",
+    "rel_rolling_1h", "ta_length_quantiles", "cur_domain_cap",
 )
 
 

@@ -384,8 +384,52 @@ SELECT user_id,
 FROM p
 """
 
+def q_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour per-user event stats via a RANGE window frame — the
+    value-based frame Spark feature the rest of the window family
+    (row_number/lag/running-sum ROWS frames) doesn't touch.  Each event
+    sees the count and exact decimal sum of the SAME user's events in
+    [ts - 1h, ts]; RANGE includes peers, so ties on ts are
+    order-independent and the result is deterministic without a
+    tie-break column.  Scale shape: one shuffle on user_id, per-user
+    frames are bounded by the user's own 1-hour event rate — no
+    corpus-sized state.  Time discipline: the order key is microseconds
+    since the corpus min(ts) (broadcast 1-row), so no epoch/timezone
+    call ever runs."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.agg(F.min("ts").alias("t0"))
+    e = (ev.crossJoin(F.broadcast(m))
+         .select("event_id", "user_id",
+                 F.expr("timestampdiff(MICROSECOND, t0, ts)").alias("ts_us"),
+                 F.col("value").cast("decimal(18,4)").alias("v")))
+    w = (W.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-3_600_000_000, 0))
+    return e.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("v").over(w).cast("double").alias("sv_1h"))
+
+
+SQL_ROLLING_1H = """
+WITH m AS (SELECT min(ts) AS t0 FROM events),
+e AS (
+  SELECT event_id, user_id,
+         date_diff('microsecond', m.t0, ts) AS ts_us,
+         CAST(value AS DECIMAL(18,4)) AS v
+  FROM events, m
+)
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       CAST(sum(v) OVER w AS DOUBLE) AS sv_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "rel_rolling_1h": (q_rolling_1h, SQL_ROLLING_1H),
     "rel_asof_attribution": (q_asof_attribution, SQL_ASOF_ATTRIBUTION),
     "rel_salted_source_stats": (q_salted_source_stats, SQL_SALTED_SOURCE_STATS),
     "rel_segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),

@@ -167,6 +167,84 @@ GROUP BY 1, 2
 """
 
 
+MICROS_PER_30M = 1_800_000_000
+
+
+def q_stream_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming aggregation — the overlap case tumbling
+    can't exercise: `F.window(ts, "1 hour", "30 minutes")` assigns every
+    event to exactly TWO epoch-aligned windows, so window state overlaps
+    and the engine must keep duration/slide windows per key without
+    double-counting.  Same harness discipline as the tumbling twin
+    (watermark, AvailableNow drain, complete-mode memory sink, staged
+    file source, fixed sink name, try/finally cleanup); the returned
+    frame re-keys each window start as 30-minute steps since the
+    corpus-min 30-minute boundary (pure instant arithmetic).  Oracle:
+    each event contributes to window starts floor30(ts) and
+    floor30(ts) - 30m — the membership predicate is identically TRUE for
+    those two and only those two, so the batch restatement is a 2-row
+    offset cross join."""
+    name = _sink_name(spark, "stream_sl_sink")
+    base = Path(tempfile.mkdtemp(prefix="stream_sl_"))
+    try:
+        inp = base / "in"
+        inp.mkdir()
+        ev_file = Path(sf_dir) / "events.parquet"
+        try:
+            (inp / "events.parquet").hardlink_to(ev_file)
+        except OSError:
+            shutil.copy(ev_file, inp / "events.parquet")
+        with _utc_session(spark), _pinned_state_partitions(spark):
+            src = spark.readStream.schema(EVENTS_DDL).parquet(str(inp))
+            agg = (src.withWatermark("ts", "2 hours")
+                   .groupBy(F.window("ts", "1 hour", "30 minutes")
+                            .alias("w"), "event_type")
+                   .agg(F.count(F.lit(1)).alias("n_events"),
+                        F.sum(F.col("value").cast("decimal(18,4)"))
+                        .alias("sv")))
+            q = (agg.writeStream.outputMode("complete").format("memory")
+                 .queryName(name).trigger(availableNow=True).start())
+            q.awaitTermination()
+            t0s_us = (spark.read.schema(EVENTS_DDL)
+                      .parquet(f"{sf_dir}/events.parquet")
+                      .agg((F.floor(F.unix_micros(F.min("ts"))
+                                    / MICROS_PER_30M)
+                            * F.lit(MICROS_PER_30M)).cast("long").alias("us"))
+                      .collect()[0]["us"])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    bucket = F.floor((F.unix_micros(F.col("w.start")) - F.lit(t0s_us))
+                     / MICROS_PER_30M)
+    return (spark.table(name)
+            .select(bucket.cast("bigint").alias("slot_bucket"),
+                    "event_type", "n_events",
+                    F.col("sv").cast("double").alias("sum_value")))
+
+
+SQL_STREAM_SLIDING_HOURLY = f"""
+WITH t0 AS (
+  SELECT CAST(floor(epoch_us(min(ts)) / {MICROS_PER_30M}) AS BIGINT)
+           * {MICROS_PER_30M} AS t0s FROM events
+),
+e AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v,
+         CAST(floor(epoch_us(ts) / {MICROS_PER_30M}) AS BIGINT)
+           * {MICROS_PER_30M} AS f30
+  FROM events
+),
+x AS (
+  SELECT event_type, v, f30 - o.off * {MICROS_PER_30M} AS ws
+  FROM e, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS o(off)
+)
+SELECT CAST((ws - t0.t0s) / {MICROS_PER_30M} AS BIGINT) AS slot_bucket,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(v) AS DOUBLE) AS sum_value
+FROM x, t0
+GROUP BY 1, 2
+"""
+
+
 def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state streaming dedup proven across MICRO-BATCHES: the
     events file is staged twice in a temp source dir with
@@ -347,4 +425,6 @@ QUERIES = {
     "stream_extract_snapshot": (q_stream_extract_snapshot, SQL_PIPE_EXTRACT),
     "stream_running_totals": (q_stream_running_totals,
                               SQL_STREAM_RUNNING_TOTALS),
+    "stream_sliding_hourly": (q_stream_sliding_hourly,
+                              SQL_STREAM_SLIDING_HOURLY),
 }

@@ -718,8 +718,88 @@ FROM ranked WHERE rank <= {BM25_TOP_K}
 """
 
 
+_QUANTILES = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quantiles (p50/p90/p99 of n_chars,
+    linear interpolation) through the HISTOGRAM dataflow, not
+    `percentile()`: Spark's exact percentile buffers every value of a
+    group in one task (fine at sf0.01, an OOM straggler when one
+    language holds 10^11 documents), while groupBy(lang, n_chars) is a
+    mergeable map-side-combinable shuffle whose output is bounded by the
+    VALUE DOMAIN (languages × distinct lengths), not the corpus — the
+    cumulative window then runs over that compact histogram.  Unbounded
+    domains (exact byte lengths at web scale) get clipped/bucketed
+    first; n_chars is already integral here.  Interpolated values are
+    integer-quantized (floor(q*100) as BIGINT) on both engines — the
+    repo's float-output discipline.  A pytest pins equality with
+    percentile() itself."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window as W
+    hist = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    h = (hist
+         .withColumn("cum", F.sum("c").over(
+             W.partitionBy("lang").orderBy("n_chars")
+             .rowsBetween(W.unboundedPreceding, 0)))
+         .withColumn("n", F.sum("c").over(W.partitionBy("lang"))))
+    aggs = [F.min("n").alias("n")]
+    for tag, p in _QUANTILES:
+        pos = (F.col("n").cast("double") - 1) * p + 1
+        lo = F.floor(pos)
+        hi = F.least(F.ceil(pos).cast("long"), F.col("n"))
+        aggs.append(F.min(F.when(F.col("cum") >= lo, F.col("n_chars")))
+                    .alias(f"vlo_{tag}"))
+        aggs.append(F.min(F.when(F.col("cum") >= hi, F.col("n_chars")))
+                    .alias(f"vhi_{tag}"))
+    a = h.groupBy("lang").agg(*aggs)
+    cols = [F.col("lang"), F.col("n").cast("bigint").alias("n_docs")]
+    for tag, p in _QUANTILES:
+        pos = (F.col("n").cast("double") - 1) * p + 1
+        frac = pos - F.floor(pos).cast("double")
+        q = (F.col(f"vlo_{tag}")
+             + (F.col(f"vhi_{tag}") - F.col(f"vlo_{tag}")) * frac)
+        cols.append(F.floor(q * 100).cast("bigint").alias(tag))
+    return a.select(*cols)
+
+
+def _sql_length_quantiles() -> str:
+    sel_a, sel_f = [], []
+    for tag, p in _QUANTILES:
+        pos = f"(CAST(n AS DOUBLE) - 1) * {p} + 1"
+        sel_a.append(
+            f"min(CASE WHEN cum >= floor({pos}) THEN n_chars END)"
+            f" AS vlo_{tag}")
+        sel_a.append(
+            f"min(CASE WHEN cum >= least(CAST(ceil({pos}) AS BIGINT), n)"
+            f" THEN n_chars END) AS vhi_{tag}")
+        frac = f"({pos} - CAST(floor({pos}) AS DOUBLE))"
+        sel_f.append(
+            f"CAST(floor((vlo_{tag} + (vhi_{tag} - vlo_{tag}) * {frac})"
+            f" * 100) AS BIGINT) AS {tag}")
+    return f"""
+WITH hist AS (
+  SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2
+),
+h AS (
+  SELECT lang, n_chars,
+         sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+a AS (
+  SELECT lang, min(n) AS n, {", ".join(sel_a)}
+  FROM h GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs, {", ".join(sel_f)}
+FROM a
+"""
+
+
 QUERIES = {
     "ta_corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "ta_length_quantiles": (q_length_quantiles, _sql_length_quantiles()),
     "ta_langid": (q_langid, _sql_langid()),
     "ta_quality": (q_quality, _sql_quality()),
     "ta_token_count": (q_token_count, SQL_TOKEN_COUNT),

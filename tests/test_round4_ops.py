@@ -1,0 +1,98 @@
+"""Invariants for the round-4 operators that the hash gate can't see:
+quantile agreement with Spark's own percentile(), domain-cap pass-through
+and determinism, RANGE-frame recomputation, sliding-window double-count
+accounting.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_length_quantiles_match_percentile(spark):
+    """The histogram interpolation must equal Spark's exact percentile()
+    (same linear-interpolation definition) on every language."""
+    from document_processor_spark.operators.text_analysis import (
+        q_length_quantiles,
+    )
+    got = {r["lang"]: (r["n_docs"], r["p50"], r["p90"], r["p99"])
+           for r in q_length_quantiles(spark, SF_DIR).collect()}
+    ref = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+           .groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))")
+                .alias("q"))
+           .collect())
+    assert got
+    for r in ref:
+        n, q = r["n"], r["q"]
+        want = tuple(int(x * 100 // 1) for x in q)
+        assert got[r["lang"]] == (n, *want), r["lang"]
+
+
+def test_domain_cap_invariants(spark):
+    from document_processor_spark.operators.curation import (
+        DOMAIN_CAP,
+        q_cur_domain_cap,
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    before = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    out = q_cur_domain_cap(spark, SF_DIR)
+    after = {r["source"]: r["n"] for r in
+             out.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    for src, n in before.items():
+        if n <= DOMAIN_CAP:
+            # under-cap sources pass untouched
+            assert after.get(src, 0) == n, src
+        else:
+            # expected-cap downsample: kept count is near the cap and
+            # strictly below the original
+            kept = after.get(src, 0)
+            assert kept < n, src
+            assert kept <= 3 * DOMAIN_CAP, (src, kept)
+    # deterministic: a second run returns the identical keeper set
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in q_cur_domain_cap(spark, SF_DIR).collect()}
+    assert a == b
+
+
+def test_rolling_1h_recompute(spark):
+    """Recompute each event's [ts-1h, ts] frame with a join — the frame
+    semantics RANGE BETWEEN must implement (inclusive both ends,
+    peers included)."""
+    from document_processor_spark.operators.relational import q_rolling_1h
+    got = q_rolling_1h(spark, SF_DIR)
+    ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+          .select("event_id", "user_id", "ts",
+                  F.col("value").cast("decimal(18,4)").alias("v")))
+    pair = (ev.alias("a").join(ev.alias("b"), "user_id")
+            .filter((F.col("b.ts") <= F.col("a.ts"))
+                    & (F.col("b.ts") >= F.expr("a.ts - INTERVAL 1 HOUR")))
+            .groupBy(F.col("a.event_id").alias("event_id"))
+            .agg(F.count(F.lit(1)).alias("n_1h"),
+                 F.sum("b.v").cast("double").alias("sv_1h")))
+    g = {r["event_id"]: (r["n_1h"], r["sv_1h"]) for r in got.collect()}
+    w = {r["event_id"]: (r["n_1h"], r["sv_1h"]) for r in pair.collect()}
+    assert g == w
+    assert min(n for n, _ in g.values()) >= 1  # every event sees itself
+
+
+def test_sliding_hourly_double_count(spark):
+    """Every event lands in exactly two sliding windows: total n_events
+    across the result is 2x the event count, and each (tumbling 30-min
+    slot, type) count is covered by the two windows that span it."""
+    from document_processor_spark.operators.stream_ops import (
+        q_stream_sliding_hourly,
+    )
+    out = q_stream_sliding_hourly(spark, SF_DIR).collect()
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(r["n_events"] for r in out) == 2 * n_events
+    # window starts step by 30 minutes: bucket values must be dense-ish
+    # integers starting at -1 (the window that begins before min ts)
+    buckets = {r["slot_bucket"] for r in out}
+    assert min(buckets) == -1

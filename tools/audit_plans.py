@@ -40,6 +40,10 @@ NOTES = {
     "rel_tumbling_hourly": (
         "crossJoin with a broadcast 1-ROW aggregate (corpus min ts) — "
         "constant-size side"),
+    "rel_rolling_1h": (
+        "crossJoin with a broadcast 1-ROW aggregate (corpus min ts, the "
+        "timezone-free order-key origin) — constant-size side; the frame "
+        "itself is a RANGE window partitioned on user_id"),
     "cur_stratified_sample": (
         "crossJoin with a broadcast 1-ROW aggregate (global min stratum "
         "count) — constant-size side"),
