@@ -1082,6 +1082,87 @@ LEFT JOIN shared sd USING (doc_id)
 """
 
 
+PR_ITERS = 3
+PR_DAMP = 0.85
+
+
+def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup pair graph (PR_ITERS unrolled Lloyd-style
+    rounds, damping 0.85) — graph centrality as a curation signal: a
+    document's rank in the duplicate graph measures how canonical /
+    boilerplate-central it is, the weighting web pipelines use to pick
+    cluster representatives and to down-weight template farms.
+
+    Scale shape per iteration: one equi-join (edges ⋈ ranks on the source
+    node — the same shuffle key every round) + one groupBy(dest) whose
+    per-node incoming sum is an exact-order VALUE-SORTED fold
+    (collect_list → array_sort → aggregate), the repo's established trick
+    for float sums an ANSI oracle can replay bit-exactly: equal doubles
+    commute, so sorting by value makes the addition order deterministic
+    on both engines.  Edges and degrees are pinned once
+    (localCheckpoint) so the expensive LSH pair generation runs exactly
+    once, not once per round.  Isolated documents converge to the
+    damping floor 0.15 without ever entering the loop (left join at the
+    end).  Ranks are integer-quantized (floor(rank*1e6) as BIGINT) —
+    the float-output discipline."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    edges = _pin(
+        pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
+        .union(pairs.select(F.col("d2").alias("u"), F.col("d1").alias("v")))
+        .distinct())
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ewd = _pin(edges.join(deg, "u"))
+    nodes = _pin(edges.select(F.col("u").alias("node")).distinct())
+    r = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(PR_ITERS):
+        x = (ewd.join(r, ewd["u"] == r["node"])
+             .select(F.col("v").alias("node"),
+                     (F.col("rank") / F.col("deg")).alias("x")))
+        s = (x.groupBy("node")
+             .agg(F.aggregate(F.array_sort(F.collect_list("x")),
+                              F.lit(0.0), lambda a, b: a + b).alias("s")))
+        r = nodes.join(s, "node", "left").select(
+            "node",
+            (F.lit(0.15) + F.lit(PR_DAMP)
+             * F.coalesce("s", F.lit(0.0))).alias("rank"))
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return (docs.join(r, docs["doc_id"] == r["node"], "left")
+            .select("doc_id",
+                    F.floor(F.coalesce("rank", F.lit(0.15)) * 1000000)
+                    .cast("long").alias("rank_q")))
+
+
+def _sql_pagerank() -> str:
+    its = []
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        its.append(f"""
+x{k} AS (
+  SELECT e.v AS node, r.rank / d.deg AS x
+  FROM edges e JOIN {prev} r ON e.u = r.node JOIN deg d ON e.u = d.u),
+s{k} AS (
+  SELECT node,
+         list_reduce(list_prepend(0.0, list(x ORDER BY x)),
+                     (a, b) -> a + b) AS s
+  FROM x{k} GROUP BY node),
+r{k} AS (
+  SELECT n.node, 0.15 + {PR_DAMP} * coalesce(s.s, 0.0) AS rank
+  FROM nodes n LEFT JOIN s{k} s USING (node))""")
+    return f"""
+WITH pairs AS ({SQL_DEDUP_MINHASH_LSH}),
+edges AS (
+  SELECT d1 AS u, d2 AS v FROM pairs
+  UNION
+  SELECT d2 AS u, d1 AS v FROM pairs),
+deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+r0 AS (SELECT node, 1.0 AS rank FROM nodes),{",".join(its)}
+SELECT d.doc_id,
+       CAST(floor(coalesce(r.rank, 0.15) * 1000000) AS BIGINT) AS rank_q
+FROM documents d LEFT JOIN r{PR_ITERS} r ON r.node = d.doc_id
+"""
+
+
 def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster resolution through the O(log n) large-star/small-star
     contraction (the adversarial-diameter path of
@@ -1095,6 +1176,7 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_components_star": (q_dedup_components_star, SQL_DEDUP_COMPONENTS),
+    "dedup_pagerank": (q_dedup_pagerank, _sql_pagerank()),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_subdoc": (q_dedup_subdoc, SQL_DEDUP_SUBDOC),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),

@@ -82,6 +82,52 @@ def test_rolling_1h_recompute(spark):
     assert min(n for n, _ in g.values()) >= 1  # every event sees itself
 
 
+def test_pagerank_matches_python_recompute(spark):
+    """Unrolled 3-iteration PageRank on a crafted pair graph must equal a
+    pure-Python recompute (same value-sorted addition order), and
+    isolated nodes must sit at the damping floor."""
+    from document_processor_spark.operators.dedup import (
+        PR_DAMP,
+        PR_ITERS,
+        _docs,  # noqa: F401  (documents the fixture dependency)
+        q_dedup_pagerank,
+    )
+    import document_processor_spark.operators.dedup as dd
+
+    pairs = [(0, 1), (1, 2), (0, 2), (3, 4)]
+    edges = {}
+    for a, b in pairs:
+        edges.setdefault(a, set()).add(b)
+        edges.setdefault(b, set()).add(a)
+    rank = {u: 1.0 for u in edges}
+    for _ in range(PR_ITERS):
+        contrib = {}
+        for u, vs in edges.items():
+            for v in vs:
+                contrib.setdefault(v, []).append(rank[u] / len(edges[u]))
+        rank = {u: 0.15 + PR_DAMP * sum(sorted(contrib.get(u, [])))
+                for u in edges}
+    want = {u: int(r * 1000000 // 1) for u, r in rank.items()}
+
+    # drive the operator with the crafted graph by patching the pair
+    # source (the LSH pair generation itself has its own oracle row)
+    orig = dd.q_dedup_minhash_lsh
+    try:
+        dd.q_dedup_minhash_lsh = lambda s, d: s.createDataFrame(
+            pairs, "d1 long, d2 long")
+        got = {r["doc_id"]: r["rank_q"]
+               for r in q_dedup_pagerank(spark, "/root/testdata/sf0.001")
+               .collect()}
+    finally:
+        dd.q_dedup_minhash_lsh = orig
+    for u, w in want.items():
+        assert got[u] == w, u
+    # every other document is isolated: rank floor
+    floor_q = int(0.15 * 1000000 // 1)
+    rest = {v for k, v in got.items() if k not in want}
+    assert rest == {floor_q}
+
+
 def test_sliding_hourly_double_count(spark):
     """Every event lands in exactly two sliding windows: total n_events
     across the result is 2x the event count, and each (tumbling 30-min
