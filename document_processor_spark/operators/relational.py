@@ -427,9 +427,65 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
 """
 
 
+PIVOT_SRCS = ("src0", "src1", "src2", "src3")
+
+
+def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT aggregation — the relational reshape op (long → wide): doc
+    counts per language fanned into one column per named source.  Spark's
+    pivot with an EXPLICIT value list keeps the schema static (no
+    pre-scan job, no data-dependent columns — the only safe form at
+    scale; an implicit pivot triggers a distinct-values collect on the
+    driver) and plans as ONE partial+final aggregation, exactly like the
+    conditional-sum form the oracle states."""
+    d = _t(spark, sf_dir, "documents")
+    wide = (d.groupBy("lang").pivot("source", list(PIVOT_SRCS))
+            .agg(F.count(F.lit(1))))
+    return wide.select(
+        "lang", *[F.coalesce(F.col(s), F.lit(0)).cast("bigint").alias(s)
+                  for s in PIVOT_SRCS])
+
+
+SQL_REL_PIVOT = "SELECT lang, " + ", ".join(
+    f"CAST(sum(CASE WHEN source = '{s}' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS {s}" for s in PIVOT_SRCS) + " FROM documents GROUP BY lang"
+
+
+def q_rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT physical operators (the set-op family's driver
+    row): users who both clicked and purchased, tagged 'both', unioned
+    with users who clicked but never purchased, tagged 'click_only'.
+    Spark plans these as hash aggregations over a single shuffle each —
+    both inputs partition on the full row — with no join in sight; the
+    oracle uses the identical ANSI set operators."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clicks.intersect(buys).select(
+        "user_id", F.lit("both").alias("cohort"))
+    only = clicks.subtract(buys).select(
+        "user_id", F.lit("click_only").alias("cohort"))
+    return both.union(only)
+
+
+SQL_REL_SET_OPS = """
+SELECT user_id, 'both' AS cohort FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT user_id, 'click_only' AS cohort FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "rel_rolling_1h": (q_rolling_1h, SQL_ROLLING_1H),
+    "rel_pivot": (q_rel_pivot, SQL_REL_PIVOT),
+    "rel_set_ops": (q_rel_set_ops, SQL_REL_SET_OPS),
     "rel_asof_attribution": (q_asof_attribution, SQL_ASOF_ATTRIBUTION),
     "rel_salted_source_stats": (q_salted_source_stats, SQL_SALTED_SOURCE_STATS),
     "rel_segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
