@@ -170,6 +170,106 @@ GROUP BY 1, 2
 MICROS_PER_30M = 1_800_000_000
 
 
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` aggregation as a REAL stream — dynamic
+    merging windows (state rows coalesce as events bridge gaps), the one
+    windowing shape tumbling/sliding can't express and the stateful
+    applyInPandasWithState sessionizer re-implements by hand.
+
+    Append mode only emits a session once the watermark passes its end,
+    and a bounded drain's final watermark stops at max(ts), which would
+    withhold every tail session.  The harness forces a full flush
+    deterministically: the events file is micro-batch 1, and micro-batch
+    2 is a crafted one-row SENTINEL parquet 10 days past the corpus max
+    (mtime-ordered so the file source replays them in that order) —
+    after it, the watermark clears every real session while the
+    sentinel's own session stays unemitted in state.  The oracle is the
+    batch gap-sessionization restated with session_window semantics
+    (a gap of exactly the 30-minute threshold starts a NEW session —
+    the window [last, last+gap) is half-open) and end = last + gap.
+    Session state is partitioned on user_id and bounded by the gap."""
+    import os
+
+    name = _sink_name(spark, "stream_sw_sink")
+    base = Path(tempfile.mkdtemp(prefix="stream_sw_"))
+    try:
+        inp = base / "in"
+        inp.mkdir()
+        ev_file = Path(sf_dir) / "events.parquet"
+        real = inp / "events.parquet"
+        try:
+            real.hardlink_to(ev_file)
+        except OSError:
+            shutil.copy(ev_file, real)
+        with _utc_session(spark), _pinned_state_partitions(spark):
+            bounds = (spark.read.schema(EVENTS_DDL).parquet(str(ev_file))
+                      .agg(F.unix_micros(F.min("ts")).alias("t0"),
+                           F.unix_micros(F.max("ts")).alias("t1"))
+                      .collect()[0])
+            t0_us, t1_us = bounds["t0"], bounds["t1"]
+            sent = spark.range(1).select(
+                F.lit(10**12).cast("bigint").alias("event_id"),
+                F.timestamp_micros(
+                    F.lit(t1_us + 10 * 86_400 * 1_000_000)).alias("ts"),
+                F.lit(-1).cast("bigint").alias("user_id"),
+                F.lit("sentinel").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("").alias("props"))
+            sdir = base / "sent"
+            sent.coalesce(1).write.parquet(str(sdir))
+            part = next(sdir.glob("part-*.parquet"))
+            shutil.copy(part, inp / "zz-sentinel.parquet")
+            os.utime(inp / "zz-sentinel.parquet",
+                     (os.stat(real).st_mtime + 3600,) * 2)
+            src = (spark.readStream.schema(EVENTS_DDL)
+                   .option("maxFilesPerTrigger", 1).parquet(str(inp)))
+            agg = (src.withWatermark("ts", "0 seconds")
+                   .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                            "user_id")
+                   .agg(F.count(F.lit(1)).alias("n_events")))
+            q = (agg.writeStream.outputMode("append").format("memory")
+                 .queryName(name)
+                 .option("checkpointLocation", str(base / "ckpt"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return (spark.table(name)
+            .select("user_id", "n_events",
+                    (F.unix_micros(F.col("w.start")) - F.lit(t0_us))
+                    .alias("start_us"),
+                    (F.unix_micros(F.col("w.end")) - F.lit(t0_us))
+                    .alias("end_us")))
+
+
+SQL_STREAM_SESSION_WINDOW = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap
+  FROM events),
+flags AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN gap IS NULL OR gap >= {MICROS_PER_30M}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM g),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS seq
+  FROM flags),
+per AS (
+  SELECT user_id, seq, count(*) AS n_events, min(ts) AS s, max(ts) AS e
+  FROM sess GROUP BY 1, 2),
+m AS (SELECT min(ts) AS t0 FROM events)
+SELECT user_id, n_events,
+       date_diff('microsecond', m.t0, s) AS start_us,
+       date_diff('microsecond', m.t0, e) + {MICROS_PER_30M} AS end_us
+FROM per, m
+"""
+
+
 def q_stream_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLIDING-window streaming aggregation — the overlap case tumbling
     can't exercise: `F.window(ts, "1 hour", "30 minutes")` assigns every
@@ -427,4 +527,6 @@ QUERIES = {
                               SQL_STREAM_RUNNING_TOTALS),
     "stream_sliding_hourly": (q_stream_sliding_hourly,
                               SQL_STREAM_SLIDING_HOURLY),
+    "stream_session_window": (q_stream_session_window,
+                              SQL_STREAM_SESSION_WINDOW),
 }

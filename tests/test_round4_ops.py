@@ -82,6 +82,21 @@ def test_rolling_1h_recompute(spark):
     assert min(n for n, _ in g.values()) >= 1  # every event sees itself
 
 
+def test_session_window_flushes_every_session(spark):
+    """The sentinel micro-batch must flush EVERY real session (total
+    emitted n_events == corpus event count) and stay unemitted itself
+    (its user_id -1 never appears)."""
+    from document_processor_spark.operators.stream_ops import (
+        q_stream_session_window,
+    )
+    out = q_stream_session_window(spark, SF_DIR).collect()
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(r["n_events"] for r in out) == n_events
+    assert all(r["user_id"] != -1 for r in out)
+    # session envelope: end = last event + gap, so duration >= gap
+    assert all(r["end_us"] - r["start_us"] >= 1_800_000_000 for r in out)
+
+
 def test_pagerank_matches_python_recompute(spark):
     """Unrolled 3-iteration PageRank on a crafted pair graph must equal a
     pure-Python recompute (same value-sorted addition order), and
