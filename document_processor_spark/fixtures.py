@@ -320,22 +320,31 @@ _FAMILIES = (
 )
 
 
-def generate_corpus(sf: float, seed: int = 42, include_skew: bool = True) -> list[dict]:
-    """Deterministic corpus at scale factor `sf` (SF=1.0 ≈ 10,000 docs)."""
-    n_docs = max(1, round(10_000 * sf))
-    docs: list[dict] = []
+def _family_bounds() -> list[tuple[float, object]]:
     bounds = []
     acc = 0.0
     for share, fn in _FAMILIES:
         acc += share
         bounds.append((acc, fn))
-    for i in range(n_docs):
-        rng = random.Random(f"{seed}:{i}")
-        u = (i + 0.5) / n_docs  # stratified family assignment, deterministic
-        fn = next(fn for b, fn in bounds if u <= b + 1e-9)
-        spans = fn(rng)
-        rng.shuffle(spans)  # force reading-order reconstruction
-        docs.append({"doc_id": f"doc-{i:08d}", "spans": spans})
+    return bounds
+
+
+def gen_doc(i: int, n_docs: int, seed: int = 42) -> dict:
+    """Document #i of an n_docs corpus — a pure function of (seed, i,
+    n_docs), so any worker can generate any slice independently (the
+    property the dps_synth DataSource partitions on)."""
+    rng = random.Random(f"{seed}:{i}")
+    u = (i + 0.5) / n_docs  # stratified family assignment, deterministic
+    fn = next(fn for b, fn in _family_bounds() if u <= b + 1e-9)
+    spans = fn(rng)
+    rng.shuffle(spans)  # force reading-order reconstruction
+    return {"doc_id": f"doc-{i:08d}", "spans": spans}
+
+
+def generate_corpus(sf: float, seed: int = 42, include_skew: bool = True) -> list[dict]:
+    """Deterministic corpus at scale factor `sf` (SF=1.0 ≈ 10,000 docs)."""
+    n_docs = max(1, round(10_000 * sf))
+    docs = [gen_doc(i, n_docs, seed) for i in range(n_docs)]
     docs.extend(_edge_docs(seed))
     if include_skew:
         sk = _skew_doc(seed)

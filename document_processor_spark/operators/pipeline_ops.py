@@ -366,8 +366,29 @@ SQL_PIPE_EXTRACT_PAGE_RANGE = _sql_pipe_extract(
 SQL_PIPE_EXTRACT_OCR_FAST = _sql_pipe_extract(mode="fast")
 SQL_PIPE_EXTRACT_OCR_FULL = _sql_pipe_extract(mode="full")
 
+def q_extract_synth_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction fed by the `dps_synth` custom Python DataSource
+    (sources/synth_source.py): corpus generation happens PARTITION-
+    PARALLEL on the executors — the load path a 10^12-doc synthetic run
+    uses instead of a driver-side createDataFrame.  Rows-only driver
+    check (the generated corpus has no DuckDB table); span-for-span
+    equality with the driver-side fixture path and with the pure-Python
+    oracle is pinned by tests/test_synth_source.py."""
+    from ..sources import register_synth_source
+    register_synth_source(spark)
+    src = (spark.read.format("dps_synth")
+           .option("sf", "0.001")
+           .option("numPartitions",
+                   str(spark.sparkContext.defaultParallelism))
+           .load())
+    out = pipeline.extract_documents(src, engine="sql")
+    return (out.select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"))
+
+
 QUERIES = {
     "pipe_extract_catalyst": (q_extract_sql, SQL_PIPE_EXTRACT),
+    "pipe_extract_synth_source": (q_extract_synth_source, None),
     "pipe_extract_arrow": (q_extract_arrow, SQL_PIPE_EXTRACT),
     "pipe_extract_page_range": (q_extract_page_range,
                                 SQL_PIPE_EXTRACT_PAGE_RANGE),
