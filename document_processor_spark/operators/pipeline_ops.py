@@ -386,9 +386,45 @@ def q_extract_synth_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"))
 
 
+def q_extract_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange sink + source: the derived corpus is written as
+    newline-delimited JSON (to_json over the full nested span struct —
+    the training-data interchange format), read back with from_json
+    against the exact input DDL, and extracted.  The round trip must be
+    the identity on the nested schema (null media_ref key-dropped and
+    restored, int offsets, escaped HTML payloads), so the oracle is the
+    SAME SQL_PIPE_EXTRACT the parquet-fed flagship uses — any JSON
+    fidelity loss breaks the hash.  The result is pinned eagerly
+    (localCheckpoint) before the staging dir is removed; both JSON codec
+    passes are native Catalyst expressions, no Python in the loop."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..fixtures import INPUT_DDL
+    base = Path(tempfile.mkdtemp(prefix="jsonl_rt_"))
+    try:
+        (derived_corpus(spark, sf_dir)
+         .select(F.to_json(F.struct("doc_id", "spans")).alias("value"))
+         .write.mode("overwrite").text(str(base / "out")))
+        back = (spark.read.text(str(base / "out"))
+                .select(F.from_json("value", INPUT_DDL).alias("d"))
+                .select("d.doc_id", "d.spans"))
+        out = pipeline.extract_documents(back, engine="sql")
+        result = (out.select("doc_id", F.explode("spans").alias("s"))
+                  .select("doc_id", "s.kind", "s.text", "s.media_ref",
+                          "s.offset")
+                  .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 QUERIES = {
     "pipe_extract_catalyst": (q_extract_sql, SQL_PIPE_EXTRACT),
     "pipe_extract_synth_source": (q_extract_synth_source, None),
+    "pipe_extract_jsonl_roundtrip": (q_extract_jsonl_roundtrip,
+                                     SQL_PIPE_EXTRACT),
     "pipe_extract_arrow": (q_extract_arrow, SQL_PIPE_EXTRACT),
     "pipe_extract_page_range": (q_extract_page_range,
                                 SQL_PIPE_EXTRACT_PAGE_RANGE),

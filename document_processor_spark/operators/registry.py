@@ -36,7 +36,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_components_star", "pipe_extract_skew", "stream_sliding_hourly",
     "rel_rolling_1h", "ta_length_quantiles", "cur_domain_cap",
     "dedup_pagerank", "rel_pivot", "rel_set_ops", "stream_session_window",
-    "pipe_extract_synth_source",
+    "pipe_extract_synth_source", "pipe_extract_jsonl_roundtrip",
 )
 
 
