@@ -834,6 +834,133 @@ WHERE n_src <= {DOMAIN_CAP} OR u * n_src < {SAMPLE_MOD} * {DOMAIN_CAP}
 """
 
 
+# -- Bloom-filter decontamination ---------------------------------------------------
+
+# The scale path for cur_decontaminate: the exact form broadcasts the FULL
+# eval shingle-string set to every executor; at a real benchmark suite
+# (10^7-10^8 shingles, ~50 bytes each) that is gigabytes per executor.  A
+# Bloom filter compresses the set to BLOOM_BITS bits with a bounded
+# false-positive rate and NO false negatives — exactly the runtime-filter
+# trick Spark's own bloom-join uses.  Here the filter is 64 bigint words
+# built by one tiny aggregation; membership is pure map-side bit math
+# after a broadcast of the 64-row word table.  The exact semi-join result
+# rides along as a canary column so superset-ness and the FP rate are
+# auditable per run.
+BLOOM_WORDS = 64        # filter = 64 x 62-bit words
+BLOOM_BPW = 62          # bits used per word: 1 << 61 stays positive
+BLOOM_BITS = BLOOM_WORDS * BLOOM_BPW
+BLOOM_K = 3             # probes per key (double hashing h1 + i*h2)
+
+
+def _bloom_hashes(col):
+    """Two independent 60-bit hashes from one md5 — the classic
+    Kirsch-Mitzenmacher double-hashing base (h1 + i*h2)."""
+    h1 = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("bigint")
+    return h1, h2
+
+
+def q_cur_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a from-scratch Bloom filter over
+    the eval shingle set.  Build: each eval shingle sets BLOOM_K bit
+    positions (h1 + i*h2 mod BLOOM_BITS); bit_or folds them into 64
+    bigint words (mergeable, one tiny shuffle).  Probe: every distinct
+    train-doc shingle checks its K positions against the broadcast word
+    table — hit iff ALL K bits set.  Emits the exact semi-join hit count
+    alongside so the no-false-negative invariant (n_hit_bloom >=
+    n_hit_exact) and the FP overhead are visible per document."""
+    sh = (_docs(spark, sf_dir)
+          .select("doc_id", _shingles_col().alias("shingles"))
+          .filter(F.size("shingles") > 0))
+    eval_sh = (sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+               .select(F.explode("shingles").alias("shingle")).distinct())
+    h1, h2 = _bloom_hashes(F.col("shingle"))
+    epos = eval_sh.select(F.explode(F.array(
+        *[((h1 + F.lit(i) * h2) % BLOOM_BITS) for i in range(BLOOM_K)]
+    )).alias("pos"))
+    bloom = (epos
+             .select(F.expr(f"pos div {BLOOM_BPW}").alias("word_idx"),
+                     F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                            f"CAST(pos % {BLOOM_BPW} AS INT))").alias("mask"))
+             .groupBy("word_idx").agg(F.expr("bit_or(mask)").alias("bits")))
+    inst = (sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+            .select("doc_id", F.explode("shingles").alias("shingle"))
+            .join(F.broadcast(eval_sh.withColumn("is_eval", F.lit(True))),
+                  "shingle", "left")
+            .withColumn("exact_hit", F.coalesce("is_eval", F.lit(False))))
+    probes = (inst.select(
+        "doc_id", "shingle", "exact_hit",
+        F.explode(F.array(
+            *[((h1 + F.lit(i) * h2) % BLOOM_BITS) for i in range(BLOOM_K)]
+        )).alias("pos"))
+        .withColumn("word_idx", F.expr(f"pos div {BLOOM_BPW}"))
+        .withColumn("mask", F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                                   f"CAST(pos % {BLOOM_BPW} AS INT))"))
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn("bit_set",
+                    F.coalesce("bits", F.lit(0)).bitwiseAND(F.col("mask"))
+                    == F.col("mask")))
+    per_sh = (probes.groupBy("doc_id", "shingle")
+              .agg(F.expr("bool_and(exact_hit)").alias("exact_hit"),
+                   F.expr("bool_and(bit_set)").alias("bloom_hit")))
+    return (per_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(F.when(F.col("exact_hit"), 1).otherwise(0))
+         .cast("bigint").alias("n_hit_exact"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+         .cast("bigint").alias("n_hit_bloom"))
+        .select("doc_id", "n_shingles", "n_hit_exact", "n_hit_bloom",
+                (F.col("n_hit_bloom") - F.col("n_hit_exact")).alias("bloom_fp"),
+                (F.col("n_hit_bloom") * 2 >= F.col("n_shingles"))
+                .alias("bloom_flagged")))
+
+
+SQL_CUR_BLOOM_DECONTAMINATE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+eval_sh AS (
+  SELECT DISTINCT unnest(shingles) AS shingle
+  FROM sh WHERE len(shingles) > 0 AND doc_id % {EVAL_MOD} = 0),
+epos AS (
+  SELECT (('0x' || substr(md5(shingle), 1, 15))::BIGINT
+          + g.i * ('0x' || substr(md5(shingle), 16, 15))::BIGINT)
+         % {BLOOM_BITS} AS pos
+  FROM eval_sh, (VALUES (0), (1), (2)) g(i)),
+bloom AS (
+  SELECT pos // {BLOOM_BPW} AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % {BLOOM_BPW} AS INT)) AS bits
+  FROM epos GROUP BY pos // {BLOOM_BPW}),
+inst AS (
+  SELECT u.doc_id, u.shingle,
+         (e.shingle IS NOT NULL) AS exact_hit,
+         ('0x' || substr(md5(u.shingle), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5(u.shingle), 16, 15))::BIGINT AS h2
+  FROM (SELECT doc_id, unnest(shingles) AS shingle
+        FROM sh WHERE len(shingles) > 0 AND doc_id % {EVAL_MOD} <> 0) u
+  LEFT JOIN eval_sh e ON e.shingle = u.shingle),
+probes AS (
+  SELECT i.doc_id, i.shingle, i.exact_hit,
+         (i.h1 + g.i * i.h2) % {BLOOM_BITS} AS pos
+  FROM inst i, (VALUES (0), (1), (2)) g(i)),
+per_sh AS (
+  SELECT p.doc_id, p.shingle,
+         bool_and(p.exact_hit) AS exact_hit,
+         bool_and((coalesce(b.bits, 0)
+                   & (1::BIGINT << CAST(p.pos % {BLOOM_BPW} AS INT)))
+                  = (1::BIGINT << CAST(p.pos % {BLOOM_BPW} AS INT))) AS bloom_hit
+  FROM probes p LEFT JOIN bloom b ON b.word_idx = p.pos // {BLOOM_BPW}
+  GROUP BY p.doc_id, p.shingle)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_exact,
+       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_bloom,
+       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END)
+            - sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_fp,
+       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) * 2
+         >= CAST(count(*) AS BIGINT) AS bloom_flagged
+FROM per_sh GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "cur_corpus_build": (q_cur_corpus_build, _sql_corpus_build()),
     "cur_domain_cap": (q_cur_domain_cap, SQL_CUR_DOMAIN_CAP),
@@ -847,4 +974,6 @@ QUERIES = {
     "cur_shard_export": (q_cur_shard_export, SQL_CUR_SHARD_EXPORT),
     "cur_temperature_mix": (q_cur_temperature_mix, SQL_CUR_TEMPERATURE_MIX),
     "cur_zorder_layout": (q_cur_zorder_layout, _sql_zorder_layout()),
+    "cur_bloom_decontaminate": (q_cur_bloom_decontaminate,
+                                SQL_CUR_BLOOM_DECONTAMINATE),
 }

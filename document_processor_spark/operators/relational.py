@@ -481,6 +481,57 @@ SELECT user_id, 'click_only' AS cohort FROM (
 """
 
 
+# -- CDC changelog apply (MERGE-read / upsert compaction) ---------------------------
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a change-data-capture stream to current state — the read
+    side of Iceberg/Delta MERGE INTO: the events table is a changelog
+    keyed by user_id with event_id as the monotone change sequence;
+    event_type 'error' is the delete tombstone, everything else upserts.
+    Current state = the highest-sequence change per key, minus keys whose
+    final change is a tombstone.
+
+    Scale shape: the textbook formulation is a row_number window +
+    QUALIFY rn = 1, but a window materializes every change of a key in
+    one task — a hot entity (the skewed-key case CDC feeds always have)
+    pins a straggler.  max_by/arg_max is the scale-right plan: a
+    mergeable aggregate with map-side partials, ONE shuffle on the key,
+    hot keys pre-reduced inside every map task.  Ties impossible:
+    event_id is the unique sequence.  last_value is quantized through
+    integer math only after the single surviving row is chosen, so the
+    oracle is exact."""
+    ev = _t(spark, sf_dir, "events")
+    last = ev.groupBy("user_id").agg(
+        F.max("event_id").alias("last_event_id"),
+        F.expr("max_by(event_type, event_id)").alias("last_type"),
+        F.expr("max_by(value, event_id)").alias("last_value"),
+        F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+         .cast("bigint").alias("n_tombstones"))
+    return (last.filter(F.col("last_type") != "error")
+            .select("user_id", "last_event_id", "last_type",
+                    F.floor(F.col("last_value") * 100).cast("bigint")
+                     .alias("last_value_q"),
+                    "n_changes", "n_tombstones"))
+
+
+SQL_CDC_APPLY = """
+WITH last AS (
+  SELECT user_id,
+         max(event_id) AS last_event_id,
+         arg_max(event_type, event_id) AS last_type,
+         arg_max(value, event_id) AS last_value,
+         CAST(count(*) AS BIGINT) AS n_changes,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_tombstones
+  FROM events GROUP BY user_id)
+SELECT user_id, last_event_id, last_type,
+       CAST(floor(last_value * 100) AS BIGINT) AS last_value_q,
+       n_changes, n_tombstones
+FROM last WHERE last_type <> 'error'
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "rel_rolling_1h": (q_rolling_1h, SQL_ROLLING_1H),
@@ -494,4 +545,5 @@ QUERIES = {
     "rel_tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING_HOURLY),
     "rel_revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "rel_funnel": (q_funnel, SQL_FUNNEL),
+    "rel_cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
 }

@@ -797,6 +797,90 @@ FROM a
 """
 
 
+# -- HyperLogLog distinct sketch ---------------------------------------------------
+
+# The mergeable-sketch answer to "how many distinct words per source" at
+# 10^12 docs: exact count(DISTINCT) must shuffle every distinct word; the
+# HLL register table is HLL_M rows per source regardless of vocabulary
+# size, and max() registers merge associatively, so the whole sketch is
+# one partial+final aggregation.  This is the same sketch behind Spark's
+# approx_count_distinct / DuckDB's approx_distinct — re-expressed in pure
+# relational algebra so BOTH engines compute the IDENTICAL sketch and the
+# oracle stays bit-exact (built-in HLLs use engine-specific hashes and
+# can never cross-validate).
+HLL_M = 64           # registers = 2^6; bucket = low 6 hash bits
+_HLL_RHO_MAX = 55    # 54 value bits -> rho(position of first 1) in 1..55
+_HLL_SCALE = 56      # register term = 2^(56 - rho); empty register = 2^56
+# alpha_64 * m^2, scaled by 2^_HLL_SCALE — ONE double literal, so the only
+# cross-engine float op is a single IEEE division (floored, both sides)
+_HLL_C = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(2 ** _HLL_SCALE)
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-word estimate via a from-scratch HyperLogLog
+    (Flajolet et al. 2007): 60-bit md5 hash -> low 6 bits pick 1 of 64
+    registers, rho = 1 + leading zeros of the remaining 54 bits, register
+    = max(rho).  The harmonic-mean mass is kept as an exact integer
+    (sum of 2^(56-rho), empty registers contribute 2^56 — max 64*2^56 <
+    2^63) so partial-agg order can't perturb it; the raw estimate is one
+    floored double division by the precomputed alpha*m^2 constant.
+    n_exact (the count-DISTINCT the sketch replaces) ships as the
+    fixture-scale accuracy canary — production drops it.  Scale shape:
+    explode is narrow, registers are a mergeable (source, bucket) max —
+    map-side partials shrink each task's contribution to <= 64 rows per
+    source before the shuffle."""
+    words = (_docs(spark, sf_dir)
+             .select("source", F.explode(F.split("text", " ", -1)).alias("word")))
+    hashed = words.select(
+        "source",
+        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10)
+         .cast("bigint").alias("u"))
+    regs = (hashed
+            .select("source", F.expr(f"u & {HLL_M - 1}").alias("bucket"),
+                    F.expr(f"CASE WHEN (u >> 6) = 0 THEN {_HLL_RHO_MAX} "
+                           f"ELSE {_HLL_RHO_MAX} - length(conv(u >> 6, 10, 2)) "
+                           f"END").alias("rho"))
+            .groupBy("source", "bucket").agg(F.max("rho").alias("m_j")))
+    empty_term = 1 << _HLL_SCALE
+    sk = regs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+        (F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                      f"CAST({_HLL_SCALE} - m_j AS INT))"))
+         + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(empty_term))
+        .cast("bigint").alias("s_scaled"))
+    exact = (words.distinct().groupBy("source")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact")))
+    return (sk.join(exact, "source")
+            .select("source", "n_exact", "n_hit", "s_scaled",
+                    F.floor(F.lit(_HLL_C) / F.col("s_scaled"))
+                     .cast("bigint").alias("hll_est")))
+
+
+SQL_HLL_DISTINCT = f"""
+WITH words AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+hashed AS (
+  SELECT source, ('0x' || substr(md5(word), 1, 15))::BIGINT AS u FROM words),
+regs AS (
+  SELECT source, u & {HLL_M - 1} AS bucket,
+         max(CASE WHEN (u >> 6) = 0 THEN {_HLL_RHO_MAX}
+                  ELSE {_HLL_RHO_MAX} - length(bin(u >> 6)) END) AS m_j
+  FROM hashed GROUP BY source, u & {HLL_M - 1}),
+sk AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_hit,
+         CAST(sum(1::BIGINT << CAST({_HLL_SCALE} - m_j AS INT))
+              + ({HLL_M} - count(*)) * (1::BIGINT << {_HLL_SCALE})
+              AS BIGINT) AS s_scaled
+  FROM regs GROUP BY source),
+exact AS (
+  SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS n_exact
+  FROM words GROUP BY source)
+SELECT sk.source, exact.n_exact, sk.n_hit, sk.s_scaled,
+       CAST(floor({_HLL_C!r} / sk.s_scaled) AS BIGINT) AS hll_est
+FROM sk JOIN exact USING (source)
+"""
+
+
 QUERIES = {
     "ta_corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "ta_length_quantiles": (q_length_quantiles, _sql_length_quantiles()),
@@ -810,4 +894,5 @@ QUERIES = {
     "ta_lm_xent": (q_lm_xent, SQL_LM_XENT),
     "ta_entropy": (q_entropy, SQL_ENTROPY),
     "ta_bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "ta_hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
 }
