@@ -881,6 +881,82 @@ FROM sk JOIN exact USING (source)
 """
 
 
+# -- Count-Min frequency sketch + heavy hitters --------------------------------------
+
+# The frequency twin of the HLL sketch above: exact per-word counts at a
+# 10^9+ vocabulary need a full (word) shuffle and a vocab-sized result;
+# the CMS table is D*W counters regardless of vocabulary, counters are
+# plain sums (mergeable, map-side partials), and the point estimate
+# min_d(cms[d][h_d(w)]) NEVER undercounts — the guarantee heavy-hitter
+# extraction relies on.  Same cross-validation rationale as the HLL: both
+# engines compute the identical sketch, so the oracle is bit-exact.
+CMS_D = 4     # hash rows (double hashing h1 + d*h2)
+CMS_W = 512   # counters per row
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide word frequencies through a from-scratch Count-Min
+    sketch (Cormode & Muthukrishnan 2005), read back for every distinct
+    word alongside the exact count it replaces: cms_est = min over the
+    D rows of the hashed counter, overcount = cms_est - n_exact >= 0 by
+    construction.  Scale shape: the sketch build is one groupBy over
+    (row, col) — 2048 cells, partial-agg friendly — and the readout
+    joins the DISTINCT word list against the broadcast cell table;
+    n_exact is the fixture-scale canary a production run drops (it is
+    the very shuffle the sketch avoids)."""
+    words = (_docs(spark, sf_dir)
+             .select(F.explode(F.split("text", " ", -1)).alias("word")))
+    h1 = F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5("word"), 16, 15), 16, 10).cast("bigint")
+    hashed = words.select("word", h1.alias("h1"), h2.alias("h2"))
+    cells = hashed.select("word", F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 ((F.col("h1") + F.lit(d) * F.col("h2")) % CMS_W).alias("col"))
+        for d in range(CMS_D)])).alias("c"))
+    cms = (cells.groupBy("c.d", "c.col")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("counter")))
+    exact = (hashed.groupBy("word", "h1", "h2")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact")))
+    probes = exact.select("word", "n_exact", F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 ((F.col("h1") + F.lit(d) * F.col("h2")) % CMS_W).alias("col"))
+        for d in range(CMS_D)])).alias("c"))
+    return (probes.join(F.broadcast(cms),
+                        (probes["c.d"] == cms["d"])
+                        & (probes["c.col"] == cms["col"]))
+            .groupBy("word", "n_exact")
+            .agg(F.min("counter").alias("cms_est"))
+            .select("word", "n_exact", "cms_est",
+                    (F.col("cms_est") - F.col("n_exact")).alias("overcount")))
+
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+hashed AS (
+  SELECT word,
+         ('0x' || substr(md5(word), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5(word), 16, 15))::BIGINT AS h2
+  FROM words),
+cells AS (
+  SELECT g.d, (h1 + g.d * h2) % {CMS_W} AS col
+  FROM hashed, (VALUES (0), (1), (2), (3)) g(d)),
+cms AS (
+  SELECT d, col, CAST(count(*) AS BIGINT) AS counter
+  FROM cells GROUP BY d, col),
+exact AS (
+  SELECT word, h1, h2, CAST(count(*) AS BIGINT) AS n_exact
+  FROM hashed GROUP BY word, h1, h2),
+probes AS (
+  SELECT e.word, e.n_exact, g.d, (e.h1 + g.d * e.h2) % {CMS_W} AS col
+  FROM exact e, (VALUES (0), (1), (2), (3)) g(d))
+SELECT p.word, p.n_exact, min(c.counter) AS cms_est,
+       min(c.counter) - p.n_exact AS overcount
+FROM probes p JOIN cms c ON c.d = p.d AND c.col = p.col
+GROUP BY p.word, p.n_exact
+"""
+
+
 QUERIES = {
     "ta_corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "ta_length_quantiles": (q_length_quantiles, _sql_length_quantiles()),
@@ -895,4 +971,5 @@ QUERIES = {
     "ta_entropy": (q_entropy, SQL_ENTROPY),
     "ta_bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "ta_hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+    "ta_cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
 }

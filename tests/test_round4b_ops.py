@@ -92,6 +92,22 @@ def test_bloom_flag_is_superset_of_exact_flag(spark):
             assert r["bloom_flagged"], r["doc_id"]
 
 
+def test_cms_never_undercounts_and_is_tight_here(spark):
+    """Count-Min's defining guarantee: the estimate is never below the
+    true count; and at this vocabulary (31 words into 4x512 counters,
+    collisions vanishingly unlikely) it should be exact for every word."""
+    from document_processor_spark.operators.text_analysis import (
+        q_cms_heavy_hitters,
+    )
+    rows = q_cms_heavy_hitters(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_est"] >= r["n_exact"], r["word"]
+        assert r["overcount"] == r["cms_est"] - r["n_exact"]
+    # sparse fill -> the sketch is exact on the fixture
+    assert all(r["overcount"] == 0 for r in rows)
+
+
 def test_cdc_apply_matches_python_fold(spark):
     """Pure-Python replay of the changelog (sort by event_id, keep the
     last change per key, drop final tombstones) must equal the operator
