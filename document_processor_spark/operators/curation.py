@@ -850,60 +850,80 @@ BLOOM_WORDS = 64        # filter = 64 x 62-bit words
 BLOOM_BPW = 62          # bits used per word: 1 << 61 stays positive
 BLOOM_BITS = BLOOM_WORDS * BLOOM_BPW
 BLOOM_K = 3             # probes per key (double hashing h1 + i*h2)
+# integer restatement of CONTAM_T so the flag needs no float compare;
+# bloom and exact paths flag at the SAME threshold by construction
+CONTAM_NUM, CONTAM_DEN = 1, 2
+assert CONTAM_NUM / CONTAM_DEN == CONTAM_T
 
 
-def _bloom_hashes(col):
-    """Two independent 60-bit hashes from one md5 — the classic
-    Kirsch-Mitzenmacher double-hashing base (h1 + i*h2)."""
-    h1 = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
-    h2 = F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("bigint")
-    return h1, h2
+def _bloom_probe_sql(i: int, arr: str = "bloom_arr",
+                     col: str = "shingle") -> str:
+    """One Bloom membership probe as an engine-portable SQL boolean:
+    bit (h1 + i*h2) mod BLOOM_BITS of the dense word array is set.  The
+    Spark and DuckDB strings differ only in hash literal + index-div
+    spelling (see _sql_bloom_probe)."""
+    u1 = f"CAST(conv(substring(md5({col}), 1, 15), 16, 10) AS BIGINT)"
+    u2 = f"CAST(conv(substring(md5({col}), 16, 15), 16, 10) AS BIGINT)"
+    pos = f"(({u1} + {i} * {u2}) % {BLOOM_BITS})"
+    mask = f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % {BLOOM_BPW} AS INT))"
+    word = f"element_at({arr}, CAST({pos} div {BLOOM_BPW} AS INT) + 1)"
+    return f"(({word} & {mask}) = {mask})"
+
+
+def _sql_bloom_probe(i: int) -> str:
+    """DuckDB twin of _bloom_probe_sql (1-based list index, // division,
+    the 0x-hex hash literal)."""
+    u1 = f"('0x' || substr(md5(shingle), 1, 15))::BIGINT"
+    u2 = f"('0x' || substr(md5(shingle), 16, 15))::BIGINT"
+    pos = f"(({u1} + {i} * {u2}) % {BLOOM_BITS})"
+    mask = f"(1::BIGINT << CAST({pos} % {BLOOM_BPW} AS INT))"
+    word = f"arr[CAST({pos} // {BLOOM_BPW} AS INT) + 1]"
+    return f"(({word} & {mask}) = {mask})"
 
 
 def q_cur_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination through a from-scratch Bloom filter over
     the eval shingle set.  Build: each eval shingle sets BLOOM_K bit
-    positions (h1 + i*h2 mod BLOOM_BITS); bit_or folds them into 64
-    bigint words (mergeable, one tiny shuffle).  Probe: every distinct
-    train-doc shingle checks its K positions against the broadcast word
-    table — hit iff ALL K bits set.  Emits the exact semi-join hit count
-    alongside so the no-false-negative invariant (n_hit_bloom >=
-    n_hit_exact) and the FP overhead are visible per document."""
+    positions (h1 + i*h2 mod BLOOM_BITS); one tiny aggregation folds them
+    into a DENSE 64-word bitset row via 64 conditional bit_ors.  Probe:
+    the one-row bitset array is broadcast and every train-doc shingle
+    evaluates all K probes in a single map-side projection — no explode,
+    no per-shingle shuffle; the only corpus shuffle left is the per-doc
+    aggregation.  The exact semi-join hit count rides along as a canary
+    (it is the broadcast the filter replaces) so the no-false-negative
+    invariant (n_hit_bloom >= n_hit_exact, identical distinct-shingle
+    semantics on both paths) and the FP overhead are visible per doc."""
+    from ..functions.hashing import md5_h1_h2
+
     sh = (_docs(spark, sf_dir)
           .select("doc_id", _shingles_col().alias("shingles"))
           .filter(F.size("shingles") > 0))
     eval_sh = (sh.filter(F.col("doc_id") % EVAL_MOD == 0)
                .select(F.explode("shingles").alias("shingle")).distinct())
-    h1, h2 = _bloom_hashes(F.col("shingle"))
+    h1, h2 = md5_h1_h2(F.col("shingle"))
     epos = eval_sh.select(F.explode(F.array(
         *[((h1 + F.lit(i) * h2) % BLOOM_BITS) for i in range(BLOOM_K)]
     )).alias("pos"))
-    bloom = (epos
-             .select(F.expr(f"pos div {BLOOM_BPW}").alias("word_idx"),
-                     F.expr(f"shiftleft(CAST(1 AS BIGINT), "
-                            f"CAST(pos % {BLOOM_BPW} AS INT))").alias("mask"))
-             .groupBy("word_idx").agg(F.expr("bit_or(mask)").alias("bits")))
+    bloom_row = (epos
+                 .select(F.expr(f"pos div {BLOOM_BPW}").alias("word_idx"),
+                         F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                                f"CAST(pos % {BLOOM_BPW} AS INT))")
+                         .alias("mask"))
+                 .groupBy()
+                 .agg(*[F.expr(f"bit_or(CASE WHEN word_idx = {w} THEN mask "
+                               f"ELSE CAST(0 AS BIGINT) END)").alias(f"w{w}")
+                        for w in range(BLOOM_WORDS)])
+                 .select(F.array(*[f"w{w}" for w in range(BLOOM_WORDS)])
+                         .alias("bloom_arr")))
     inst = (sh.filter(F.col("doc_id") % EVAL_MOD != 0)
             .select("doc_id", F.explode("shingles").alias("shingle"))
             .join(F.broadcast(eval_sh.withColumn("is_eval", F.lit(True))),
                   "shingle", "left")
             .withColumn("exact_hit", F.coalesce("is_eval", F.lit(False))))
-    probes = (inst.select(
-        "doc_id", "shingle", "exact_hit",
-        F.explode(F.array(
-            *[((h1 + F.lit(i) * h2) % BLOOM_BITS) for i in range(BLOOM_K)]
-        )).alias("pos"))
-        .withColumn("word_idx", F.expr(f"pos div {BLOOM_BPW}"))
-        .withColumn("mask", F.expr(f"shiftleft(CAST(1 AS BIGINT), "
-                                   f"CAST(pos % {BLOOM_BPW} AS INT))"))
-        .join(F.broadcast(bloom), "word_idx", "left")
-        .withColumn("bit_set",
-                    F.coalesce("bits", F.lit(0)).bitwiseAND(F.col("mask"))
-                    == F.col("mask")))
-    per_sh = (probes.groupBy("doc_id", "shingle")
-              .agg(F.expr("bool_and(exact_hit)").alias("exact_hit"),
-                   F.expr("bool_and(bit_set)").alias("bloom_hit")))
-    return (per_sh.groupBy("doc_id").agg(
+    probed = (inst.crossJoin(F.broadcast(bloom_row))  # 1-row bitset side
+              .withColumn("bloom_hit", F.expr(" AND ".join(
+                  _bloom_probe_sql(i) for i in range(BLOOM_K)))))
+    return (probed.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
         F.sum(F.when(F.col("exact_hit"), 1).otherwise(0))
          .cast("bigint").alias("n_hit_exact"),
@@ -911,7 +931,8 @@ def q_cur_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("bigint").alias("n_hit_bloom"))
         .select("doc_id", "n_shingles", "n_hit_exact", "n_hit_bloom",
                 (F.col("n_hit_bloom") - F.col("n_hit_exact")).alias("bloom_fp"),
-                (F.col("n_hit_bloom") * 2 >= F.col("n_shingles"))
+                (F.col("n_hit_bloom") * CONTAM_DEN
+                 >= F.col("n_shingles") * CONTAM_NUM)
                 .alias("bloom_flagged")))
 
 
@@ -925,39 +946,33 @@ epos AS (
           + g.i * ('0x' || substr(md5(shingle), 16, 15))::BIGINT)
          % {BLOOM_BITS} AS pos
   FROM eval_sh, (VALUES (0), (1), (2)) g(i)),
-bloom AS (
+bloom_words AS (
   SELECT pos // {BLOOM_BPW} AS word_idx,
          bit_or(1::BIGINT << CAST(pos % {BLOOM_BPW} AS INT)) AS bits
   FROM epos GROUP BY pos // {BLOOM_BPW}),
+bloom AS (
+  SELECT list(coalesce(b.bits, 0) ORDER BY g.w) AS arr
+  FROM generate_series(0, {BLOOM_WORDS - 1}) g(w)
+  LEFT JOIN bloom_words b ON b.word_idx = g.w),
 inst AS (
   SELECT u.doc_id, u.shingle,
-         (e.shingle IS NOT NULL) AS exact_hit,
-         ('0x' || substr(md5(u.shingle), 1, 15))::BIGINT AS h1,
-         ('0x' || substr(md5(u.shingle), 16, 15))::BIGINT AS h2
+         (e.shingle IS NOT NULL) AS exact_hit
   FROM (SELECT doc_id, unnest(shingles) AS shingle
         FROM sh WHERE len(shingles) > 0 AND doc_id % {EVAL_MOD} <> 0) u
   LEFT JOIN eval_sh e ON e.shingle = u.shingle),
-probes AS (
-  SELECT i.doc_id, i.shingle, i.exact_hit,
-         (i.h1 + g.i * i.h2) % {BLOOM_BITS} AS pos
-  FROM inst i, (VALUES (0), (1), (2)) g(i)),
-per_sh AS (
-  SELECT p.doc_id, p.shingle,
-         bool_and(p.exact_hit) AS exact_hit,
-         bool_and((coalesce(b.bits, 0)
-                   & (1::BIGINT << CAST(p.pos % {BLOOM_BPW} AS INT)))
-                  = (1::BIGINT << CAST(p.pos % {BLOOM_BPW} AS INT))) AS bloom_hit
-  FROM probes p LEFT JOIN bloom b ON b.word_idx = p.pos // {BLOOM_BPW}
-  GROUP BY p.doc_id, p.shingle)
+probed AS (
+  SELECT i.doc_id, i.exact_hit,
+         {" AND ".join(_sql_bloom_probe(i) for i in range(BLOOM_K))} AS bloom_hit
+  FROM inst i, bloom)
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_shingles,
        CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_exact,
        CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_bloom,
        CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END)
             - sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_fp,
-       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) * 2
-         >= CAST(count(*) AS BIGINT) AS bloom_flagged
-FROM per_sh GROUP BY doc_id
+       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) * {CONTAM_DEN}
+         >= CAST(count(*) AS BIGINT) * {CONTAM_NUM} AS bloom_flagged
+FROM probed GROUP BY doc_id
 """
 
 

@@ -504,7 +504,11 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     last = ev.groupBy("user_id").agg(
         F.max("event_id").alias("last_event_id"),
         F.expr("max_by(event_type, event_id)").alias("last_type"),
-        F.expr("max_by(value, event_id)").alias("last_value"),
+        # coalesce BEFORE the arg-max: Spark's max_by carries a NULL value
+        # through while DuckDB's arg_max skips NULL-argument rows — pin
+        # one semantics (NULL change value reads as 0) on both engines
+        F.expr("max_by(coalesce(value, CAST(0 AS DOUBLE)), event_id)")
+         .alias("last_value"),
         F.count(F.lit(1)).cast("bigint").alias("n_changes"),
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
          .cast("bigint").alias("n_tombstones"))
@@ -520,7 +524,7 @@ WITH last AS (
   SELECT user_id,
          max(event_id) AS last_event_id,
          arg_max(event_type, event_id) AS last_type,
-         arg_max(value, event_id) AS last_value,
+         arg_max(coalesce(value, CAST(0 AS DOUBLE)), event_id) AS last_value,
          CAST(count(*) AS BIGINT) AS n_changes,
          CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
               AS BIGINT) AS n_tombstones

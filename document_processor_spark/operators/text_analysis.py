@@ -808,9 +808,12 @@ FROM a
 # relational algebra so BOTH engines compute the IDENTICAL sketch and the
 # oracle stays bit-exact (built-in HLLs use engine-specific hashes and
 # can never cross-validate).
-HLL_M = 64           # registers = 2^6; bucket = low 6 hash bits
-_HLL_RHO_MAX = 55    # 54 value bits -> rho(position of first 1) in 1..55
-_HLL_SCALE = 56      # register term = 2^(56 - rho); empty register = 2^56
+HLL_M = 64                        # registers (power of two)
+_HLL_P = HLL_M.bit_length() - 1   # bucket bits: bucket = low P hash bits
+_HLL_VBITS = 60 - _HLL_P          # hash bits left for rho after the bucket
+_HLL_RHO_MAX = _HLL_VBITS + 1     # rho(position of first 1) in 1..RHO_MAX
+_HLL_SCALE = _HLL_RHO_MAX + 1     # term = 2^(SCALE-rho); empty register = 2^SCALE
+assert HLL_M == 1 << _HLL_P and HLL_M * (1 << _HLL_SCALE) < 1 << 63
 # alpha_64 * m^2, scaled by 2^_HLL_SCALE — ONE double literal, so the only
 # cross-engine float op is a single IEEE division (floored, both sides)
 _HLL_C = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(2 ** _HLL_SCALE)
@@ -829,16 +832,15 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode is narrow, registers are a mergeable (source, bucket) max —
     map-side partials shrink each task's contribution to <= 64 rows per
     source before the shuffle."""
+    from ..functions.hashing import md5_u60
+
     words = (_docs(spark, sf_dir)
              .select("source", F.explode(F.split("text", " ", -1)).alias("word")))
-    hashed = words.select(
-        "source",
-        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10)
-         .cast("bigint").alias("u"))
+    hashed = words.select("source", md5_u60(F.col("word")).alias("u"))
     regs = (hashed
             .select("source", F.expr(f"u & {HLL_M - 1}").alias("bucket"),
-                    F.expr(f"CASE WHEN (u >> 6) = 0 THEN {_HLL_RHO_MAX} "
-                           f"ELSE {_HLL_RHO_MAX} - length(conv(u >> 6, 10, 2)) "
+                    F.expr(f"CASE WHEN (u >> {_HLL_P}) = 0 THEN {_HLL_RHO_MAX} "
+                           f"ELSE {_HLL_RHO_MAX} - length(conv(u >> {_HLL_P}, 10, 2)) "
                            f"END").alias("rho"))
             .groupBy("source", "bucket").agg(F.max("rho").alias("m_j")))
     empty_term = 1 << _HLL_SCALE
@@ -863,8 +865,8 @@ hashed AS (
   SELECT source, ('0x' || substr(md5(word), 1, 15))::BIGINT AS u FROM words),
 regs AS (
   SELECT source, u & {HLL_M - 1} AS bucket,
-         max(CASE WHEN (u >> 6) = 0 THEN {_HLL_RHO_MAX}
-                  ELSE {_HLL_RHO_MAX} - length(bin(u >> 6)) END) AS m_j
+         max(CASE WHEN (u >> {_HLL_P}) = 0 THEN {_HLL_RHO_MAX}
+                  ELSE {_HLL_RHO_MAX} - length(bin(u >> {_HLL_P})) END) AS m_j
   FROM hashed GROUP BY source, u & {HLL_M - 1}),
 sk AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_hit,
@@ -904,10 +906,11 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins the DISTINCT word list against the broadcast cell table;
     n_exact is the fixture-scale canary a production run drops (it is
     the very shuffle the sketch avoids)."""
+    from ..functions.hashing import md5_h1_h2
+
     words = (_docs(spark, sf_dir)
              .select(F.explode(F.split("text", " ", -1)).alias("word")))
-    h1 = F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("bigint")
-    h2 = F.conv(F.substring(F.md5("word"), 16, 15), 16, 10).cast("bigint")
+    h1, h2 = md5_h1_h2(F.col("word"))
     hashed = words.select("word", h1.alias("h1"), h2.alias("h2"))
     cells = hashed.select("word", F.explode(F.array(*[
         F.struct(F.lit(d).alias("d"),

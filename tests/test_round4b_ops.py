@@ -19,6 +19,7 @@ def test_hll_estimate_accuracy(spark):
     (~1.04/sqrt(m) ~= 13% for m=64, with margin for one fixture draw)
     of the exact per-source distinct count it replaces."""
     from document_processor_spark.operators.text_analysis import (
+        _HLL_C,
         HLL_M,
         q_hll_distinct,
     )
@@ -26,6 +27,11 @@ def test_hll_estimate_accuracy(spark):
     assert rows
     for r in rows:
         assert 0 < r["n_hit"] <= HLL_M
+        # the shipped raw estimate must be exactly the documented single
+        # floored division over the integer register mass (this is the
+        # assertion the oracle gate can't make: DuckDB recomputes the
+        # same formula, so a wrong formula would pass the hash compare)
+        assert r["hll_est"] == math.floor(_HLL_C / r["s_scaled"]), r["source"]
         # linear-counting correction applies whenever any register is
         # empty and the raw estimate is small — always true at this vocab
         if r["n_hit"] < HLL_M:
@@ -40,17 +46,24 @@ def test_hll_registers_are_mergeable(spark):
     """Running the sketch over two disjoint halves and merging registers
     by max must equal the one-pass sketch — the property that makes the
     dataflow a partial+final aggregation at any cluster size."""
-    from document_processor_spark.operators.text_analysis import HLL_M, _docs
+    from document_processor_spark.functions.hashing import md5_u60
+    from document_processor_spark.operators.text_analysis import (
+        _HLL_P,
+        _HLL_RHO_MAX,
+        HLL_M,
+        _docs,
+    )
 
     docs = _docs(spark, SF_DIR)
     words = docs.select(
         "source", F.explode(F.split("text", " ", -1)).alias("word"),
         (F.col("doc_id") % 2).alias("half"))
-    u = F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("bigint")
-    base = words.select("source", "half", u.alias("u")).select(
+    base = words.select("source", "half",
+                        md5_u60(F.col("word")).alias("u")).select(
         "source", "half", F.expr(f"u & {HLL_M - 1}").alias("bucket"),
-        F.expr("CASE WHEN (u >> 6) = 0 THEN 55"
-               " ELSE 55 - length(conv(u >> 6, 10, 2)) END").alias("rho"))
+        F.expr(f"CASE WHEN (u >> {_HLL_P}) = 0 THEN {_HLL_RHO_MAX}"
+               f" ELSE {_HLL_RHO_MAX} - length(conv(u >> {_HLL_P}, 10, 2))"
+               f" END").alias("rho"))
     one_pass = {(r["source"], r["bucket"]): r["m"]
                 for r in base.groupBy("source", "bucket")
                 .agg(F.max("rho").alias("m")).collect()}
@@ -71,24 +84,28 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
     )
     rows = q_cur_bloom_decontaminate(spark, SF_DIR).collect()
     assert rows
-    n_sh = sum(r["n_shingles"] for r in rows)
+    n_nonmember = sum(r["n_shingles"] - r["n_hit_exact"] for r in rows)
     n_fp = 0
     for r in rows:
         assert r["n_hit_bloom"] >= r["n_hit_exact"], r["doc_id"]
         assert r["bloom_fp"] == r["n_hit_bloom"] - r["n_hit_exact"]
         n_fp += r["bloom_fp"]
-    # FP rate over non-member probes; fixture fill keeps it comfortably low
-    assert n_fp / n_sh < 0.25, (n_fp, n_sh)
+    # FP rate over NON-member probes (members can't be false positives);
+    # fixture fill keeps it comfortably under the k=3 design envelope
+    assert n_nonmember > 0
+    assert n_fp / n_nonmember < 0.25, (n_fp, n_nonmember)
 
 
 def test_bloom_flag_is_superset_of_exact_flag(spark):
     """Bloom-flagged must cover every doc the exact CONTAM_T rule flags:
     the filter may over-flag (FPs) but can never under-flag."""
     from document_processor_spark.operators.curation import (
+        CONTAM_DEN,
+        CONTAM_NUM,
         q_cur_bloom_decontaminate,
     )
     for r in q_cur_bloom_decontaminate(spark, SF_DIR).collect():
-        if r["n_hit_exact"] * 2 >= r["n_shingles"]:
+        if r["n_hit_exact"] * CONTAM_DEN >= r["n_shingles"] * CONTAM_NUM:
             assert r["bloom_flagged"], r["doc_id"]
 
 
@@ -119,7 +136,8 @@ def test_cdc_apply_matches_python_fold(spark):
     counts: dict[int, int] = {}
     tombs: dict[int, int] = {}
     for e in sorted(ev, key=lambda e: e["event_id"]):
-        state[e["user_id"]] = (e["event_id"], e["event_type"], e["value"])
+        v = e["value"] if e["value"] is not None else 0.0
+        state[e["user_id"]] = (e["event_id"], e["event_type"], v)
         counts[e["user_id"]] = counts.get(e["user_id"], 0) + 1
         tombs[e["user_id"]] = (tombs.get(e["user_id"], 0)
                                + (e["event_type"] == "error"))

@@ -58,6 +58,11 @@ NOTES = {
         "BNLJ = crossJoin with the broadcast 1-ROW centroid ARRAY (narrow "
         "argmax cell assignment, same shape as ann_ivf_topk); the prune "
         "join is equi on cent_id"),
+    "cur_bloom_decontaminate": (
+        "BNLJ = crossJoin with the broadcast 1-ROW dense Bloom bitset "
+        "ARRAY (64 bigint words) — constant-size side; membership is a "
+        "pure map-side projection over it, the only corpus shuffle is "
+        "the per-doc aggregation"),
     "ann_kmeans_train": (
         "BNLJ = crossJoin with the broadcast 1-ROW K-centroid ARRAY in "
         "each Lloyd assignment step (narrow argmin, constant-size side); "
