@@ -518,6 +518,55 @@ LEFT JOIN b0 ON b0.user_id = b.user_id
 """
 
 
+def q_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join as an oracle-gated driver
+    query — the live twin of the batch as-of family: clicks and
+    purchases arrive as two independent file-source streams (each staged
+    as 2 parquet files, maxFilesPerTrigger=1, so matches genuinely cross
+    micro-batch boundaries through the join state store) and every
+    (click, purchase) pair by the same user with the purchase in
+    [click_ts, click_ts + 1h] is emitted exactly once.  State bounding
+    is the load-bearing property at 10^12 events: the 2-hour watermark
+    on BOTH sides plus the 1-hour range condition let the engine evict
+    any click/purchase too old to ever match — state is O(watermark
+    horizon x arrival rate) per key range, never O(stream).  Inner-join
+    matches emit in the micro-batch that completes them (no append-mode
+    withholding), so an AvailableNow drain materializes the full answer
+    and the oracle is the plain batch range join.  Emitted columns are
+    ids + an integer microsecond gap — timezone-free."""
+    from ..streaming.join import start_attribution_stream
+
+    name = _sink_name(spark, "stream_ja_sink")
+    base = Path(tempfile.mkdtemp(prefix="stream_ja_"))
+    try:
+        ev = spark.read.schema(EVENTS_DDL).parquet(f"{sf_dir}/events.parquet")
+        inp_c, inp_p = str(base / "clicks"), str(base / "purchases")
+        (ev.filter(F.col("event_type") == "click")
+         .coalesce(2).write.parquet(inp_c))
+        (ev.filter(F.col("event_type") == "purchase")
+         .coalesce(2).write.parquet(inp_p))
+        with _utc_session(spark), _pinned_state_partitions(spark):
+            q = start_attribution_stream(
+                spark, inp_c, inp_p, str(base / "ckpt"), name,
+                watermark="2 hours", max_gap="1 hour",
+                max_files_per_trigger=1, available_now=True)
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.table(name).select("purchase_id", "user_id", "click_id",
+                                    "gap_us")
+
+
+SQL_STREAM_JOIN_ATTRIBUTION = """
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+       date_diff('microsecond', c.ts, p.ts) AS gap_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 QUERIES = {
     "stream_tumbling_hourly": (q_stream_tumbling_hourly,
                                SQL_STREAM_TUMBLING_HOURLY),
@@ -529,4 +578,6 @@ QUERIES = {
                               SQL_STREAM_SLIDING_HOURLY),
     "stream_session_window": (q_stream_session_window,
                               SQL_STREAM_SESSION_WINDOW),
+    "stream_join_attribution": (q_stream_join_attribution,
+                                SQL_STREAM_JOIN_ATTRIBUTION),
 }

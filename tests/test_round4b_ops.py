@@ -125,6 +125,29 @@ def test_cms_never_undercounts_and_is_tight_here(spark):
     assert all(r["overcount"] == 0 for r in rows)
 
 
+def test_stream_join_attribution_equals_batch_join(spark):
+    """The streaming drain must emit exactly the batch range-join answer
+    (each qualifying pair once, none withheld in state) even though the
+    two sides arrive as 2 micro-batches each."""
+    from document_processor_spark.operators.stream_ops import (
+        q_stream_join_attribution,
+    )
+    from document_processor_spark.streaming.join import attribution_join
+    from document_processor_spark.streaming.windowed import EVENTS_DDL
+
+    got = {(r["purchase_id"], r["click_id"], r["gap_us"])
+           for r in q_stream_join_attribution(spark, SF_DIR).collect()}
+    ev = spark.read.schema(EVENTS_DDL).parquet(f"{SF_DIR}/events.parquet")
+    want_rows = attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        watermark="2 hours", max_gap="1 hour").collect()
+    want = {(r["purchase_id"], r["click_id"], r["gap_us"])
+            for r in want_rows}
+    assert got == want and got
+    assert all(0 <= g <= 3_600_000_000 for _, _, g in got)
+
+
 def test_cdc_apply_matches_python_fold(spark):
     """Pure-Python replay of the changelog (sort by event_id, keep the
     last change per key, drop final tombstones) must equal the operator
