@@ -18,6 +18,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # have never had a driver CORRECTNESS row and (b) queries whose
 # implementation changed this round at the head of this list; rotate
 # long-stable green families into the tail.
+#
+# ROUND-5 ROTATION PLAN: once r4 lands driver rows for the names below,
+# swap this list for the long-parked stable families (ext_*, dedup_*,
+# ann_* minus kmeans, ta_* minus the r4 sketches, rel_* classics) so
+# every query re-earns a fresh driver row within two rounds.
 _PRIORITY: tuple[str, ...] = (
     # new this round (session 2)
     "ta_hll_distinct", "ta_cms_heavy_hitters", "cur_bloom_decontaminate",
