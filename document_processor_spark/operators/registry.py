@@ -26,7 +26,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _PRIORITY: tuple[str, ...] = (
     # new this round (session 2)
     "ta_hll_distinct", "ta_cms_heavy_hitters", "cur_bloom_decontaminate",
-    "rel_cdc_apply", "stream_join_attribution",
+    "rel_cdc_apply", "stream_join_attribution", "rel_scd2_history",
+    "rel_cohort_retention",
     # r3-shipped, never driver-checked (stream/cur/mm/pipe = 26 queries)
     "stream_tumbling_hourly", "stream_dedup_replay",
     "stream_extract_snapshot", "stream_running_totals",

@@ -536,6 +536,100 @@ FROM last WHERE last_type <> 'error'
 """
 
 
+# -- SCD type-2 history build --------------------------------------------------------
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 table from the same changelog
+    rel_cdc_apply compacts: every change becomes a versioned row with a
+    [valid_from, valid_to) interval — valid_to = the NEXT change's
+    timestamp (lead over the per-key sequence), NULL while current.  The
+    lakehouse sibling of CDC-apply: apply keeps latest state, SCD2 keeps
+    full history for as-of queries.
+
+    Scale shape: one shuffle on user_id; the lead window orders by the
+    monotone event_id WITHIN each key only (no global sort), and per-key
+    history length is the key's change rate, not the stream length.
+    Time discipline: intervals are integer microseconds since the corpus
+    min(ts) (broadcast 1-row) — no epoch/timezone call, both engines
+    bit-agree."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.agg(F.min("ts").alias("t0"))
+    e = (ev.crossJoin(F.broadcast(m))
+         .select("user_id", "event_id", "event_type",
+                 F.expr("timestampdiff(MICROSECOND, t0, ts)").alias("ts_us")))
+    w = W.partitionBy("user_id").orderBy("event_id")
+    return e.select(
+        "user_id", "event_id", "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w).alias("valid_to_us"),
+        F.lead("event_id").over(w).isNull().alias("is_current"))
+
+
+SQL_SCD2_HISTORY = """
+WITH m AS (SELECT min(ts) AS t0 FROM events),
+e AS (
+  SELECT user_id, event_id, event_type,
+         date_diff('microsecond', m.t0, ts) AS ts_us
+  FROM events, m)
+SELECT user_id, event_id, event_type,
+       ts_us AS valid_from_us,
+       lead(ts_us) OVER w AS valid_to_us,
+       lead(event_id) OVER w IS NULL AS is_current
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
+# -- cohort retention ----------------------------------------------------------------
+
+RETENTION_MAX_OFFSET = 24  # hours tracked after a cohort's first activity
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the hour of their
+    FIRST event; for each (cohort, hour-offset) cell, how many distinct
+    users of that cohort were active offset hours later.  The classic
+    growth-analytics triangle, built in two mergeable passes: (1)
+    per-user first-event hour (min agg — partial+final), (2) distinct
+    (cohort, offset, user) presence then a count agg.  No window over the
+    whole event stream, no per-cohort sort; both shuffles key on
+    user/cohort so a 4N cluster splits them 4N ways.  Hours are integer
+    buckets of the microsecond distance from the corpus min(ts)
+    (broadcast 1-row) — pure relative arithmetic, timezone-free on
+    either engine's timestamp flavor."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.agg(F.min("ts").alias("t0"))
+    e = (ev.crossJoin(F.broadcast(m))
+         .select("user_id",
+                 F.floor(F.expr("timestampdiff(MICROSECOND, t0, ts)")
+                         / F.lit(3_600_000_000))
+                 .cast("long").alias("hour_bucket")))
+    first = e.groupBy("user_id").agg(F.min("hour_bucket").alias("cohort"))
+    return (e.join(first, "user_id")
+            .withColumn("offset_h", F.col("hour_bucket") - F.col("cohort"))
+            .filter(F.col("offset_h") <= RETENTION_MAX_OFFSET)
+            .select("cohort", "offset_h", "user_id").distinct()
+            .groupBy("cohort", "offset_h")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_active")))
+
+
+SQL_COHORT_RETENTION = f"""
+WITH m AS (SELECT min(ts) AS t0 FROM events),
+e AS (
+  SELECT user_id,
+         CAST(floor(date_diff('microsecond', m.t0, ts) / 3600000000)
+              AS BIGINT) AS hour_bucket
+  FROM events, m),
+first AS (
+  SELECT user_id, min(hour_bucket) AS cohort FROM e GROUP BY user_id)
+SELECT f.cohort, e.hour_bucket - f.cohort AS offset_h,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+FROM e JOIN first f USING (user_id)
+WHERE e.hour_bucket - f.cohort <= {RETENTION_MAX_OFFSET}
+GROUP BY f.cohort, e.hour_bucket - f.cohort
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "rel_rolling_1h": (q_rolling_1h, SQL_ROLLING_1H),
@@ -550,4 +644,6 @@ QUERIES = {
     "rel_revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "rel_funnel": (q_funnel, SQL_FUNNEL),
     "rel_cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
+    "rel_scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
+    "rel_cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
 }

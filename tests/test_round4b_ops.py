@@ -125,6 +125,52 @@ def test_cms_never_undercounts_and_is_tight_here(spark):
     assert all(r["overcount"] == 0 for r in rows)
 
 
+def test_scd2_intervals_tile_per_key(spark):
+    """Per user, the version intervals must tile: sorted by event_id,
+    row k's valid_to equals row k+1's valid_from, exactly the last row
+    is current, and only it has a NULL valid_to."""
+    from document_processor_spark.operators.relational import q_scd2_history
+
+    rows = q_scd2_history(spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for uid, hist in by_user.items():
+        hist.sort(key=lambda r: r["event_id"])
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"], uid
+            assert not a["is_current"]
+        assert hist[-1]["is_current"] and hist[-1]["valid_to_us"] is None
+
+
+def test_cohort_retention_offset0_is_cohort_size(spark):
+    """Every user is by definition active at offset 0 of their own
+    cohort, so the offset-0 cell must equal the cohort's user count; all
+    offsets lie in [0, RETENTION_MAX_OFFSET]."""
+    import pyspark.sql.functions as SF
+
+    from document_processor_spark.operators.relational import (
+        RETENTION_MAX_OFFSET,
+        q_cohort_retention,
+    )
+
+    rows = q_cohort_retention(spark, SF_DIR).collect()
+    assert rows
+    assert all(0 <= r["offset_h"] <= RETENTION_MAX_OFFSET for r in rows)
+    got0 = {r["cohort"]: r["n_active"] for r in rows if r["offset_h"] == 0}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    m = ev.agg(SF.min("ts").alias("t0"))
+    cohorts = (ev.crossJoin(SF.broadcast(m))
+               .select("user_id",
+                       SF.floor(SF.expr("timestampdiff(MICROSECOND, t0, ts)")
+                                / SF.lit(3_600_000_000)).alias("h"))
+               .groupBy("user_id").agg(SF.min("h").alias("cohort"))
+               .groupBy("cohort").count().collect())
+    want0 = {r["cohort"]: r["count"] for r in cohorts}
+    assert got0 == want0
+
+
 def test_stream_join_attribution_equals_batch_join(spark):
     """The streaming drain must emit exactly the batch range-join answer
     (each qualifying pair once, none withheld in state) even though the

@@ -58,6 +58,14 @@ NOTES = {
         "BNLJ = crossJoin with the broadcast 1-ROW centroid ARRAY (narrow "
         "argmax cell assignment, same shape as ann_ivf_topk); the prune "
         "join is equi on cent_id"),
+    "rel_scd2_history": (
+        "crossJoin with a broadcast 1-ROW aggregate (corpus min ts, the "
+        "timezone-free interval origin) — constant-size side; versioning "
+        "itself is a lead() window partitioned on user_id"),
+    "rel_cohort_retention": (
+        "crossJoin with a broadcast 1-ROW aggregate (corpus min ts, the "
+        "hour-bucket origin) — constant-size side; cohort passes are "
+        "mergeable aggregations keyed on user/cohort"),
     "cur_bloom_decontaminate": (
         "BNLJ = crossJoin with the broadcast 1-ROW dense Bloom bitset "
         "ARRAY (64 bigint words) — constant-size side; membership is a "
