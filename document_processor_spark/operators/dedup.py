@@ -1173,8 +1173,125 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_dedup_components(spark, sf_dir, algo="star")
 
 
+# -- exact-substring dedup (ExactSubstr, Lee et al. 2022) ---------------------------
+#
+# "Deduplicating Training Data Makes Language Models Better" removes every
+# duplicated >=50-token substring from the corpus, keeping one occurrence.
+# Their single-node tool builds a suffix array over the CONCATENATED corpus
+# — a global sort that does not distribute.  Re-expressed relationally, the
+# fixed-width sliding-window table IS the suffix set truncated at W words:
+# a window duplicated anywhere in the corpus marks every position it covers
+# for removal, except at the single winning (first) occurrence.
+
+EXSUB_W = 8  # window width in words (the paper's 50 tokens, scaled to the
+             # ~50-word fixture docs so the operator has signal to verify)
+
+
+def q_dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup: cut every word position covered by a corpus-wide
+    duplicated W-word window, keeping the first occurrence (lexicographic
+    min of the zero-padded (doc_id, start) key), then reconstruct each
+    document from its surviving words in order.
+
+    Dataflow (scale shape): window generation is map-only (one explode per
+    doc, W-word slices of the already-split array); the count+winner pass
+    is ONE hash shuffle on the window text with map-side partial agg (count
+    and min are both mergeable) — at 10^12 docs the shuffle key becomes
+    xxhash64(wtext) so shuffle rows are 8 bytes, with the same
+    collision-only-over-removes tradeoff dedup_subdoc documents; the join
+    back reuses the agg side's partitioning, so only the window side moves;
+    covered starts collapse to ONE per-doc array (groupBy doc_id), and the
+    final coverage test runs map-side inside a higher-order filter over the
+    word array — O(|covered| x n_words) per doc, bounded by document
+    length, never corpus size.  Boilerplate runs are precisely the hot
+    window keys AND precisely the rows removed; AQE's skew split handles
+    the count-side hot partitions, as in dedup_subdoc.
+
+    vs dedup_subdoc (the C4 fixed-boundary chunk rule): ExactSubstr windows
+    slide at EVERY word position, so a duplicated run is removed wherever
+    it starts, not only when it aligns to a chunk boundary — the paper's
+    key advantage, bought with W x the window rows (still linear).
+
+    Output: one row per document — clean_text ('' when fully covered, row
+    kept so the cut is auditable), n_words, n_removed."""
+    d = (_docs(spark, sf_dir)
+         .filter(F.col("text").isNotNull())
+         .select("doc_id", F.split("text", " ", -1).alias("ws")))
+    win = (d.filter(F.size("ws") >= EXSUB_W)
+           .select("doc_id",
+                   F.explode(F.sequence(
+                       F.lit(0), F.size("ws") - EXSUB_W)).alias("s"),
+                   "ws")
+           .select("doc_id", "s",
+                   F.concat_ws(" ", F.expr(
+                       f"slice(ws, s + 1, {EXSUB_W})")).alias("wtext"),
+                   F.concat(F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+                            F.lit(":"),
+                            F.lpad(F.col("s").cast("string"), 6, "0"))
+                   .alias("wkey")))
+    cnt = win.groupBy("wtext").agg(F.count(F.lit(1)).alias("cnt"),
+                                   F.min("wkey").alias("winner"))
+    cov = (win.join(cnt, "wtext")
+           .filter((F.col("cnt") > 1) & (F.col("wkey") != F.col("winner")))
+           .groupBy("doc_id")
+           .agg(F.collect_set("s").alias("covered")))
+    covered = F.coalesce(F.col("covered"), F.array().cast("array<int>"))
+    kept = F.filter(
+        "ws",
+        lambda w, i: ~F.exists(
+            covered, lambda s: (s >= i - F.lit(EXSUB_W - 1)) & (s <= i)))
+    return (d.join(cov, "doc_id", "left")
+            .select("doc_id",
+                    F.concat_ws(" ", kept).alias("clean_text"),
+                    F.size("ws").cast("bigint").alias("n_words"),
+                    (F.size("ws") - F.size(kept)).cast("bigint")
+                    .alias("n_removed")))
+
+
+SQL_DEDUP_EXACT_SUBSTR = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+win AS (
+  SELECT doc_id, s,
+         array_to_string(ws[(s+1):(s+{EXSUB_W})], ' ') AS wtext,
+         lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' ||
+           lpad(CAST(s AS VARCHAR), 6, '0') AS wkey
+  FROM w, unnest(generate_series(0, len(ws) - {EXSUB_W})) AS t(s)
+  WHERE len(ws) >= {EXSUB_W}
+),
+cnt AS (SELECT wtext, count(*) AS cnt, min(wkey) AS winner
+        FROM win GROUP BY wtext),
+cov AS (
+  SELECT doc_id, list(DISTINCT s) AS covered
+  FROM win JOIN cnt USING (wtext)
+  WHERE cnt.cnt > 1 AND wkey <> winner
+  GROUP BY doc_id
+),
+wp AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos, ws[p + 1] AS word
+  FROM w, unnest(generate_series(0, len(ws) - 1)) AS t(p)
+),
+keepx AS (
+  SELECT wp.doc_id, wp.pos, wp.word,
+         len(list_filter(coalesce(cov.covered, []),
+                         s -> s >= wp.pos - {EXSUB_W} + 1
+                              AND s <= wp.pos)) = 0 AS keep
+  FROM wp LEFT JOIN cov USING (doc_id)
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN keep THEN word END,
+                           ' ' ORDER BY pos), '') AS clean_text,
+       count(*) AS n_words,
+       count(CASE WHEN NOT keep THEN 1 END) AS n_removed
+FROM keepx GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_exact_substr": (q_dedup_exact_substr, SQL_DEDUP_EXACT_SUBSTR),
     "dedup_components_star": (q_dedup_components_star, SQL_DEDUP_COMPONENTS),
     "dedup_pagerank": (q_dedup_pagerank, _sql_pagerank()),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),

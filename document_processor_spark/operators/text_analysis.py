@@ -960,8 +960,226 @@ GROUP BY p.word, p.n_exact
 """
 
 
+# -- collocation mining (PMI / tokenizer-merge candidate scoring) -------------------
+#
+# Pointwise mutual information over adjacent word pairs — the statistic
+# BPE/WordPiece merge selection maximizes and the classic phrase-mining
+# signal (word2vec's phrase pass, Mikolov et al. 2013 §4).  Kept in EXACT
+# integer arithmetic: pmi = ln(lift) is monotone in lift = c_xy*N/(c_x*c_y),
+# so ranking/thresholding on the integer-quantized lift is ranking on PMI
+# without ever computing a cross-engine-divergent ln().
+
+PMI_MIN_COUNT = 5      # min bigram support (drop the noise tail)
+PMI_LIFT_Q = 1000      # lift quantization: floor(lift * 1000) as BIGINT
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide PMI-ranked collocations over adjacent word bigrams.
+
+    Dataflow (scale shape): bigram generation is map-only (adjacent pairs
+    of the per-doc split array); bigram and unigram counts are the two
+    mergeable hash shuffles; N is a 1-row broadcast; the two unigram
+    lookups are plain equi-joins on word — vocab-sized at web scale (same
+    never-broadcast rule as ta_lm_xent/ta_bm25), AQE broadcasts when the
+    fixture vocab actually fits.
+
+    Exactness: lift numerator c_xy*N*1000 and denominator c_x*c_y stay in
+    BIGINT (bound: N <= 3e6 words before the x1000 product overflows —
+    fixture-safe by 10x; at 10^12 tokens the quantized column switches to
+    the (num, den) pair or log-space doubles, documented tradeoff), and
+    the quotient is integer division — positive operands, so Spark DIV and
+    DuckDB // agree exactly.
+
+    Output: one row per bigram with support >= PMI_MIN_COUNT — the counts
+    and the quantized lift (lift > 1000 <=> PMI > 0)."""
+    d = (_docs(spark, sf_dir)
+         .filter(F.col("text").isNotNull())
+         .select(F.split("text", " ", -1).alias("ws")))
+    words = d.select(F.explode("ws").alias("word"))
+    uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    bg = (d.filter(F.size("ws") >= 2)
+          .select(F.explode(F.expr(
+              "transform(sequence(0, size(ws) - 2),"
+              " i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).alias("b"))
+          .select("b.w1", "b.w2"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    n = F.broadcast(bgc.agg(F.sum("c_xy").alias("n_big")))
+    return (bgc.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+            .crossJoin(n)
+            .join(uni.select(F.col("word").alias("w1"),
+                             F.col("c").alias("c_x")), "w1")
+            .join(uni.select(F.col("word").alias("w2"),
+                             F.col("c").alias("c_y")), "w2")
+            .select("w1", "w2", "c_xy", "c_x", "c_y",
+                    F.expr(f"(c_xy * n_big * {PMI_LIFT_Q}L)"
+                           " div (c_x * c_y)").alias("lift_q")))
+
+
+SQL_PMI_COLLOCATIONS = f"""
+WITH w AS (
+  SELECT string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+uni AS (
+  SELECT word, count(*) AS c
+  FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word
+),
+bg AS (
+  SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+  FROM w, unnest(generate_series(0, len(ws) - 2)) AS t(i)
+  WHERE len(ws) >= 2
+),
+bgc AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY w1, w2),
+n AS (SELECT sum(c_xy) AS n_big FROM bgc)
+SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y,
+       CAST((c_xy * n_big * {PMI_LIFT_Q}) // (u1.c * u2.c) AS BIGINT) AS lift_q
+FROM bgc, n
+JOIN uni u1 ON bgc.w1 = u1.word
+JOIN uni u2 ON bgc.w2 = u2.word
+WHERE c_xy >= {PMI_MIN_COUNT}
+"""
+
+
+# -- BPE merge training (Sennrich et al. 2016) ---------------------------------------
+#
+# The tokenizer-training primitive an LLM corpus pipeline runs before
+# anything else: greedy byte-pair-encoding merge selection over the word
+# vocabulary.  Canonical BPE trains on the (word, count) table — ONE corpus
+# shuffle up front, then every round is linear in the VOCABULARY, never the
+# corpus.  Each round: count adjacent symbol pairs weighted by word count
+# (tiny mergeable shuffle — the pair alphabet is chars+merges), elect the
+# max-count pair (min-pair-string tie-break, so both engines agree), and
+# rewrite every vocabulary sequence map-side.  The rewrite uses the
+# doubled-space trick so plain left-to-right non-overlapping replace()
+# (identical semantics in Spark and DuckDB) implements exact greedy BPE:
+# ' a  b ' patterns can never match across token boundaries, and
+# overlapping runs ('a a a' under merge a+a) resolve leftmost-first.
+
+BPE_ROUNDS = 3  # unrolled like dedup_pagerank — each round's winner is a
+                # 1-row broadcast, so the oracle is a finite CTE chain
+
+
+def _bpe_vocab0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = (_docs(spark, sf_dir)
+             .filter(F.col("text").isNotNull())
+             .select(F.explode(F.split("text", " ", -1)).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+    # symbol sequence = space-joined single chars (ASCII fixture lexicon;
+    # real corpora byte-fall-back first)
+    return words.select(
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"), "cnt")
+
+
+def _bpe_round(vocab: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE round over a (seq, cnt) vocabulary: returns (winner — one
+    row (pr, c) —, merged vocabulary)."""
+    pairs = (vocab.select(F.split("seq", " ", -1).alias("a"), "cnt")
+             .filter(F.size("a") >= 2)
+             .select(F.explode(F.expr(
+                 "transform(sequence(0, size(a) - 2),"
+                 " i -> struct(a[i] AS w1, a[i+1] AS w2))")).alias("b"),
+                 "cnt")
+             .groupBy("b.w1", "b.w2").agg(F.sum("cnt").alias("c")))
+    mx = pairs.agg(F.max("c").alias("mc"))
+    win = (pairs.crossJoin(F.broadcast(mx))
+           .filter(F.col("c") == F.col("mc"))
+           .agg(F.min(F.concat_ws(" ", "w1", "w2")).alias("pr"),
+                F.max("c").alias("c")))
+    w1 = F.split_part(F.col("pr"), F.lit(" "), F.lit(1))
+    w2 = F.split_part(F.col("pr"), F.lit(" "), F.lit(2))
+    padded = F.concat(F.lit(" "),
+                      F.replace(F.col("seq"), F.lit(" "), F.lit("  ")),
+                      F.lit(" "))
+    pat = F.concat(F.lit(" "), w1, F.lit("  "), w2, F.lit(" "))
+    rep = F.concat(F.lit(" "), w1, w2, F.lit(" "))
+    merged = (vocab.crossJoin(F.broadcast(win))
+              .select(F.trim(F.replace(F.replace(padded, pat, rep),
+                                       F.lit("  "), F.lit(" "))).alias("seq"),
+                      "cnt"))
+    return win, merged
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy BPE merge-table training, BPE_ROUNDS rounds unrolled.
+
+    Dataflow (scale shape): the word-count pass is the ONE corpus-sized
+    shuffle; afterwards the loop state is the vocabulary (pinned via
+    localCheckpoint per round so round r+1 does not recompute rounds
+    0..r — same discipline as the k-means Lloyd loop in ann.py), each
+    round being a tiny pair-count shuffle plus two 1-row broadcasts; the
+    sequence rewrite is map-side string algebra.  At a 10^12-token corpus
+    the vocabulary is ~10^8 rows — loop cost is independent of corpus
+    size, which is exactly why BPE trainers operate on the vocab table.
+
+    Output: the merge table — (round, w1, w2, merged, pair_count)."""
+    from .dedup import _pin
+    vocab = _pin(_bpe_vocab0(spark, sf_dir))
+    winners = []
+    for r in range(BPE_ROUNDS):
+        win, vocab = _bpe_round(vocab)
+        vocab = _pin(vocab)
+        winners.append(win.select(
+            F.lit(r).alias("round"),
+            F.split_part("pr", F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part("pr", F.lit(" "), F.lit(2)).alias("w2"),
+            F.concat(F.split_part("pr", F.lit(" "), F.lit(1)),
+                     F.split_part("pr", F.lit(" "), F.lit(2))).alias("merged"),
+            F.col("c").alias("pair_count")))
+    out = winners[0]
+    for w in winners[1:]:
+        out = out.unionAll(w)
+    return out
+
+
+def _sql_bpe_round(r: int) -> str:
+    pr1 = f"split_part(win{r}.pr, ' ', 1)"
+    pr2 = f"split_part(win{r}.pr, ' ', 2)"
+    return f"""
+p{r} AS (
+  SELECT a[i + 1] AS w1, a[i + 2] AS w2, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT string_split(seq, ' ') AS a, cnt FROM v{r}),
+       unnest(generate_series(0, len(a) - 2)) AS t(i)
+  GROUP BY w1, w2
+),
+m{r} AS (SELECT max(c) AS mc FROM p{r}),
+win{r} AS (SELECT min(w1 || ' ' || w2) AS pr, max(c) AS c
+           FROM p{r}, m{r} WHERE c = mc),
+v{r + 1} AS (
+  SELECT trim(replace(replace(
+           ' ' || replace(seq, ' ', '  ') || ' ',
+           ' ' || {pr1} || '  ' || {pr2} || ' ',
+           ' ' || {pr1} || {pr2} || ' '),
+         '  ', ' ')) AS seq, cnt
+  FROM v{r}, win{r}
+)"""
+
+
+def _sql_bpe_merges() -> str:
+    ctes = ",".join(_sql_bpe_round(r) for r in range(BPE_ROUNDS))
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS round, split_part(pr, ' ', 1) AS w1,"
+        f" split_part(pr, ' ', 2) AS w2,"
+        f" split_part(pr, ' ', 1) || split_part(pr, ' ', 2) AS merged,"
+        f" c AS pair_count FROM win{r}"
+        for r in range(BPE_ROUNDS))
+    return f"""
+WITH words AS (
+  SELECT word, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL)
+  WHERE word <> '' GROUP BY word
+),
+v0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, cnt
+       FROM words),{ctes}
+SELECT * FROM ({finals})
+"""
+
+
 QUERIES = {
     "ta_corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "ta_pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
+    "ta_bpe_merges": (q_bpe_merges, _sql_bpe_merges()),
     "ta_length_quantiles": (q_length_quantiles, _sql_length_quantiles()),
     "ta_langid": (q_langid, _sql_langid()),
     "ta_quality": (q_quality, _sql_quality()),
