@@ -26,7 +26,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .dedup import _SQL_SHINGLES, _docs, _pin, _shingles_col
+from .dedup import (
+    MINHASH_P,
+    N_BANDS,
+    _MINHASH_AB,
+    _SQL_SHINGLES,
+    _docs,
+    _pin,
+    _shingle_ints_col,
+    _shingles_col,
+)
 
 EVAL_MOD = 101          # doc_id % EVAL_MOD == 0 -> held-out "benchmark" doc
 CONTAM_T = 0.5          # flagged when >= this fraction of shingles hit
@@ -88,6 +97,96 @@ SELECT t.doc_id,
        CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(t.shingles)
          >= {CONTAM_T} AS contaminated
 FROM train t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# -- fuzzy (near-duplicate) decontamination ------------------------------------------
+
+def _screen_sigs_col():
+    """r=1 LSH band signatures (one minhash per band, same _MINHASH_AB
+    family as dedup's r=2 bands): per-band collision probability equals
+    the Jaccard similarity s itself, so N_BANDS single-hash bands flag a
+    pair with probability 1-(1-s)^N — the HIGH-RECALL operating point a
+    contamination screen wants (an over-flagged train doc is cheap; a
+    leaked eval doc is not), vs dedup_minhash_lsh's precision-leaning
+    s^r bands.  Narrow build, no shuffle."""
+    def mh(k: int):
+        a, b = _MINHASH_AB[k]
+        return F.array_min(F.transform(
+            F.col("xs"), lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P))
+    return F.array(*[F.struct(F.lit(b).alias("band"), mh(b).alias("mh"))
+                     for b in range(N_BANDS)])
+
+
+def q_cur_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training documents that are NEAR-duplicates of any held-out
+    eval doc — the paraphrase-contamination case exact shingle overlap
+    (cur_decontaminate) misses and GPT-3/PaLM-style 13-gram filters only
+    partially catch.  A train doc is contaminated when it shares >= 1
+    single-minhash band with any eval doc (see _screen_sigs_col for the
+    recall-first band design).
+
+    Dataflow (scale shape): band signatures build NARROWLY per doc (no
+    explode shuffle); the eval side collapses to its DISTINCT (band, mh)
+    set — N_BANDS rows per eval doc, ~10^6 rows for a full benchmark
+    suite — and is explicitly broadcast (vs the corpus-sized train side;
+    when eval suites outgrow broadcast, the Bloom route of
+    cur_bloom_decontaminate applies to band signatures verbatim); the
+    per-doc band-hit count is map-side distinct over <= N_BANDS elements,
+    no corpus shuffle at all.
+
+    Output: one row per nonempty train doc — n_bands_hit in [0, N_BANDS]
+    and the contamination flag (>= 1 band collision)."""
+    sh = (_docs(spark, sf_dir)
+          .select("doc_id", _shingles_col().alias("shingles"))
+          .filter(F.size("shingles") > 0))
+    sigs = (sh.withColumn("xs", _shingle_ints_col())
+            .select("doc_id", _screen_sigs_col().alias("sigs")))
+    eval_sigs = (sigs.filter(F.col("doc_id") % EVAL_MOD == 0)
+                 .select(F.explode("sigs").alias("bs"))
+                 .select("bs.band", "bs.mh").distinct())
+    train = sigs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    hits = (train.select("doc_id", F.explode("sigs").alias("bs"))
+            .select("doc_id", "bs.band", "bs.mh")
+            .join(F.broadcast(eval_sigs), ["band", "mh"], "leftsemi")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("band").alias("n_bands_hit")))
+    n_hit = F.coalesce("n_bands_hit", F.lit(0)).cast("bigint")
+    return (train.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    n_hit.alias("n_bands_hit"),
+                    (n_hit >= 1).alias("contaminated")))
+
+
+SQL_CUR_FUZZY_DECONTAMINATE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+nonempty AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles,
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P}) AS xs
+  FROM sh WHERE len(shingles) > 0),
+sig AS (
+  SELECT doc_id, b.band AS band,
+         CASE {' '.join(
+             f"WHEN b.band = {b} THEN CAST(list_aggregate(list_transform(xs,"
+             f" x -> ({_MINHASH_AB[b][0]} * x + {_MINHASH_AB[b][1]})"
+             f" % {MINHASH_P}), 'min') AS BIGINT)"
+             for b in range(N_BANDS))}
+         END AS mh
+  FROM nonempty, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+),
+eval_sigs AS (
+  SELECT DISTINCT band, mh FROM sig WHERE doc_id % {EVAL_MOD} = 0),
+hits AS (
+  SELECT s.doc_id, count(DISTINCT s.band) AS n_bands_hit
+  FROM sig s JOIN eval_sigs e USING (band, mh)
+  WHERE s.doc_id % {EVAL_MOD} <> 0
+  GROUP BY s.doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(h.n_bands_hit, 0) AS BIGINT) AS n_bands_hit,
+       coalesce(h.n_bands_hit, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM nonempty WHERE doc_id % {EVAL_MOD} <> 0) t
+LEFT JOIN hits h USING (doc_id)
 """
 
 
@@ -980,6 +1079,8 @@ QUERIES = {
     "cur_corpus_build": (q_cur_corpus_build, _sql_corpus_build()),
     "cur_domain_cap": (q_cur_domain_cap, SQL_CUR_DOMAIN_CAP),
     "cur_decontaminate": (q_cur_decontaminate, SQL_CUR_DECONTAMINATE),
+    "cur_fuzzy_decontaminate": (q_cur_fuzzy_decontaminate,
+                                SQL_CUR_FUZZY_DECONTAMINATE),
     "cur_stratified_sample": (q_cur_stratified_sample,
                               SQL_CUR_STRATIFIED_SAMPLE),
     "cur_pack_sequences": (q_cur_pack_sequences, SQL_CUR_PACK_SEQUENCES),
