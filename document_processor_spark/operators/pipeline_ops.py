@@ -420,8 +420,40 @@ def q_extract_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def q_extract_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange sink + source: the derived corpus is written as
+    ORC (the second columnar format big ingest estates carry alongside
+    parquet — nested array<struct> columns round-trip natively, no codec
+    shim), read back, and extracted.  The round trip must be the identity
+    on the nested schema, so the oracle is the SAME SQL_PIPE_EXTRACT the
+    parquet-fed flagship uses — any ORC fidelity loss (null media_ref,
+    int widths, struct field order) breaks the hash.  Scale shape: ORC
+    scan/sink are JVM-native and split-parallel exactly like parquet;
+    predicate pushdown and column pruning apply the same way, so the
+    extraction plan is unchanged downstream of the scan."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    base = Path(tempfile.mkdtemp(prefix="orc_rt_"))
+    try:
+        (derived_corpus(spark, sf_dir)
+         .write.mode("overwrite").orc(str(base / "out")))
+        back = spark.read.orc(str(base / "out")).select("doc_id", "spans")
+        out = pipeline.extract_documents(back, engine="sql")
+        result = (out.select("doc_id", F.explode("spans").alias("s"))
+                  .select("doc_id", "s.kind", "s.text", "s.media_ref",
+                          "s.offset")
+                  .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 QUERIES = {
     "pipe_extract_catalyst": (q_extract_sql, SQL_PIPE_EXTRACT),
+    "pipe_extract_orc_roundtrip": (q_extract_orc_roundtrip,
+                                   SQL_PIPE_EXTRACT),
     "pipe_extract_synth_source": (q_extract_synth_source, None),
     "pipe_extract_jsonl_roundtrip": (q_extract_jsonl_roundtrip,
                                      SQL_PIPE_EXTRACT),

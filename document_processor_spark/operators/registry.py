@@ -26,7 +26,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _PRIORITY: tuple[str, ...] = (
     # new this round (session 3)
     "dedup_exact_substr", "ta_pmi_collocations", "ta_bpe_merges",
-    "cur_fuzzy_decontaminate",
+    "cur_fuzzy_decontaminate", "pipe_extract_orc_roundtrip",
     # new this round (session 2)
     "ta_hll_distinct", "ta_cms_heavy_hitters", "cur_bloom_decontaminate",
     "rel_cdc_apply", "stream_join_attribution", "rel_scd2_history",
@@ -38,9 +38,9 @@ _PRIORITY: tuple[str, ...] = (
     "cur_pack_sequences", "cur_pii_redact", "cur_quality_gate",
     "cur_dsir_select", "cur_shard_export", "cur_temperature_mix",
     "cur_zorder_layout",
-    # mm_media_decode/resize hold their r02 driver rows (unchanged since)
-    # — parked outside the 50-row window for the session-3 queries
-    "mm_media_features",
+    # mm_media_features/decode/resize hold their r02 driver rows
+    # (unchanged since) — parked outside the 50-row window for the
+    # session-3 queries
     "mm_frame_sample", "mm_media_transcode", "mm_phash_neardup",
     "pipe_extract_catalyst", "pipe_extract_arrow", "pipe_extract_page_range",
     "pipe_extract_ocr_fast", "pipe_extract_ocr_full", "pipe_extract_curate",
