@@ -100,6 +100,14 @@ NOTES = {
         "BNLJ = crossJoin with the broadcast 1-ROW centroid ARRAY (narrow "
         "argmin cells) + the 1-ROW PQ codebook; the candidate join is "
         "broadcast-hash equi on cent_id (per-query dtab side bounded)"),
+    "ta_pmi_collocations": (
+        "crossJoin with a broadcast 1-ROW aggregate (total bigram count "
+        "N) — constant-size side; the two unigram lookups are equi on "
+        "word (vocab never broadcast)"),
+    "ta_bpe_merges": (
+        "crossJoin per unrolled round with two broadcast 1-ROW frames "
+        "(max pair count, elected winner pair) — constant-size sides; "
+        "the pair-count shuffle is the only data movement per round"),
 }
 
 HEADER = '''# PLANS.md — physical-plan audit of the driver query surface
