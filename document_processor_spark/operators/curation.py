@@ -1075,8 +1075,135 @@ FROM probed GROUP BY doc_id
 """
 
 
+# -- URL canonicalization + keep-first dedup ------------------------------------------
+#
+# The first dedup stage a web-crawl pipeline runs (FineWeb/Dolma both do it
+# BEFORE any content hashing): two crawls of the same page differ only in
+# scheme case, www prefix, host case, tracking parameters (utm_*, ref,
+# fbclid, gclid), or a trailing slash — canonicalize the URL and keep the
+# first (min doc_id) fetch per canonical form.  The fixture corpus carries
+# no URL column, so the operator derives one deterministically from
+# (doc_id, source) with exactly those mutation classes baked in; on a real
+# crawl the synth CTE is replaced by the crawl's url column and nothing
+# else changes.
+#
+# Scale shape: canonicalization is a map-side regexp/string chain evaluated
+# inside the scan's codegen stage (no UDF); the keep-first election is ONE
+# mergeable groupBy(canon_url) (min + count get map-side partials) and the
+# join back is equi on canon_url, reusing the agg's hash partitioning — no
+# window over the group (a hot canonical URL — a crawl loop fetching one
+# page millions of times — would pin a single straggler task under
+# row_number; min/count pre-reduce inside every map task instead).
+# Patterns are in the Java-regex ∩ RE2 subset (the cur_pii_redact rule) so
+# the DuckDB oracle is exact.
+
+_URL_TRACK_RE = "&(utm_[a-z]+|ref|fbclid|gclid)=[^&]*"
+
+
+def _synth_url_col() -> "F.Column":
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTP://"))
+    www = F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    hostb = F.when(d % 4 == 0, F.upper("source")).otherwise(F.col("source"))
+    path = F.concat(F.lit("/articles/item-"), (d % 17).cast("string"))
+    slash = F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit(""))
+    q = (F.when(d % 2 == 0,
+                F.concat(F.lit("?utm_source=feed&utm_campaign=c"),
+                         (d % 4).cast("string")))
+         .when(d % 7 == 0,
+               F.concat(F.lit("?ref=rss&page="), (d % 3).cast("string")))
+         .when(d % 11 == 0,
+               F.concat(F.lit("?page="), (d % 3).cast("string"),
+                        F.lit("&utm_medium=email")))
+         .otherwise(F.lit("")))
+    return F.concat(scheme, www, hostb, F.lit(".example.com"),
+                    path, slash, q)
+
+
+def _canon_url_col(url: "F.Column") -> "F.Column":
+    """scheme-strip -> host lowercase + www-strip -> tracking-param strip
+    (?' normalized to '&' first so position never matters) -> trailing-
+    slash strip -> reassemble with '?' iff real params survive."""
+    no_scheme = F.regexp_replace(url, "^[A-Za-z]+://", "")
+    hostraw = F.split_part(no_scheme, F.lit("/"), F.lit(1))
+    host = F.regexp_replace(F.lower(hostraw), "^www\\.", "")
+    tail = F.regexp_replace(no_scheme, "^[^/]*", "")
+    t1 = F.replace(tail, F.lit("?"), F.lit("&"))
+    t2 = F.regexp_replace(t1, _URL_TRACK_RE, "")
+    path = F.regexp_replace(F.split_part(t2, F.lit("&"), F.lit(1)),
+                            "/+$", "")
+    params = F.regexp_replace(t2, "^[^&]*&?", "")
+    return F.concat(host, path,
+                    F.when(params != F.lit(""),
+                           F.concat(F.lit("?"), params))
+                    .otherwise(F.lit("")))
+
+
+def q_cur_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urls = (_docs(spark, sf_dir)
+            .select("doc_id", _synth_url_col().alias("url")))
+    canon = urls.select("doc_id", "url",
+                        _canon_url_col(F.col("url")).alias("canon_url"))
+    grp = (canon.groupBy("canon_url")
+           .agg(F.min("doc_id").alias("keeper_id"),
+                F.count(F.lit(1)).alias("group_size")))
+    return (canon.join(grp, "canon_url")
+            .select("doc_id", "url", "canon_url",
+                    (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+                    F.col("group_size").cast("bigint").alias("group_size")))
+
+
+SQL_CUR_URL_DEDUP = f"""
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END)
+         || '.example.com/articles/item-' || CAST(doc_id % 17 AS VARCHAR)
+         || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 0
+                  THEN '?utm_source=feed&utm_campaign=c'
+                       || CAST(doc_id % 4 AS VARCHAR)
+                  WHEN doc_id % 7 = 0
+                  THEN '?ref=rss&page=' || CAST(doc_id % 3 AS VARCHAR)
+                  WHEN doc_id % 11 = 0
+                  THEN '?page=' || CAST(doc_id % 3 AS VARCHAR)
+                       || '&utm_medium=email'
+                  ELSE '' END) AS url
+  FROM documents
+), s AS (
+  SELECT doc_id, url,
+         regexp_replace(url, '^[A-Za-z]+://', '') AS no_scheme
+  FROM u
+), c AS (
+  SELECT doc_id, url,
+         regexp_replace(lower(split_part(no_scheme, '/', 1)),
+                        '^www\\.', '') AS host,
+         regexp_replace(
+           replace(regexp_replace(no_scheme, '^[^/]*', ''), '?', '&'),
+           '{_URL_TRACK_RE}', '', 'g') AS t2
+  FROM s
+), c3 AS (
+  SELECT doc_id, url,
+         host || regexp_replace(split_part(t2, '&', 1), '/+$', '')
+              || (CASE WHEN regexp_replace(t2, '^[^&]*&?', '') <> ''
+                       THEN '?' || regexp_replace(t2, '^[^&]*&?', '')
+                       ELSE '' END) AS canon_url
+  FROM c
+), g AS (
+  SELECT canon_url, min(doc_id) AS keeper_id, count(*) AS group_size
+  FROM c3 GROUP BY canon_url
+)
+SELECT c3.doc_id, c3.url, c3.canon_url,
+       c3.doc_id = g.keeper_id AS is_keeper,
+       CAST(g.group_size AS BIGINT) AS group_size
+FROM c3 JOIN g USING (canon_url)
+"""
+
+
 QUERIES = {
     "cur_corpus_build": (q_cur_corpus_build, _sql_corpus_build()),
+    "cur_url_dedup": (q_cur_url_dedup, SQL_CUR_URL_DEDUP),
     "cur_domain_cap": (q_cur_domain_cap, SQL_CUR_DOMAIN_CAP),
     "cur_decontaminate": (q_cur_decontaminate, SQL_CUR_DECONTAMINATE),
     "cur_fuzzy_decontaminate": (q_cur_fuzzy_decontaminate,

@@ -20,9 +20,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # long-stable green families into the tail.
 #
 # ROUND-5 ROTATION PLAN: once r4 lands driver rows for the names below,
-# swap this list for the long-parked stable families (ext_*, dedup_*,
-# ann_* minus kmeans, ta_* minus the r4 sketches, rel_* classics) so
-# every query re-earns a fresh driver row within two rounds.
+# swap this list for the queries with no r4 row: FIRST the never-checked
+# session-4 additions (rel_json_props, cur_url_dedup, ta_bpe_encode),
+# then the long-parked stable families (ext_*, dedup_*, ann_* minus
+# kmeans, ta_* minus the r4 sketches, rel_* classics, mm_media_*).  That
+# pool is 53 names for 50 slots: park 3 ext_* rows at the very end —
+# they hold BOTH r02 and r03 driver-green rows and unchanged code, the
+# one family where an older row still certifies the current tree.
 _PRIORITY: tuple[str, ...] = (
     # new this round (session 3)
     "dedup_exact_substr", "ta_pmi_collocations", "ta_bpe_merges",

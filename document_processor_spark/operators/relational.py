@@ -630,8 +630,55 @@ GROUP BY f.cohort, e.hour_bucket - f.cohort
 """
 
 
+# -- semi-structured (JSON) extraction --------------------------------------------
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed field extraction from the semi-structured `props` JSON column
+    (events.props = '{"k": N}') followed by a grouped profile per
+    event_type — the JSON-functions operator family (Spark
+    get_json_object / DuckDB json_extract_string).
+
+    Scale shape: extraction is a map-side scalar expression evaluated
+    inside the scan's codegen stage (no UDF, no shuffle); the profile is
+    one mergeable groupBy on the low-cardinality event_type.  avg_k_q is
+    derived from the exact integer (sum, count) pair with ONE floored
+    IEEE division — the HLL-estimate discipline — so both engines hash
+    identically."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (ev.select("event_type", k.alias("k"))
+            .filter(F.col("k").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"))
+            .select("event_type", "n_events", "sum_k", "min_k", "max_k",
+                    F.floor(F.col("sum_k").cast("double") * F.lit(10000.0)
+                            / F.col("n_events").cast("double"))
+                    .cast("bigint").alias("avg_k_q")))
+
+
+SQL_JSON_PROPS = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+), g AS (
+  SELECT event_type, count(*) AS n_events, CAST(sum(k) AS BIGINT) AS sum_k,
+         min(k) AS min_k, max(k) AS max_k
+  FROM e WHERE k IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n_events, sum_k, min_k, max_k,
+       CAST(floor(CAST(sum_k AS DOUBLE) * 10000.0
+                  / CAST(n_events AS DOUBLE)) AS BIGINT) AS avg_k_q
+FROM g
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "rel_json_props": (q_json_props, SQL_JSON_PROPS),
     "rel_rolling_1h": (q_rolling_1h, SQL_ROLLING_1H),
     "rel_pivot": (q_rel_pivot, SQL_REL_PIVOT),
     "rel_set_ops": (q_rel_set_ops, SQL_REL_SET_OPS),

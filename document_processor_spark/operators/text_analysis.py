@@ -1176,8 +1176,109 @@ SELECT * FROM ({finals})
 """
 
 
+# -- BPE encoding (tokenizer APPLY) ---------------------------------------------------
+#
+# The other half of the tokenizer loop: ta_bpe_merges trains the merge
+# table; this operator applies it to the corpus and emits the per-document
+# token accounting (words, symbols, post-merge tokens) a training-data
+# budget is computed from.  Scale shape: training cost is vocabulary-sized
+# (see q_bpe_merges); the trained BPE_ROUNDS-row merge table pivots to ONE
+# row and broadcasts, and encoding is then pure map-side string algebra
+# inside higher-order functions — the corpus is never shuffled at all
+# (tokenization is embarrassingly parallel; this plan keeps it that way).
+# The per-word rewrite chain is the same doubled-space replace trick as
+# training, so Spark and DuckDB encode identically by construction.
+
+
+def _bpe_chain_sql(seq_expr: str) -> str:
+    """The BPE_ROUNDS-deep doubled-space replace chain over `seq_expr`,
+    referencing pivoted merge columns pr0..pr{n-1}."""
+    s = seq_expr
+    for r in range(BPE_ROUNDS):
+        w1 = f"split_part(pr{r}, ' ', 1)"
+        w2 = f"split_part(pr{r}, ' ', 2)"
+        s = (f"trim(replace(replace(' ' || replace({s}, ' ', '  ') || ' ',"
+             f" ' ' || {w1} || '  ' || {w2} || ' ',"
+             f" ' ' || {w1} || {w2} || ' '), '  ', ' '))")
+    return s
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _pin
+    vocab = _pin(_bpe_vocab0(spark, sf_dir))
+    merges = None
+    for r in range(BPE_ROUNDS):
+        win, vocab = _bpe_round(vocab)
+        vocab = _pin(vocab)
+        one = win.select(F.col("pr").alias(f"pr{r}"))
+        merges = one if merges is None else merges.crossJoin(one)
+
+    def encode_word(w):
+        seq = F.trim(F.regexp_replace(w, "(.)", "$1 "))
+        for r in range(BPE_ROUNDS):
+            w1 = F.split_part(F.col(f"pr{r}"), F.lit(" "), F.lit(1))
+            w2 = F.split_part(F.col(f"pr{r}"), F.lit(" "), F.lit(2))
+            padded = F.concat(
+                F.lit(" "), F.replace(seq, F.lit(" "), F.lit("  ")),
+                F.lit(" "))
+            pat = F.concat(F.lit(" "), w1, F.lit("  "), w2, F.lit(" "))
+            rep = F.concat(F.lit(" "), w1, w2, F.lit(" "))
+            seq = F.trim(F.replace(F.replace(padded, pat, rep),
+                                   F.lit("  "), F.lit(" ")))
+        return seq
+
+    docs = (_docs(spark, sf_dir)
+            .filter(F.col("text").isNotNull())
+            .select("doc_id",
+                    F.filter(F.split("text", " ", -1),
+                             lambda w: w != F.lit("")).alias("ws"))
+            .filter(F.size("ws") > 0))
+    zero = F.lit(0).cast("bigint")
+    return (docs.crossJoin(F.broadcast(merges))
+            .select("doc_id",
+                    F.size("ws").cast("bigint").alias("n_words"),
+                    F.aggregate("ws", zero,
+                                lambda a, w: a + F.length(w)).alias("n_syms"),
+                    F.aggregate(
+                        "ws", zero,
+                        lambda a, w: a + F.size(
+                            F.split(encode_word(w), " ", -1)))
+                    .alias("n_tokens")))
+
+
+def _sql_bpe_encode() -> str:
+    ctes = ",".join(_sql_bpe_round(r) for r in range(BPE_ROUNDS))
+    prcols = ", ".join(f"win{r}.pr AS pr{r}" for r in range(BPE_ROUNDS))
+    prfrom = ", ".join(f"win{r}" for r in range(BPE_ROUNDS))
+    chain = _bpe_chain_sql(
+        "trim(regexp_replace(word, '(.)', '\\1 ', 'g'))")
+    return f"""
+WITH words AS (
+  SELECT word, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL)
+  WHERE word <> '' GROUP BY word
+),
+v0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, cnt
+       FROM words),{ctes},
+onerow AS (SELECT {prcols} FROM {prfrom}),
+dw AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS word
+  FROM documents WHERE text IS NOT NULL
+),
+e AS (SELECT doc_id, word, {chain} AS seq FROM dw, onerow)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(word)) AS BIGINT) AS n_syms,
+       CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS n_tokens
+FROM e GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "ta_corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "ta_bpe_encode": (q_bpe_encode, _sql_bpe_encode()),
     "ta_pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "ta_bpe_merges": (q_bpe_merges, _sql_bpe_merges()),
     "ta_length_quantiles": (q_length_quantiles, _sql_length_quantiles()),

@@ -1,0 +1,150 @@
+"""Invariants for the session-4 operators that the hash gate can't see:
+URL canonicalization against an independent pure-Python recompute, BPE
+encoding against the reference greedy encoder, JSON field extraction
+against a python-json fold.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from collections import Counter, defaultdict
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# -- URL canonicalization + keep-first dedup ----------------------------------------
+
+def _py_synth_url(doc_id: int, source: str) -> str:
+    scheme = "https://" if doc_id % 2 == 0 else "HTTP://"
+    www = "WWW." if doc_id % 3 == 0 else ""
+    hostb = source.upper() if doc_id % 4 == 0 else source
+    path = f"/articles/item-{doc_id % 17}"
+    slash = "/" if doc_id % 5 == 0 else ""
+    if doc_id % 2 == 0:
+        q = f"?utm_source=feed&utm_campaign=c{doc_id % 4}"
+    elif doc_id % 7 == 0:
+        q = f"?ref=rss&page={doc_id % 3}"
+    elif doc_id % 11 == 0:
+        q = f"?page={doc_id % 3}&utm_medium=email"
+    else:
+        q = ""
+    return f"{scheme}{www}{hostb}.example.com{path}{slash}{q}"
+
+
+def _py_canon_url(url: str) -> str:
+    no_scheme = re.sub(r"^[A-Za-z]+://", "", url)
+    hostraw = no_scheme.split("/")[0]
+    host = re.sub(r"^www\.", "", hostraw.lower())
+    tail = no_scheme[len(hostraw):]
+    t2 = re.sub(r"&(utm_[a-z]+|ref|fbclid|gclid)=[^&]*", "",
+                tail.replace("?", "&"))
+    path = re.sub(r"/+$", "", t2.split("&")[0])
+    params = re.sub(r"^[^&]*&?", "", t2)
+    return host + path + (("?" + params) if params else "")
+
+
+def test_url_dedup_matches_python_recompute(spark):
+    from document_processor_spark.operators.curation import q_cur_url_dedup
+
+    docs = {r["doc_id"]: r["source"]
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "source").collect()}
+    canon = {d: _py_canon_url(_py_synth_url(d, s)) for d, s in docs.items()}
+    groups = defaultdict(list)
+    for d, c in canon.items():
+        groups[c].append(d)
+
+    rows = q_cur_url_dedup(spark, SF_DIR).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert r["url"] == _py_synth_url(r["doc_id"], docs[r["doc_id"]])
+        assert r["canon_url"] == canon[r["doc_id"]], r["url"]
+        grp = groups[r["canon_url"]]
+        assert r["group_size"] == len(grp)
+        assert r["is_keeper"] == (r["doc_id"] == min(grp))
+
+
+def test_url_canon_mutation_classes_collapse():
+    """Every mutation class the operator claims to normalize — scheme
+    case, www, host case, tracking params (any position), trailing
+    slash — collapses to the bare canonical form; real params survive."""
+    base = "https://sub.example.com/a/b"
+    assert _py_canon_url("HTTP://sub.example.com/a/b") == "sub.example.com/a/b"
+    assert _py_canon_url("https://WWW.SUB.example.com/a/b") == "sub.example.com/a/b"
+    assert _py_canon_url(base + "/") == "sub.example.com/a/b"
+    assert _py_canon_url(base + "?utm_source=x&utm_term=y") == "sub.example.com/a/b"
+    assert _py_canon_url(base + "?page=2&utm_source=x") == "sub.example.com/a/b?page=2"
+    assert _py_canon_url(base + "?utm_source=x&page=2") == "sub.example.com/a/b?page=2"
+    assert _py_canon_url(base + "?a=1&b=2") == "sub.example.com/a/b?a=1&b=2"
+    # 'ref' strips only as an exact param name, not as a prefix
+    assert _py_canon_url(base + "?referrer=x") == "sub.example.com/a/b?referrer=x"
+
+
+# -- BPE encode (tokenizer apply) ---------------------------------------------------
+
+def _py_encode(word: str, merges) -> list[str]:
+    seq = list(word)
+    for _, w1, w2, _, _ in merges:
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == w1 and seq[i + 1] == w2:
+                out.append(w1 + w2)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return seq
+
+
+def test_bpe_encode_matches_python(spark):
+    from document_processor_spark.operators.text_analysis import (
+        BPE_ROUNDS,
+        q_bpe_encode,
+    )
+    from tests.test_bpe_pmi import _python_bpe
+
+    docs = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").collect() if r["text"] is not None}
+    counts = Counter(w for t in docs.values() for w in t.split(" ") if w)
+    merges = _python_bpe(dict(counts), BPE_ROUNDS)
+
+    rows = {r["doc_id"]: r for r in q_bpe_encode(spark, SF_DIR).collect()}
+    expect = {d: [w for w in t.split(" ") if w] for d, t in docs.items()}
+    expect = {d: ws for d, ws in expect.items() if ws}
+    assert set(rows) == set(expect)
+    for d, ws in expect.items():
+        r = rows[d]
+        assert r["n_words"] == len(ws)
+        assert r["n_syms"] == sum(len(w) for w in ws)
+        assert r["n_tokens"] == sum(len(_py_encode(w, merges)) for w in ws)
+        # merging can only ever shrink the sequence, never below one
+        # token per word
+        assert r["n_words"] <= r["n_tokens"] <= r["n_syms"]
+
+
+# -- JSON props extraction ----------------------------------------------------------
+
+def test_json_props_matches_python(spark):
+    from document_processor_spark.operators.relational import q_json_props
+
+    evs = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+           .select("event_type", "props").collect())
+    agg: dict[str, list[int]] = defaultdict(list)
+    for r in evs:
+        k = json.loads(r["props"]).get("k")
+        if k is not None:
+            agg[r["event_type"]].append(int(k))
+
+    rows = {r["event_type"]: r for r in q_json_props(spark, SF_DIR).collect()}
+    assert set(rows) == set(agg)
+    for et, ks in agg.items():
+        r = rows[et]
+        assert r["n_events"] == len(ks)
+        assert r["sum_k"] == sum(ks)
+        assert r["min_k"] == min(ks)
+        assert r["max_k"] == max(ks)
+        assert r["avg_k_q"] == math.floor(sum(ks) * 10000.0 / len(ks))
