@@ -232,6 +232,67 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+# -- range join (point-in-interval) -------------------------------------------
+
+RANGE_N_WINDOWS = 24
+RANGE_STRIDE_US = 1_800_000_000   # windows start every 30 min ...
+RANGE_LEN_US = 3_600_000_000      # ... and last 1 h, so they OVERLAP
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join — events against overlapping time intervals (campaign /
+    outage / maintenance windows).  Spark plans the naive inequality join
+    `e.ts >= w.start AND e.ts < w.end` as a nested-loop over every
+    (event, window) pair — O(|E|x|W|); engines with native range joins
+    (DuckDB, or Databricks' range-join hint) bin internally.  This is
+    that binning made explicit: intervals explode into the fixed-width
+    time buckets they cover (bounded fan-out: len/bucket + 1 rows per
+    window), events bucket narrowly, the join is EQUI on bucket with the
+    interval test as a residual filter — a hash join at any scale, and
+    overlapping windows fall out for free (an event matches via each
+    window's own bucket row).  Interval positions are integer micros
+    since the corpus min(ts) (timezone-free, module discipline); the
+    window table is generated, deterministic, and at real scale would be
+    the scan of an interval dimension table instead."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.agg(F.min("ts").alias("t0"))
+    e = (ev.crossJoin(F.broadcast(m))
+         .select("event_id", "value",
+                 F.expr("timestampdiff(MICROSECOND, t0, ts)").alias("tus"))
+         .withColumn("bucket", F.floor(F.col("tus") / F.lit(RANGE_LEN_US))))
+    wins = spark.range(RANGE_N_WINDOWS).select(
+        F.col("id").alias("win_id"),
+        (F.col("id") * RANGE_STRIDE_US).alias("ws"),
+        (F.col("id") * RANGE_STRIDE_US + RANGE_LEN_US).alias("we"))
+    wb = wins.select(
+        "win_id", "ws", "we",
+        F.explode(F.sequence(
+            F.floor(F.col("ws") / F.lit(RANGE_LEN_US)),
+            F.floor((F.col("we") - 1) / F.lit(RANGE_LEN_US))))
+        .alias("bucket"))
+    return (e.join(wb, "bucket")
+            .filter((F.col("tus") >= F.col("ws"))
+                    & (F.col("tus") < F.col("we")))
+            .groupBy("win_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                 .cast("double").alias("sum_value")))
+
+
+SQL_RANGE_JOIN = f"""
+WITH m AS (SELECT min(ts) AS t0 FROM events),
+e AS (SELECT event_id, value, date_diff('microsecond', m.t0, ts) AS tus
+      FROM events, m),
+w AS (SELECT i AS win_id, i * {RANGE_STRIDE_US} AS ws,
+             i * {RANGE_STRIDE_US} + {RANGE_LEN_US} AS we
+      FROM generate_series(0, {RANGE_N_WINDOWS - 1}) AS t(i))
+SELECT win_id, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM e JOIN w ON e.tus >= w.ws AND e.tus < w.we
+GROUP BY win_id
+"""
+
+
 # -- salted two-phase aggregation (skew treatment through the oracle gate) ----
 
 SALT_N = 8
@@ -679,6 +740,7 @@ FROM g
 QUERIES = {
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "rel_json_props": (q_json_props, SQL_JSON_PROPS),
+    "rel_range_join": (q_range_join, SQL_RANGE_JOIN),
     "rel_rolling_1h": (q_rolling_1h, SQL_ROLLING_1H),
     "rel_pivot": (q_rel_pivot, SQL_REL_PIVOT),
     "rel_set_ops": (q_rel_set_ops, SQL_REL_SET_OPS),

@@ -126,6 +126,43 @@ def test_bpe_encode_matches_python(spark):
         assert r["n_words"] <= r["n_tokens"] <= r["n_syms"]
 
 
+# -- range join (point-in-interval) -------------------------------------------------
+
+def test_range_join_matches_python_recompute(spark):
+    """The bucketed equi-join + residual filter must equal the naive
+    O(E x W) all-pairs recompute — including events that land in TWO
+    overlapping windows and windows spanning a bucket boundary."""
+    from document_processor_spark.operators.relational import (
+        RANGE_LEN_US,
+        RANGE_N_WINDOWS,
+        RANGE_STRIDE_US,
+        q_range_join,
+    )
+
+    evs = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+           .select("ts", "value").collect())
+    t0 = min(r["ts"] for r in evs)
+    expect: dict[int, list[float]] = defaultdict(list)
+    for r in evs:
+        tus = int((r["ts"] - t0).total_seconds() * 1_000_000)
+        for w in range(RANGE_N_WINDOWS):
+            ws = w * RANGE_STRIDE_US
+            if ws <= tus < ws + RANGE_LEN_US:
+                expect[w].append(r["value"])
+
+    rows = {r["win_id"]: r for r in q_range_join(spark, SF_DIR).collect()}
+    assert set(rows) == set(expect)
+    # overlap sanity: with stride < len, some event must hit two windows
+    assert sum(len(v) for v in expect.values()) > sum(
+        1 for r in evs
+        if 0 <= (r["ts"] - t0).total_seconds() * 1e6
+        < RANGE_STRIDE_US * RANGE_N_WINDOWS)
+    for w, vals in expect.items():
+        r = rows[w]
+        assert r["n_events"] == len(vals)
+        assert abs(r["sum_value"] - sum(vals)) <= 1e-3
+
+
 # -- JSON props extraction ----------------------------------------------------------
 
 def test_json_props_matches_python(spark):

@@ -108,6 +108,17 @@ NOTES = {
         "crossJoin per unrolled round with two broadcast 1-ROW frames "
         "(max pair count, elected winner pair) — constant-size sides; "
         "the pair-count shuffle is the only data movement per round"),
+    "rel_range_join": (
+        "crossJoin with a broadcast 1-ROW aggregate (corpus min ts, the "
+        "module's time-origin discipline); the interval join itself is "
+        "EQUI on the time bucket with the range test as a residual "
+        "filter — the explicit binning that keeps a range join a hash "
+        "join instead of a nested loop"),
+    "ta_bpe_encode": (
+        "same per-round crossJoins as ta_bpe_merges for TRAINING, plus "
+        "one crossJoin of the corpus with the broadcast 1-ROW pivoted "
+        "merge table — constant-size side; encoding itself is map-side "
+        "string algebra, the corpus is never shuffled"),
 }
 
 HEADER = '''# PLANS.md — physical-plan audit of the driver query surface
