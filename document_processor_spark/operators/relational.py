@@ -293,6 +293,74 @@ GROUP BY win_id
 """
 
 
+# -- time-series gap fill + LOCF ----------------------------------------------
+
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time-series materialization (TimescaleDB
+    time_bucket_gapfill analog): hourly per-type aggregates projected
+    onto a generated dense spine, missing hours 0-filled for counts and
+    last-observation-carried-forward for the value series.
+
+    Scale shape: the only corpus-sized work is ONE mergeable hourly
+    groupBy; the spine is |event_types| x |hours| — dimension-sized, not
+    corpus-sized — generated from a broadcast 1-row max and a distinct
+    type dim, and the LOCF window partitions by event_type over
+    spine-sized data (bounded by the time horizon, never by event
+    volume).  The carried value is copied, never re-aggregated, so both
+    engines emit bit-identical doubles."""
+    from .dedup import _pin
+
+    ev = _t(spark, sf_dir, "events")
+    m = ev.agg(F.min("ts").alias("t0"))
+    hb = F.floor(F.expr("timestampdiff(MICROSECOND, t0, ts)")
+                 / 3_600_000_000.0).cast("bigint")
+    agg = _pin(ev.crossJoin(F.broadcast(m))
+               .groupBy(hb.alias("hb"), "event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("value").cast("decimal(18,4)"))
+                    .cast("double").alias("sv")))
+    mx = agg.agg(F.max("hb").alias("mb"))
+    types = ev.select("event_type").distinct()
+    spine = (types.crossJoin(F.broadcast(mx))
+             .select("event_type",
+                     F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                          F.col("mb"))).alias("hb")))
+    w = (W.partitionBy("event_type").orderBy("hb")
+         .rowsBetween(W.unboundedPreceding, 0))
+    return (spine.join(agg, ["event_type", "hb"], "left")
+            .select("event_type", F.col("hb").alias("hour_bucket"),
+                    F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+                    F.coalesce(F.last("sv", ignorenulls=True).over(w),
+                               F.lit(0.0)).alias("sum_locf"),
+                    F.col("n").isNull().alias("is_gap")))
+
+
+SQL_GAPFILL_LOCF = """
+WITH m AS (SELECT min(ts) AS t0 FROM events),
+a AS (
+  SELECT CAST(floor(date_diff('microsecond', m.t0, ts) / 3600000000.0)
+              AS BIGINT) AS hb,
+         event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+  FROM events, m GROUP BY 1, 2),
+mx AS (SELECT max(hb) AS mb FROM a),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (SELECT event_type, unnest(generate_series(0, mb)) AS hb
+          FROM types, mx),
+j AS (SELECT s.event_type, s.hb, a.n, a.sv
+      FROM spine s LEFT JOIN a ON s.event_type = a.event_type
+                               AND s.hb = a.hb)
+SELECT event_type, hb AS hour_bucket,
+       CAST(coalesce(n, 0) AS BIGINT) AS n,
+       coalesce(last_value(sv IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY hb
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                0.0) AS sum_locf,
+       n IS NULL AS is_gap
+FROM j
+"""
+
+
 # -- salted two-phase aggregation (skew treatment through the oracle gate) ----
 
 SALT_N = 8
@@ -741,6 +809,7 @@ QUERIES = {
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "rel_json_props": (q_json_props, SQL_JSON_PROPS),
     "rel_range_join": (q_range_join, SQL_RANGE_JOIN),
+    "rel_gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),
     "rel_rolling_1h": (q_rolling_1h, SQL_ROLLING_1H),
     "rel_pivot": (q_rel_pivot, SQL_REL_PIVOT),
     "rel_set_ops": (q_rel_set_ops, SQL_REL_SET_OPS),

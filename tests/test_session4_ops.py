@@ -163,6 +163,42 @@ def test_range_join_matches_python_recompute(spark):
         assert abs(r["sum_value"] - sum(vals)) <= 1e-3
 
 
+# -- gap fill + LOCF ----------------------------------------------------------------
+
+def test_gapfill_locf_matches_python_recompute(spark):
+    from document_processor_spark.operators.relational import q_gapfill_locf
+
+    evs = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+           .select("ts", "event_type", "value").collect())
+    t0 = min(r["ts"] for r in evs)
+    agg: dict[tuple, list[float]] = defaultdict(list)
+    for r in evs:
+        hb = int((r["ts"] - t0).total_seconds() * 1_000_000
+                 // 3_600_000_000)
+        agg[(r["event_type"], hb)].append(r["value"])
+    types = {r["event_type"] for r in evs}
+    max_hb = max(hb for _, hb in agg)
+
+    rows = {(r["event_type"], r["hour_bucket"]): r
+            for r in q_gapfill_locf(spark, SF_DIR).collect()}
+    # dense spine: every (type, hour) cell up to the global max exists
+    assert set(rows) == {(et, hb) for et in types
+                         for hb in range(max_hb + 1)}
+    for et in types:
+        carried = 0.0
+        for hb in range(max_hb + 1):
+            r = rows[(et, hb)]
+            vals = agg.get((et, hb))
+            if vals is None:
+                assert r["is_gap"] and r["n"] == 0
+            else:
+                assert not r["is_gap"] and r["n"] == len(vals)
+                carried = r["sum_locf"]
+                assert abs(carried - sum(vals)) <= 1e-3
+            # LOCF: a gap hour repeats the last observed value exactly
+            assert r["sum_locf"] == carried
+
+
 # -- JSON props extraction ----------------------------------------------------------
 
 def test_json_props_matches_python(spark):

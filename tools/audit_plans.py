@@ -108,6 +108,11 @@ NOTES = {
         "crossJoin per unrolled round with two broadcast 1-ROW frames "
         "(max pair count, elected winner pair) — constant-size sides; "
         "the pair-count shuffle is the only data movement per round"),
+    "rel_gapfill_locf": (
+        "crossJoins with broadcast 1-ROW aggregates (corpus min ts; max "
+        "hour bucket for spine generation) — constant-size sides; the "
+        "spine join is equi on (event_type, hb) over dimension-sized "
+        "data"),
     "rel_range_join": (
         "crossJoin with a broadcast 1-ROW aggregate (corpus min ts, the "
         "module's time-origin discipline); the interval join itself is "
