@@ -293,6 +293,73 @@ GROUP BY win_id
 """
 
 
+# -- mergeable second-order moments + correlation -----------------------------
+
+def q_moments_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation via SUFFICIENT STATISTICS: the six mergeable
+    moments (n, Σx, Σy, Σx², Σy², Σxy) accumulated as exact DECIMALs in
+    one partial+final aggregation, with the correlation derived from
+    them in a fixed double-expression tree afterwards.
+
+    This is the scale-correct shape for second-order statistics: the
+    moments are plain sums (map-side combine at any cluster size,
+    streaming-mergeable across snapshots), and every float op happens
+    AFTER aggregation on exact inputs — so the result is independent of
+    partition order, unlike a naive corr() over doubles whose partial
+    merges reorder additions.  corr ships integer-quantized (floor 1e6)
+    per the repo's cross-engine float discipline; IEEE sqrt/divide are
+    correctly rounded so identical expression trees agree bitwise."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    g = (li.groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).cast("double").alias("n"),
+              F.sum(x).cast("double").alias("sum_x"),
+              F.sum(y).cast("double").alias("sum_y"),
+              F.sum((x * x).cast("decimal(38,4)")).cast("double")
+              .alias("sum_xx"),
+              F.sum((y * y).cast("decimal(38,4)")).cast("double")
+              .alias("sum_yy"),
+              F.sum((x * y).cast("decimal(38,4)")).cast("double")
+              .alias("sum_xy")))
+    n, sx, sy = F.col("n"), F.col("sum_x"), F.col("sum_y")
+    num = n * F.col("sum_xy") - sx * sy
+    den = (F.sqrt(n * F.col("sum_xx") - sx * sx)
+           * F.sqrt(n * F.col("sum_yy") - sy * sy))
+    return g.select("l_returnflag",
+                    F.col("n").cast("bigint").alias("n_rows"),
+                    "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy",
+                    F.floor(num / den * F.lit(1_000_000.0))
+                    .cast("bigint").alias("corr_q"))
+
+
+SQL_MOMENTS_CORR = """
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_y,
+         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))
+                       AS DECIMAL(38,4))) AS DOUBLE) AS sum_xx,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))
+                       AS DECIMAL(38,4))) AS DOUBLE) AS sum_yy,
+         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))
+                       AS DECIMAL(38,4))) AS DOUBLE) AS sum_xy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+       CAST(floor((n * sum_xy - sum_x * sum_y)
+                  / (sqrt(n * sum_xx - sum_x * sum_x)
+                     * sqrt(n * sum_yy - sum_y * sum_y))
+                  * 1000000.0) AS BIGINT) AS corr_q
+FROM g
+"""
+
+
 # -- time-series gap fill + LOCF ----------------------------------------------
 
 def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -810,6 +877,7 @@ QUERIES = {
     "rel_json_props": (q_json_props, SQL_JSON_PROPS),
     "rel_range_join": (q_range_join, SQL_RANGE_JOIN),
     "rel_gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),
+    "rel_moments_corr": (q_moments_corr, SQL_MOMENTS_CORR),
     "rel_rolling_1h": (q_rolling_1h, SQL_ROLLING_1H),
     "rel_pivot": (q_rel_pivot, SQL_REL_PIVOT),
     "rel_set_ops": (q_rel_set_ops, SQL_REL_SET_OPS),

@@ -199,6 +199,44 @@ def test_gapfill_locf_matches_python_recompute(spark):
             assert r["sum_locf"] == carried
 
 
+# -- mergeable moments + correlation ------------------------------------------------
+
+def test_moments_corr_matches_python_recompute(spark):
+    from decimal import Decimal
+
+    from document_processor_spark.operators.relational import q_moments_corr
+
+    li = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+          .select("l_returnflag", "l_quantity", "l_extendedprice").collect())
+    groups: dict[str, list[tuple]] = defaultdict(list)
+    q2 = Decimal("0.01")
+    for r in li:
+        groups[r["l_returnflag"]].append(
+            (Decimal(str(r["l_quantity"])).quantize(q2),
+             Decimal(str(r["l_extendedprice"])).quantize(q2)))
+
+    rows = {r["l_returnflag"]: r for r in q_moments_corr(spark, SF_DIR).collect()}
+    assert set(rows) == set(groups)
+    for flag, xy in groups.items():
+        r = rows[flag]
+        n = len(xy)
+        sx, sy = sum(x for x, _ in xy), sum(y for _, y in xy)
+        sxx = sum(x * x for x, _ in xy)
+        syy = sum(y * y for _, y in xy)
+        sxy = sum(x * y for x, y in xy)
+        assert r["n_rows"] == n
+        # the six moments are exact decimal sums (cast to double)
+        assert r["sum_x"] == float(sx) and r["sum_y"] == float(sy)
+        assert r["sum_xx"] == float(sxx) and r["sum_yy"] == float(syy)
+        assert r["sum_xy"] == float(sxy)
+        num = n * float(sxy) - float(sx) * float(sy)
+        den = (math.sqrt(n * float(sxx) - float(sx) ** 2)
+               * math.sqrt(n * float(syy) - float(sy) ** 2))
+        corr = num / den
+        assert -1.0 <= corr <= 1.0
+        assert abs(r["corr_q"] - math.floor(corr * 1e6)) <= 1
+
+
 # -- JSON props extraction ----------------------------------------------------------
 
 def test_json_props_matches_python(spark):
