@@ -1289,8 +1289,95 @@ FROM keepx GROUP BY doc_id
 """
 
 
+def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the near-dup pair graph (node-iterator++ /
+    Suri-Vassilvitskii): per-document triangle participation is the local
+    clustering signal web pipelines use to separate template farms (dense
+    near-clique duplicate neighborhoods) from chance pairwise collisions
+    (triangle-free stars).
+
+    Scale shape: every edge is DIRECTED from its lower-(degree, id)
+    endpoint to the higher one before the wedge self-join, the classic
+    trick that bounds total wedge work at O(m^1.5) regardless of skew — a
+    boilerplate hub with 10^6 neighbors generates no wedges at all
+    centered on itself unless both neighbors out-rank it, instead of the
+    naive 10^12 pairs.  All three steps are shuffle equi-joins on node
+    keys (wedge join on the center, closure join back against the
+    canonical edge set); the pair generation (LSH) runs once, pinned."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    return triangle_counts(_docs(spark, sf_dir).select("doc_id"), pairs)
+
+
+def triangle_counts(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Degree-ordered triangle counting over an undirected pair list —
+    see :func:`q_dedup_triangles` for the dataflow rationale."""
+    e = _pin(pairs.select(F.least("d1", "d2").alias("a"),
+                          F.greatest("d1", "d2").alias("b")).distinct())
+    deg = _pin(e.select(F.col("a").alias("n"))
+               .union(e.select(F.col("b").alias("n")))
+               .groupBy("n").agg(F.count(F.lit(1)).alias("deg")))
+    lower_first = ((F.col("da") < F.col("db"))
+                   | ((F.col("da") == F.col("db"))
+                      & (F.col("a") < F.col("b"))))
+    ed = (e.join(deg.select(F.col("n").alias("a"), F.col("deg").alias("da")),
+                 "a")
+          .join(deg.select(F.col("n").alias("b"), F.col("deg").alias("db")),
+                "b")
+          .select(F.when(lower_first, F.col("a")).otherwise(F.col("b"))
+                  .alias("u"),
+                  F.when(lower_first, F.col("b")).otherwise(F.col("a"))
+                  .alias("v")))
+    ed = _pin(ed)
+    wed = (ed.alias("e1")
+           .join(ed.alias("e2"), (F.col("e1.u") == F.col("e2.u"))
+                 & (F.col("e1.v") < F.col("e2.v")))
+           .select(F.col("e1.u").alias("p"), F.col("e1.v").alias("q"),
+                   F.col("e2.v").alias("r")))
+    tri = wed.join(e, (F.col("q") == F.col("a"))
+                   & (F.col("r") == F.col("b"))).select("p", "q", "r")
+    pern = (tri.select(F.explode(F.array("p", "q", "r")).alias("n"))
+            .groupBy("n").agg(F.count(F.lit(1)).alias("n_tri")))
+    return (docs.join(deg, docs["doc_id"] == deg["n"], "left").drop("n")
+            .join(pern, docs["doc_id"] == pern["n"], "left").drop("n")
+            .select("doc_id",
+                    F.coalesce("deg", F.lit(0)).cast("bigint")
+                    .alias("degree"),
+                    F.coalesce("n_tri", F.lit(0)).cast("bigint")
+                    .alias("n_triangles")))
+
+
+SQL_DEDUP_TRIANGLES = f"""
+WITH pairs AS ({{pairs}}),
+e AS (SELECT DISTINCT least(d1, d2) AS a, greatest(d1, d2) AS b FROM pairs),
+deg AS (SELECT n, count(*) AS deg
+        FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+        GROUP BY n),
+ed AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.b ELSE e.a END AS v
+  FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+wed AS (SELECT e1.u AS p, e1.v AS q, e2.v AS r
+        FROM ed e1 JOIN ed e2 ON e1.u = e2.u AND e1.v < e2.v),
+tri AS (SELECT p, q, r FROM wed JOIN e ON wed.q = e.a AND wed.r = e.b),
+pern AS (SELECT n, count(*) AS n_tri
+         FROM (SELECT p AS n FROM tri UNION ALL SELECT q AS n FROM tri
+               UNION ALL SELECT r AS n FROM tri)
+         GROUP BY n)
+SELECT d.doc_id,
+       CAST(coalesce(g.deg, 0) AS BIGINT) AS degree,
+       CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_triangles
+FROM documents d
+LEFT JOIN deg g ON g.n = d.doc_id
+LEFT JOIN pern p ON p.n = d.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_triangles": (q_dedup_triangles,
+                        SQL_DEDUP_TRIANGLES.format(pairs=SQL_DEDUP_MINHASH_LSH)),
     "dedup_exact_substr": (q_dedup_exact_substr, SQL_DEDUP_EXACT_SUBSTR),
     "dedup_components_star": (q_dedup_components_star, SQL_DEDUP_COMPONENTS),
     "dedup_pagerank": (q_dedup_pagerank, _sql_pagerank()),

@@ -237,6 +237,50 @@ def test_moments_corr_matches_python_recompute(spark):
         assert abs(r["corr_q"] - math.floor(corr * 1e6)) <= 1
 
 
+# -- triangle counting --------------------------------------------------------------
+
+def test_triangle_counts_on_crafted_graph(spark):
+    """Known graph: K4 on {0,1,2,3} (4 triangles, 3 per node), a pendant
+    5-0, an isolated doc 9, and a triangle-free star 6-{7,8}.  Pinned
+    against hand counts — including the degree-tie direction path (K4 is
+    all ties) and the skew rationale (the star center has degree 2 but
+    zero triangles)."""
+    from document_processor_spark.operators.dedup import triangle_counts
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (5, 0), (6, 7), (6, 8)]
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    rows = {r["doc_id"]: (r["degree"], r["n_triangles"])
+            for r in triangle_counts(docs, pairs).collect()}
+    assert rows == {0: (4, 3), 1: (3, 3), 2: (3, 3), 3: (3, 3),
+                    5: (1, 0), 6: (2, 0), 7: (1, 0), 8: (1, 0),
+                    9: (0, 0), 4: (0, 0)}
+
+
+def test_triangles_match_python_on_fixture_graph(spark):
+    from document_processor_spark.operators.dedup import (
+        q_dedup_minhash_lsh,
+        q_dedup_triangles,
+    )
+
+    prs = q_dedup_minhash_lsh(spark, SF_DIR).select("d1", "d2").collect()
+    adj: dict[int, set[int]] = defaultdict(set)
+    for r in prs:
+        adj[r["d1"]].add(r["d2"])
+        adj[r["d2"]].add(r["d1"])
+    expect = {n: sum(1 for v in ns for w in ns
+                     if v < w and w in adj[v]) // 1
+              for n, ns in adj.items()}
+
+    rows = {r["doc_id"]: r for r in q_dedup_triangles(spark, SF_DIR).collect()}
+    for n, ns in adj.items():
+        assert rows[n]["degree"] == len(ns)
+        assert rows[n]["n_triangles"] == expect[n], n
+    assert all(r["n_triangles"] == 0 and r["degree"] == 0
+               for d, r in rows.items() if d not in adj)
+
+
 # -- JSON props extraction ----------------------------------------------------------
 
 def test_json_props_matches_python(spark):
