@@ -21,12 +21,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # ROUND-5 ROTATION PLAN: once r4 lands driver rows for the names below,
 # swap this list for the queries with no r4 row: FIRST the never-checked
-# session-4 additions (rel_json_props, cur_url_dedup, ta_bpe_encode),
-# then the long-parked stable families (ext_*, dedup_*, ann_* minus
-# kmeans, ta_* minus the r4 sketches, rel_* classics, mm_media_*).  That
-# pool is 53 names for 50 slots: park 3 ext_* rows at the very end —
-# they hold BOTH r02 and r03 driver-green rows and unchanged code, the
-# one family where an older row still certifies the current tree.
+# session-4 additions (rel_json_props, rel_range_join, rel_gapfill_locf,
+# rel_moments_corr, cur_url_dedup, ta_bpe_encode, dedup_triangles), then
+# the long-parked stable families (ext_*, dedup_*, ann_* minus kmeans,
+# ta_* minus the r4 sketches, rel_* classics, mm_media_*).  That pool
+# exceeds 50 slots: park the overflow inside ext_* at the very end —
+# that family holds BOTH r02 and r03 driver-green rows and unchanged
+# code, the one place where an older row still certifies the current
+# tree.
 _PRIORITY: tuple[str, ...] = (
     # new this round (session 3)
     "dedup_exact_substr", "ta_pmi_collocations", "ta_bpe_merges",

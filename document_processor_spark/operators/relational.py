@@ -293,6 +293,67 @@ GROUP BY win_id
 """
 
 
+# -- multi-way star join (TPC-H Q5 shape) -------------------------------------
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): a six-table star join — the
+    multi-join shape that exercises Catalyst's join ORDERING, not just
+    its join strategies.
+
+    Scale shape: declared as one flat plan so the optimizer reorders
+    freely; region and nation are explicitly broadcast (provably
+    constant-size dims — 5/25 rows at every SF), and the region filter
+    reaches the nation side BEFORE the big fact joins, so the
+    customer/supplier nation-equality predicate prunes most of both fact
+    inputs early.  The two fact-fact joins (orders⋈lineitem on orderkey,
+    ⋈supplier on suppkey) stay shuffle equi-joins keyed on uniform
+    surrogate keys; the date filter pushes into the orders scan
+    (PushedFilters).  Decimal discipline on the revenue sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region")
+                    .filter(F.col("r_name") == "ASIA"))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    return (c.join(o, c["c_custkey"] == o["o_custkey"])
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(F.sum(rev.cast("decimal(38,4)")).cast("double")
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lineitems")))
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2))
+                        - CAST(l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
 # -- mergeable second-order moments + correlation -----------------------------
 
 def q_moments_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -878,6 +939,8 @@ QUERIES = {
     "rel_range_join": (q_range_join, SQL_RANGE_JOIN),
     "rel_gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),
     "rel_moments_corr": (q_moments_corr, SQL_MOMENTS_CORR),
+    "rel_local_supplier_volume": (q_local_supplier_volume,
+                                  SQL_LOCAL_SUPPLIER_VOLUME),
     "rel_rolling_1h": (q_rolling_1h, SQL_ROLLING_1H),
     "rel_pivot": (q_rel_pivot, SQL_REL_PIVOT),
     "rel_set_ops": (q_rel_set_ops, SQL_REL_SET_OPS),

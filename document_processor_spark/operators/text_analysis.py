@@ -1176,6 +1176,63 @@ SELECT * FROM ({finals})
 """
 
 
+# -- sentence segmentation stats ------------------------------------------------------
+
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation + per-document sentence-length profile — the
+    structural text signal quality classifiers consume alongside
+    char/word counts (C4 drops docs with too few terminal-punctuated
+    sentences; Gopher gates on mean sentence length).
+
+    Scale shape: pure map-side — the terminal-punctuation split, trim,
+    and length folds all run inside higher-order functions over the scan,
+    zero shuffle; the split pattern is a plain character class (no
+    lookbehind) so Java regex and RE2 agree exactly.  mean length ships
+    floor-quantized from the exact (total, count) integer pair."""
+    sents = F.filter(
+        F.transform(F.split("text", "[.!?]+", -1), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""))
+    lens = F.transform(sents, lambda x: F.length(x))
+    zero = F.lit(0).cast("bigint")
+    return (_docs(spark, sf_dir)
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", sents.alias("ss"), lens.alias("ls"))
+            .filter(F.size("ss") > 0)
+            .select("doc_id",
+                    F.size("ss").cast("bigint").alias("n_sentences"),
+                    F.aggregate("ls", zero, lambda a, b: a + b)
+                    .alias("total_len"),
+                    F.array_max("ls").cast("bigint").alias("max_len"))
+            .select("doc_id", "n_sentences", "total_len", "max_len",
+                    F.floor(F.col("total_len") * F.lit(10000.0)
+                            / F.col("n_sentences"))
+                    .cast("bigint").alias("mean_len_q")))
+
+
+SQL_SENTENCE_STATS = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                                    x -> trim(x)),
+                     x -> x <> '') AS ss
+  FROM documents WHERE text IS NOT NULL
+), t AS (
+  SELECT doc_id, ss, list_transform(ss, x -> length(x)) AS ls
+  FROM s WHERE len(ss) > 0
+), g AS (
+  SELECT doc_id,
+         CAST(len(ss) AS BIGINT) AS n_sentences,
+         CAST(list_aggregate(ls, 'sum') AS BIGINT) AS total_len,
+         CAST(list_aggregate(ls, 'max') AS BIGINT) AS max_len
+  FROM t
+)
+SELECT doc_id, n_sentences, total_len, max_len,
+       CAST(floor(total_len * 10000.0 / n_sentences) AS BIGINT)
+         AS mean_len_q
+FROM g
+"""
+
+
 # -- BPE encoding (tokenizer APPLY) ---------------------------------------------------
 #
 # The other half of the tokenizer loop: ta_bpe_merges trains the merge
@@ -1279,6 +1336,7 @@ FROM e GROUP BY doc_id
 QUERIES = {
     "ta_corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "ta_bpe_encode": (q_bpe_encode, _sql_bpe_encode()),
+    "ta_sentence_stats": (q_sentence_stats, SQL_SENTENCE_STATS),
     "ta_pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "ta_bpe_merges": (q_bpe_merges, _sql_bpe_merges()),
     "ta_length_quantiles": (q_length_quantiles, _sql_length_quantiles()),

@@ -199,6 +199,78 @@ def test_gapfill_locf_matches_python_recompute(spark):
             assert r["sum_locf"] == carried
 
 
+# -- TPC-H Q5 star join -------------------------------------------------------------
+
+def test_local_supplier_volume_matches_python(spark):
+    from datetime import datetime
+    from decimal import Decimal
+
+    from document_processor_spark.operators.relational import (
+        q_local_supplier_volume,
+    )
+
+    def load(name):
+        return spark.read.parquet(f"{SF_DIR}/{name}.parquet").collect()
+
+    region = {r["r_regionkey"] for r in load("region") if r["r_name"] == "ASIA"}
+    nation = {r["n_nationkey"]: r["n_name"] for r in load("nation")
+              if r["n_regionkey"] in region}
+    cust = {r["c_custkey"]: r["c_nationkey"] for r in load("customer")}
+    supp = {r["s_suppkey"]: r["s_nationkey"] for r in load("supplier")}
+    lo, hi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+    orders = {r["o_orderkey"]: r["o_custkey"] for r in load("orders")
+              if lo <= r["o_orderdate"] < hi}
+    q2 = Decimal("0.01")
+    agg: dict[str, list] = defaultdict(lambda: [Decimal(0), 0])
+    for r in load("lineitem"):
+        ck = orders.get(r["l_orderkey"])
+        sn = supp.get(r["l_suppkey"])
+        if ck is None or sn is None or cust[ck] != sn or sn not in nation:
+            continue
+        rev = (Decimal(str(r["l_extendedprice"])).quantize(q2)
+               * (1 - Decimal(str(r["l_discount"])).quantize(q2)))
+        cell = agg[nation[sn]]
+        cell[0] += rev
+        cell[1] += 1
+
+    rows = {r["n_name"]: r
+            for r in q_local_supplier_volume(spark, SF_DIR).collect()}
+    assert set(rows) == {k for k, v in agg.items() if v[1] > 0}
+    for name, (rev, cnt) in agg.items():
+        if cnt == 0:
+            continue
+        assert rows[name]["n_lineitems"] == cnt
+        assert rows[name]["revenue"] == float(rev)
+
+
+# -- sentence segmentation stats ----------------------------------------------------
+
+def test_sentence_stats_matches_python(spark):
+    from document_processor_spark.operators.text_analysis import (
+        q_sentence_stats,
+    )
+
+    docs = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").collect() if r["text"] is not None}
+    expect = {}
+    for d, t in docs.items():
+        sents = [s.strip(" ") for s in re.split(r"[.!?]+", t)]
+        sents = [s for s in sents if s]
+        if sents:
+            expect[d] = sents
+
+    rows = {r["doc_id"]: r for r in q_sentence_stats(spark, SF_DIR).collect()}
+    assert set(rows) == set(expect)
+    for d, sents in expect.items():
+        r = rows[d]
+        total = sum(len(s) for s in sents)
+        assert r["n_sentences"] == len(sents)
+        assert r["total_len"] == total
+        assert r["max_len"] == max(len(s) for s in sents)
+        assert r["mean_len_q"] == math.floor(total * 10000.0 / len(sents))
+
+
 # -- mergeable moments + correlation ------------------------------------------------
 
 def test_moments_corr_matches_python_recompute(spark):
