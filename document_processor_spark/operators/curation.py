@@ -1201,8 +1201,72 @@ FROM c3 JOIN g USING (canon_url)
 """
 
 
+# -- per-source score normalization (percentile re-scoring) --------------------
+#
+# Quality scores are not comparable across heterogeneous sources (a
+# "good" CommonCrawl score and a "good" arXiv score live on different
+# scales), so corpus mixes normalize per-source BEFORE thresholding or
+# temperature mixing — DataComp/DCLM re-score exactly this way.  The
+# percentile is exact (rank semantics identical to SQL percent_rank), but
+# computed WITHOUT a corpus-sized window: a window partitioned by source
+# would materialize every row of a source in one task — the hot-source
+# straggler at 100 TB.  Instead: ONE mergeable groupBy(source, score)
+# builds the score histogram (map-side partial agg), the rank prefix-sum
+# runs as a window over that HISTOGRAM (dimension-sized: distinct score
+# values per source, bounded by the score's resolution, never by doc
+# count), and the percentile joins back on the uniform composite key
+# (source, score).  pr_q = (rank-1)*1e6 DIV (N-1): pure integer math end
+# to end, no IEEE op anywhere, so both engines agree bit-for-bit.
+
+
+def q_cur_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source percentile of the length score (percent_rank
+    semantics: min-rank of the tie group, (rank-1)/(N-1)), quantized to
+    ppm by integer division."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    buckets = (d.groupBy("source", "n_chars")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (Window.partitionBy("source").orderBy("n_chars")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = (buckets
+              .withColumn("rank",
+                          F.sum("cnt").over(w) - F.col("cnt") + F.lit(1)))
+    totals = buckets.groupBy("source").agg(F.sum("cnt").alias("n_src"))
+    pr = (ranked.join(totals, "source")
+          .select("source", "n_chars",
+                  F.when(F.col("n_src") > 1,
+                         F.expr("(rank - 1) * 1000000 div (n_src - 1)"))
+                  .otherwise(F.lit(0)).cast("bigint").alias("pr_q")))
+    return (d.join(pr, ["source", "n_chars"])
+            .select("doc_id", "source",
+                    F.col("n_chars").alias("score"), "pr_q"))
+
+
+SQL_CUR_SCORE_NORMALIZE = """
+WITH b AS (
+  SELECT source, n_chars, count(*) AS cnt
+  FROM documents GROUP BY source, n_chars
+), r AS (
+  SELECT source, n_chars,
+         sum(cnt) OVER (PARTITION BY source ORDER BY n_chars)
+           - cnt + 1 AS rank
+  FROM b
+), t AS (
+  SELECT source, sum(cnt) AS n_src FROM b GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars AS score,
+       CAST(CASE WHEN t.n_src > 1
+                 THEN ((r.rank - 1) * 1000000) // (t.n_src - 1)
+                 ELSE 0 END AS BIGINT) AS pr_q
+FROM documents d
+JOIN r ON d.source = r.source AND d.n_chars = r.n_chars
+JOIN t ON d.source = t.source
+"""
+
+
 QUERIES = {
     "cur_corpus_build": (q_cur_corpus_build, _sql_corpus_build()),
+    "cur_score_normalize": (q_cur_score_normalize, SQL_CUR_SCORE_NORMALIZE),
     "cur_url_dedup": (q_cur_url_dedup, SQL_CUR_URL_DEDUP),
     "cur_domain_cap": (q_cur_domain_cap, SQL_CUR_DOMAIN_CAP),
     "cur_decontaminate": (q_cur_decontaminate, SQL_CUR_DECONTAMINATE),

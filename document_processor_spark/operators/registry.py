@@ -22,7 +22,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ROUND-5 ROTATION PLAN: once r4 lands driver rows for the names below,
 # swap this list for the queries with no r4 row: FIRST the never-checked
 # session-4 additions (rel_json_props, rel_range_join, rel_gapfill_locf,
-# rel_moments_corr, cur_url_dedup, ta_bpe_encode, dedup_triangles), then
+# rel_moments_corr, rel_local_supplier_volume, rel_skew_salted_join,
+# cur_url_dedup, cur_score_normalize, ta_bpe_encode, ta_sentence_stats,
+# ta_phrase_search, dedup_triangles), then
 # the long-parked stable families (ext_*, dedup_*, ann_* minus kmeans,
 # ta_* minus the r4 sketches, rel_* classics, mm_media_*).  That pool
 # exceeds 50 slots: park the overflow inside ext_* at the very end —

@@ -354,6 +354,60 @@ GROUP BY n_name
 """
 
 
+# -- skewed equi-join with explicit key salting --------------------------------
+
+SKEW_SALT_N = 16
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key equi-join with explicit salting — the classic fix when the
+    fact side is skewed AND the dim side is too large to broadcast (here
+    the dim is forced to a shuffle join to model that regime honestly).
+
+    events.event_type has a handful of distinct values over the whole
+    fact table, so an unsalted shuffle join hashes each type to ONE
+    reducer — one straggler task owns a third of 100 TB.  The fix is
+    structural, not a config knob: replicate each dim row SKEW_SALT_N
+    times (explode over a literal sequence — dim×16 stays dim-sized),
+    give each fact row a uniform deterministic salt (event_id %
+    SKEW_SALT_N — no RNG, so retried tasks re-salt identically), and
+    join on the composite (event_type, salt): every hot key now spreads
+    over SKEW_SALT_N reducers.  AQE's skew-join split solves the same
+    problem only for sort-merge post-shuffle partitions; explicit salting
+    is the portable form and the one that composes with the groupBy
+    right after (which re-aggregates across salts by construction).
+    The weighted revenue stays exact: DECIMAL × BIGINT, ×100 on the
+    decimal, floor to BIGINT — no IEEE op before quantization."""
+    ev = _t(spark, sf_dir, "events")
+    dim = (ev.select("event_type").distinct()
+           .withColumn("tier", F.length("event_type").cast("bigint")))
+    sdim = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SKEW_SALT_N - 1))))
+    fact = ev.withColumn(
+        "salt", (F.col("event_id") % SKEW_SALT_N).cast("int"))
+    dv = F.col("value").cast("decimal(18,2)")
+    return (fact.join(sdim.hint("shuffle_hash"), ["event_type", "salt"])
+            .groupBy("event_type", "tier")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.floor(F.sum(dv * F.col("tier")) * 100)
+                  .cast("bigint").alias("weighted_q")))
+
+
+SQL_SKEW_SALTED_JOIN = """
+WITH dim AS (
+  SELECT DISTINCT event_type,
+         CAST(length(event_type) AS BIGINT) AS tier
+  FROM events
+)
+SELECT e.event_type, d.tier,
+       count(*) AS n_events,
+       CAST(floor(sum(CAST(e.value AS DECIMAL(18,2)) * d.tier) * 100)
+            AS BIGINT) AS weighted_q
+FROM events e JOIN dim d USING (event_type)
+GROUP BY e.event_type, d.tier
+"""
+
+
 # -- mergeable second-order moments + correlation -----------------------------
 
 def q_moments_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -941,6 +995,7 @@ QUERIES = {
     "rel_moments_corr": (q_moments_corr, SQL_MOMENTS_CORR),
     "rel_local_supplier_volume": (q_local_supplier_volume,
                                   SQL_LOCAL_SUPPLIER_VOLUME),
+    "rel_skew_salted_join": (q_skew_salted_join, SQL_SKEW_SALTED_JOIN),
     "rel_rolling_1h": (q_rolling_1h, SQL_ROLLING_1H),
     "rel_pivot": (q_rel_pivot, SQL_REL_PIVOT),
     "rel_set_ops": (q_rel_set_ops, SQL_REL_SET_OPS),

@@ -1333,8 +1333,104 @@ FROM e GROUP BY doc_id
 """
 
 
+# -- positional phrase search --------------------------------------------------
+#
+# Exact-phrase retrieval over a POSITIONAL inverted index — the query
+# class BM25's bag-of-words postings cannot answer, and the other half of
+# what a production text index stores (Lucene keeps term positions for
+# exactly this).  A decontamination sweep that must find verbatim
+# benchmark sentences (not just token overlap) is this operator.
+#
+# Scale shape: ONE corpus shuffle builds the positional postings
+# (doc_id, pos, word) sharded by word; the query table (first bigram of
+# each doc_id % PHRASE_QUERY_MOD doc) is provably tiny, so the first-term
+# probe is an equi-join bounded by posting-list length; adjacency is a
+# postings self-equi-join on (doc_id, pos+1) — per-candidate work is
+# bounded by occurrence counts, the corpus text is never rescanned, and
+# nothing is O(N²).  Positions are RAW split ordinals (empty tokens hold
+# their slot but never match), so a bigram across a doubled space is
+# non-adjacent by definition — both engines identical by construction.
+# At 10^12 docs the one addition is the hot-term stoplist already modeled
+# in dedup_ngram_jaccard (cap posting-list length before the probe).
+
+PHRASE_QUERY_MOD = 317
+PHRASE_TOP_K = 5
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k docs per query phrase (the first bigram of each query doc),
+    ranked by exact-adjacency occurrence count; ties break doc_id ASC."""
+    from pyspark.sql import Window as W
+
+    from .dedup import _pin
+    d = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    # postings feed THREE plan branches (query build, w1 probe, adjacency
+    # check) — pin so the tokenize/explode corpus pass runs once
+    post = _pin(
+        d.select("doc_id", F.posexplode(F.split("text", " ", -1))
+                 .alias("pos", "word"))
+        .filter(F.col("word") != ""))
+    qp = (post.filter((F.col("doc_id") % PHRASE_QUERY_MOD == 0)
+                      & (F.col("pos") <= 1))
+          .groupBy(F.col("doc_id").alias("query_id"))
+          .agg(F.max(F.when(F.col("pos") == 0, F.col("word"))).alias("w1"),
+               F.max(F.when(F.col("pos") == 1, F.col("word"))).alias("w2"))
+          .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull()))
+    m1 = (post.join(qp, post["word"] == qp["w1"])
+          .select("query_id", "doc_id", "pos", "w2"))
+    p2 = post.select(F.col("doc_id").alias("doc_id2"),
+                     (F.col("pos") - 1).alias("pos_prev"),
+                     F.col("word").alias("word2"))
+    hits = (m1.join(p2, (F.col("doc_id") == F.col("doc_id2"))
+                    & (F.col("pos") == F.col("pos_prev"))
+                    & (F.col("w2") == F.col("word2")))
+            .filter(F.col("doc_id") != F.col("query_id"))
+            .groupBy("query_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    w = W.partitionBy("query_id").orderBy(F.col("n_hits").desc(), "doc_id")
+    return (hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= PHRASE_TOP_K)
+            .select("query_id", F.col("rank").cast("bigint").alias("rank"),
+                    "doc_id", "n_hits"))
+
+
+SQL_PHRASE_SEARCH = f"""
+WITH post0 AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE length(text) > 0
+), post AS (SELECT * FROM post0 WHERE word <> ''),
+qp AS (
+  SELECT doc_id AS query_id,
+         max(CASE WHEN pos = 0 THEN word END) AS w1,
+         max(CASE WHEN pos = 1 THEN word END) AS w2
+  FROM post WHERE doc_id % {PHRASE_QUERY_MOD} = 0 AND pos <= 1
+  GROUP BY doc_id
+  HAVING max(CASE WHEN pos = 0 THEN word END) IS NOT NULL
+     AND max(CASE WHEN pos = 1 THEN word END) IS NOT NULL
+),
+hits AS (
+  SELECT qp.query_id, p1.doc_id, count(*) AS n_hits
+  FROM post p1
+  JOIN qp ON p1.word = qp.w1
+  JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+              AND p2.word = qp.w2
+  WHERE p1.doc_id <> qp.query_id
+  GROUP BY qp.query_id, p1.doc_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_hits
+FROM (SELECT query_id, doc_id, n_hits,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY n_hits DESC, doc_id) AS rank
+      FROM hits)
+WHERE rank <= {PHRASE_TOP_K}
+"""
+
+
 QUERIES = {
     "ta_corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "ta_phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     "ta_bpe_encode": (q_bpe_encode, _sql_bpe_encode()),
     "ta_sentence_stats": (q_sentence_stats, SQL_SENTENCE_STATS),
     "ta_pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),

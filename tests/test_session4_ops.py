@@ -375,3 +375,124 @@ def test_json_props_matches_python(spark):
         assert r["min_k"] == min(ks)
         assert r["max_k"] == max(ks)
         assert r["avg_k_q"] == math.floor(sum(ks) * 10000.0 / len(ks))
+
+
+# -- positional phrase search -------------------------------------------------------
+
+def test_phrase_search_matches_python(spark):
+    from document_processor_spark.operators.text_analysis import (
+        PHRASE_QUERY_MOD,
+        PHRASE_TOP_K,
+        q_phrase_search,
+    )
+
+    docs = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").collect()
+            if r["text"] is not None and len(r["text"]) > 0}
+    # postings with RAW split positions, empty tokens dropped after
+    post = {d: [(i, w) for i, w in enumerate(t.split(" ")) if w]
+            for d, t in docs.items()}
+    queries = {}
+    for d, toks in post.items():
+        if d % PHRASE_QUERY_MOD != 0:
+            continue
+        by_pos = dict(toks)
+        if 0 in by_pos and 1 in by_pos:
+            queries[d] = (by_pos[0], by_pos[1])
+    assert queries, "fixture must contain at least one query doc"
+
+    expect = {}
+    for qid, (w1, w2) in queries.items():
+        counts = Counter()
+        for d, toks in post.items():
+            if d == qid:
+                continue
+            by_pos = dict(toks)
+            n = sum(1 for p, w in toks
+                    if w == w1 and by_pos.get(p + 1) == w2)
+            if n:
+                counts[d] = n
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect[qid] = [(rank + 1, d, n)
+                       for rank, (d, n) in enumerate(top[:PHRASE_TOP_K])]
+
+    got = defaultdict(list)
+    for r in q_phrase_search(spark, SF_DIR).collect():
+        got[r["query_id"]].append((r["rank"], r["doc_id"], r["n_hits"]))
+    for qid in got:
+        got[qid].sort()
+    assert dict(got) == {q: v for q, v in expect.items() if v}
+
+
+# -- skewed equi-join with salting --------------------------------------------------
+
+def test_skew_salted_join_matches_python(spark):
+    from decimal import Decimal
+
+    from document_processor_spark.operators.relational import (
+        q_skew_salted_join,
+    )
+
+    evs = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+           .select("event_type", "value").collect())
+    q2 = Decimal("0.01")
+    agg = defaultdict(lambda: [0, Decimal(0)])
+    for r in evs:
+        tier = len(r["event_type"])
+        cell = agg[r["event_type"]]
+        cell[0] += 1
+        cell[1] += Decimal(str(r["value"])).quantize(q2) * tier
+
+    rows = {r["event_type"]: r
+            for r in q_skew_salted_join(spark, SF_DIR).collect()}
+    assert set(rows) == set(agg)
+    for et, (cnt, wsum) in agg.items():
+        r = rows[et]
+        assert r["tier"] == len(et)
+        assert r["n_events"] == cnt
+        assert r["weighted_q"] == int(wsum * 100)
+
+
+# -- per-source score normalization -------------------------------------------------
+
+def test_score_normalize_matches_python(spark):
+    from document_processor_spark.operators.curation import (
+        q_cur_score_normalize,
+    )
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "source", "n_chars").collect())
+    by_src = defaultdict(list)
+    for r in docs:
+        by_src[r["source"]].append((r["doc_id"], r["n_chars"]))
+    expect = {}
+    for src, items in by_src.items():
+        scores = sorted(s for _, s in items)
+        n = len(scores)
+        # percent_rank: min-rank of the tie group, (rank-1)/(n-1), in ppm
+        first_rank = {}
+        for i, s in enumerate(scores):
+            first_rank.setdefault(s, i + 1)
+        for d, s in items:
+            pr_q = ((first_rank[s] - 1) * 1000000) // (n - 1) if n > 1 else 0
+            expect[d] = (src, s, pr_q)
+
+    rows = {r["doc_id"]: r for r in q_cur_score_normalize(spark, SF_DIR).collect()}
+    assert set(rows) == set(expect)
+    for d, (src, s, pr_q) in expect.items():
+        r = rows[d]
+        assert (r["source"], r["score"], r["pr_q"]) == (src, s, pr_q)
+    # a UNIQUE top score sits at exactly 1.0 (ppm 10^6); a tied top takes
+    # the min rank of its tie group (percent_rank semantics) and lands
+    # strictly below it
+    for src, items in by_src.items():
+        if len(items) > 1:
+            top_score = max(s for _, s in items)
+            ties = sum(1 for _, s in items if s == top_score)
+            for d, s in items:
+                if s == top_score:
+                    if ties == 1:
+                        assert rows[d]["pr_q"] == 1000000
+                    else:
+                        assert rows[d]["pr_q"] < 1000000
