@@ -23,6 +23,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # swap this list for the queries with no r4 row: FIRST the never-checked
 # session-4 additions (rel_json_props, rel_range_join, rel_gapfill_locf,
 # rel_moments_corr, rel_local_supplier_volume, rel_skew_salted_join,
+# rel_large_orders,
 # cur_url_dedup, cur_score_normalize, ta_bpe_encode, ta_sentence_stats,
 # ta_phrase_search, dedup_triangles), then
 # the long-parked stable families (ext_*, dedup_*, ann_* minus kmeans,

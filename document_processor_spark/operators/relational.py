@@ -354,6 +354,61 @@ GROUP BY n_name
 """
 
 
+# -- agg-HAVING semi-join (TPC-H Q18 shape) ------------------------------------
+
+LARGE_ORDER_QTY = 250
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): find orders whose total quantity
+    exceeds a threshold, then join the survivors back to customer/orders/
+    lineitem for the detail rows — the agg→HAVING→semi-join-back shape.
+
+    Scale shape: the HAVING aggregate is ONE mergeable groupBy(l_orderkey)
+    (map-side partial sums; quantity as DECIMAL so partial-merge order
+    can't shift the threshold test at the boundary).  The survivor set's
+    size is data-dependent (could be 10^9 keys on a worst-case corpus),
+    so it joins back as a plain shuffle equi-join on l_orderkey — NOT a
+    broadcast, NOT `isin(collect())` — and AQE may still demote it to
+    broadcast at runtime when it proves tiny.  The detail re-aggregation
+    reuses the same orderkey partitioning.  Output keeps the raw
+    o_totalprice double untouched (pass-through, no float arithmetic)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(dq).alias("sum_qty"))
+           .filter(F.col("sum_qty") > LARGE_ORDER_QTY)
+           .select("l_orderkey", F.col("sum_qty").cast("double")
+                   .alias("sum_qty")))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (big.join(o, big["l_orderkey"] == o["o_orderkey"])
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_name", F.col("o_custkey").alias("c_custkey"),
+                    "o_orderkey",
+                    # string-typed date: the one cross-engine timestamp
+                    # representation with no tz/NTZ ambiguity (module time
+                    # discipline) — lossless, microsecond-padded
+                    F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                    .alias("o_orderdate_s"),
+                    "o_totalprice", "sum_qty"))
+
+
+SQL_LARGE_ORDERS = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {LARGE_ORDER_QTY}
+)
+SELECT c.c_name, o.o_custkey AS c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS o_orderdate_s,
+       o.o_totalprice, big.sum_qty
+FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 # -- skewed equi-join with explicit key salting --------------------------------
 
 SKEW_SALT_N = 16
@@ -996,6 +1051,7 @@ QUERIES = {
     "rel_local_supplier_volume": (q_local_supplier_volume,
                                   SQL_LOCAL_SUPPLIER_VOLUME),
     "rel_skew_salted_join": (q_skew_salted_join, SQL_SKEW_SALTED_JOIN),
+    "rel_large_orders": (q_large_orders, SQL_LARGE_ORDERS),
     "rel_rolling_1h": (q_rolling_1h, SQL_ROLLING_1H),
     "rel_pivot": (q_rel_pivot, SQL_REL_PIVOT),
     "rel_set_ops": (q_rel_set_ops, SQL_REL_SET_OPS),

@@ -496,3 +496,37 @@ def test_score_normalize_matches_python(spark):
                         assert rows[d]["pr_q"] == 1000000
                     else:
                         assert rows[d]["pr_q"] < 1000000
+
+
+# -- TPC-H Q18 agg-HAVING semi-join --------------------------------------------------
+
+def test_large_orders_matches_python(spark):
+    from decimal import Decimal
+
+    from document_processor_spark.operators.relational import (
+        LARGE_ORDER_QTY,
+        q_large_orders,
+    )
+
+    def load(name):
+        return spark.read.parquet(f"{SF_DIR}/{name}.parquet").collect()
+
+    q2 = Decimal("0.01")
+    qty = defaultdict(Decimal)
+    for r in load("lineitem"):
+        qty[r["l_orderkey"]] += Decimal(str(r["l_quantity"])).quantize(q2)
+    big = {k: v for k, v in qty.items() if v > LARGE_ORDER_QTY}
+    assert big, "fixture must contain at least one large order"
+    cust = {r["c_custkey"]: r["c_name"] for r in load("customer")}
+    orders = {r["o_orderkey"]: r for r in load("orders")}
+
+    rows = {r["o_orderkey"]: r for r in q_large_orders(spark, SF_DIR).collect()}
+    assert set(rows) == set(big)
+    for ok, sq in big.items():
+        r, o = rows[ok], orders[ok]
+        assert r["sum_qty"] == float(sq)
+        assert r["c_custkey"] == o["o_custkey"]
+        assert r["c_name"] == cust[o["o_custkey"]]
+        assert r["o_totalprice"] == o["o_totalprice"]
+        assert r["o_orderdate_s"] == o["o_orderdate"].strftime(
+            "%Y-%m-%d %H:%M:%S.%f")
