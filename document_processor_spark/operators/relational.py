@@ -409,6 +409,95 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+# -- conditional-class aggregation over a fact-fact join (TPC-H Q12 shape) -----
+#
+# The reference's fixture tables carry no l_shipmode/commitdate, so the
+# Q12 shape is expressed over the columns present: per returnflag, how
+# many line items belong to HIGH-priority orders (1-URGENT / 2-HIGH) vs
+# everything else, within a shipdate range.
+
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def q_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shape: lineitem ⋈ orders, conditional counts by class.
+
+    Scale shape: the shipdate predicate is pushed to the lineitem scan
+    (PushedFilters), both sides project to the join key + 1-2 columns
+    before the shuffle (column pruning keeps the exchange narrow), the
+    join is a plain equi-join on orderkey — fact-to-fact, NOT broadcast;
+    AQE demotes to broadcast only if the filtered side proves tiny — and
+    the conditional counts are sums of 0/1 integers, fully mergeable
+    (map-side partial agg), with no float op anywhere so both engines
+    agree bit-for-bit."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1995-01-01"))
+                  & (F.col("l_shipdate") < F.lit("1997-01-01")))
+          .select("l_orderkey", "l_returnflag"))
+    o = (_t(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_orderpriority"))
+    is_high = F.col("o_orderpriority").isin(*HIGH_PRIORITIES)
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(is_high, 1).otherwise(0))
+                  .cast("bigint").alias("high_line_count"),
+                 F.sum(F.when(is_high, 0).otherwise(1))
+                  .cast("bigint").alias("low_line_count")))
+
+
+SQL_PRIORITY_CLASS = f"""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('{HIGH_PRIORITIES[0]}',
+                                              '{HIGH_PRIORITIES[1]}')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('{HIGH_PRIORITIES[0]}',
+                                              '{HIGH_PRIORITIES[1]}')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+# -- outer-join count distribution (TPC-H Q13 shape) ---------------------------
+
+def q_order_count_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of orders-per-customer
+    INCLUDING zero-order customers — the left-outer-join + double-
+    aggregation shape.
+
+    Scale shape: orders pre-aggregates to one row per custkey FIRST (one
+    mergeable groupBy — map-side partial counts), so the outer join moves
+    a customer-sized aggregate, never raw order rows; customers with no
+    orders surface as NULL→0 via coalesce after the LEFT join.  The
+    second aggregate (histogram over c_count) is integer-keyed and
+    mergeable.  Two shuffles total on uniform keys; at 10^12 orders the
+    pre-aggregation is what keeps the join input bounded by |customer|.
+    Pure integer output — bit-exact across engines."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (_t(spark, sf_dir, "orders")
+                .groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("n_orders")))
+    counts = (c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+              .select(F.coalesce("n_orders", F.lit(0)).cast("bigint")
+                      .alias("c_count")))
+    return (counts.groupBy("c_count")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("custdist")))
+
+
+SQL_ORDER_COUNT_HIST = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+), counts AS (
+  SELECT CAST(coalesce(p.n_orders, 0) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM counts GROUP BY c_count
+"""
+
+
 # -- skewed equi-join with explicit key salting --------------------------------
 
 SKEW_SALT_N = 16
@@ -1052,6 +1141,8 @@ QUERIES = {
                                   SQL_LOCAL_SUPPLIER_VOLUME),
     "rel_skew_salted_join": (q_skew_salted_join, SQL_SKEW_SALTED_JOIN),
     "rel_large_orders": (q_large_orders, SQL_LARGE_ORDERS),
+    "rel_priority_class": (q_priority_class, SQL_PRIORITY_CLASS),
+    "rel_order_count_hist": (q_order_count_hist, SQL_ORDER_COUNT_HIST),
     "rel_rolling_1h": (q_rolling_1h, SQL_ROLLING_1H),
     "rel_pivot": (q_rel_pivot, SQL_REL_PIVOT),
     "rel_set_ops": (q_rel_set_ops, SQL_REL_SET_OPS),

@@ -1428,8 +1428,82 @@ WHERE rank <= {PHRASE_TOP_K}
 """
 
 
+# -- cross-source vocabulary overlap (corpus-mix diagnostics) ------------------
+#
+# Which sources speak the same language?  Corpus-mix design (DoReMi /
+# DataComp source weighting) starts from pairwise source similarity; the
+# cheapest robust signal is Jaccard overlap of the source vocabularies.
+
+
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard overlap of per-source vocabularies, in ppm.
+
+    Scale shape: the (source, word) distinct set is ONE shuffle on the
+    uniform composite key (partial-distinct map-side first); the pair
+    intersection is a self-join of the postings sharded BY WORD — vocab
+    is never broadcast (can exceed 10^9 words; the module's standing
+    rule) and never collected.  Per-word pair fan-out is bounded by
+    n_sources² (sources are a small dimension — ~20 here, O(100) in a
+    real mix), NOT by document count, so a 10^6×-larger corpus changes
+    nothing about the join's shape.  Per-source vocab sizes come from a
+    mergeable groupBy; |A∪B| = |A|+|B|−|A∩B| makes the union free.
+    jacc_ppm = (inter * 1e6) div union: integer end-to-end, bit-exact on
+    both engines."""
+    d = _docs(spark, sf_dir)
+    postings = (d.select("source",
+                         F.explode(F.split(F.lower("text"), " ", -1))
+                         .alias("word"))
+                .distinct())
+    sizes = postings.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (a.join(b, (F.col("a.word") == F.col("b.word"))
+                    & (F.col("a.source") < F.col("b.source")))
+             .groupBy(F.col("a.source").alias("source_a"),
+                      F.col("b.source").alias("source_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("source").alias("source_a"),
+                      F.col("vocab").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("source_b"),
+                      F.col("vocab").alias("vocab_b"))
+    return (inter.join(sa, "source_a").join(sb, "source_b")
+            .select("source_a", "source_b",
+                    F.col("inter").cast("bigint").alias("inter"),
+                    (F.col("vocab_a") + F.col("vocab_b") - F.col("inter"))
+                    .cast("bigint").alias("uni"),
+                    F.expr("inter * 1000000 div "
+                           "(vocab_a + vocab_b - inter)")
+                    .cast("bigint").alias("jacc_ppm")))
+
+
+SQL_SOURCE_VOCAB_OVERLAP = """
+WITH postings AS (
+  SELECT DISTINCT source, u.word
+  FROM documents, unnest(string_split(lower(text), ' ')) AS u(word)
+), sizes AS (
+  SELECT source, count(*) AS vocab FROM postings GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+  FROM postings a JOIN postings b
+    ON a.word = b.word AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b,
+       CAST(i.inter AS BIGINT) AS inter,
+       CAST(sa.vocab + sb.vocab - i.inter AS BIGINT) AS uni,
+       CAST((i.inter * 1000000) // (sa.vocab + sb.vocab - i.inter)
+            AS BIGINT) AS jacc_ppm
+FROM inter i
+JOIN sizes sa ON i.source_a = sa.source
+JOIN sizes sb ON i.source_b = sb.source
+"""
+
+
 QUERIES = {
     "ta_corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "ta_source_vocab_overlap": (q_source_vocab_overlap,
+                                SQL_SOURCE_VOCAB_OVERLAP),
     "ta_phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     "ta_bpe_encode": (q_bpe_encode, _sql_bpe_encode()),
     "ta_sentence_stats": (q_sentence_stats, SQL_SENTENCE_STATS),

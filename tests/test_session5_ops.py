@@ -1,0 +1,101 @@
+"""Invariants for the session-5 operators against independent pure-Python
+recomputes: Q12-shape conditional class counts, Q13-shape order-count
+histogram (zero-order customers included), and cross-source vocabulary
+Jaccard overlap.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _load(spark, name):
+    return spark.read.parquet(f"{SF_DIR}/{name}.parquet").collect()
+
+
+# -- TPC-H Q12-shape conditional-class aggregation ----------------------------------
+
+
+def test_priority_class_matches_python(spark):
+    from document_processor_spark.operators.relational import (
+        HIGH_PRIORITIES,
+        q_priority_class,
+    )
+
+    prio = {r["o_orderkey"]: r["o_orderpriority"]
+            for r in _load(spark, "orders")}
+    hi, lo = Counter(), Counter()
+    import datetime
+    lob = datetime.datetime(1995, 1, 1)
+    hib = datetime.datetime(1997, 1, 1)
+    for r in _load(spark, "lineitem"):
+        if not (lob <= r["l_shipdate"] < hib):
+            continue
+        if r["l_orderkey"] not in prio:
+            continue
+        if prio[r["l_orderkey"]] in HIGH_PRIORITIES:
+            hi[r["l_returnflag"]] += 1
+        else:
+            lo[r["l_returnflag"]] += 1
+
+    rows = {r["l_returnflag"]: r
+            for r in q_priority_class(spark, SF_DIR).collect()}
+    assert set(rows) == set(hi) | set(lo)
+    for flag, r in rows.items():
+        assert r["high_line_count"] == hi[flag]
+        assert r["low_line_count"] == lo[flag]
+    # the date gate must bite: some lineitem rows fall outside the range
+    n_all = len(_load(spark, "lineitem"))
+    assert sum(hi.values()) + sum(lo.values()) < n_all
+
+
+# -- TPC-H Q13-shape outer-join count distribution ----------------------------------
+
+
+def test_order_count_hist_matches_python(spark):
+    from document_processor_spark.operators.relational import (
+        q_order_count_hist,
+    )
+
+    per_cust = Counter(r["o_custkey"] for r in _load(spark, "orders"))
+    hist = Counter(per_cust.get(r["c_custkey"], 0)
+                   for r in _load(spark, "customer"))
+
+    rows = {r["c_count"]: r["custdist"]
+            for r in q_order_count_hist(spark, SF_DIR).collect()}
+    assert rows == dict(hist)
+    # the LEFT join must be doing outer work: either some customer has no
+    # orders (bucket 0 present) or every customer has at least one — both
+    # totals must reconcile to |customer| exactly
+    assert sum(rows.values()) == len(_load(spark, "customer"))
+
+
+# -- cross-source vocabulary Jaccard overlap -----------------------------------------
+
+
+def test_source_vocab_overlap_matches_python(spark):
+    from document_processor_spark.operators.text_analysis import (
+        q_source_vocab_overlap,
+    )
+
+    vocab = defaultdict(set)
+    for r in _load(spark, "documents"):
+        vocab[r["source"]].update(r["text"].lower().split(" "))
+
+    rows = {(r["source_a"], r["source_b"]): r
+            for r in q_source_vocab_overlap(spark, SF_DIR).collect()}
+    srcs = sorted(vocab)
+    expect_pairs = {(a, b) for i, a in enumerate(srcs)
+                    for b in srcs[i + 1:]
+                    if vocab[a] & vocab[b]}
+    assert set(rows) == expect_pairs
+    for (a, b), r in rows.items():
+        inter = len(vocab[a] & vocab[b])
+        uni = len(vocab[a] | vocab[b])
+        assert r["inter"] == inter
+        assert r["uni"] == uni
+        assert r["jacc_ppm"] == (inter * 1_000_000) // uni
+    # overlap is symmetric-by-construction: only a<b pairs are emitted
+    assert all(a < b for a, b in rows)
