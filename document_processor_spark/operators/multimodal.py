@@ -553,8 +553,56 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+# -- exact media dedup (content-hash on the binary payload) -------------------
+#
+# The multimodal analog of dedup_exact: identical bytes → one keeper.
+# Unlike the decode/feature queries this one never leaves the JVM —
+# F.md5 runs on the binary column inside whole-stage codegen (hashing
+# 100 TB of media in Python would be the textbook UDF mistake).
+
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact byte-identical media dedup: hash payload map-side, ONE
+    mergeable groupBy(hash) (partial agg; keeper = min doc_id, group
+    size = count), then an equi-join back on the uniform hash key to
+    flag every member.  No window over the group (a viral image with
+    10^7 copies would pin one task), no broadcast (the hash table is
+    corpus-sized), no Python stage.  Same shape as dedup_exact
+    (dedup.py) applied to the binary column."""
+    m = media_table(spark, sf_dir).select(
+        "doc_id", "media_type", F.md5("payload").alias("payload_hash"))
+    grp = (m.groupBy("payload_hash")
+           .agg(F.min("doc_id").alias("keeper_id"),
+                F.count(F.lit(1)).alias("group_size")))
+    return (m.join(grp, "payload_hash")
+            .select("doc_id", "media_type", "payload_hash",
+                    (F.col("doc_id") == F.col("keeper_id"))
+                    .alias("is_keeper"),
+                    F.col("group_size").cast("bigint").alias("group_size")))
+
+
+SQL_MEDIA_DEDUP = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN n_chars % 3 = 0 THEN 'image/png'
+              WHEN n_chars % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         md5(substr(text, 1, 64)) AS payload_hash
+  FROM documents
+), g AS (
+  SELECT payload_hash, min(doc_id) AS keeper_id, count(*) AS group_size
+  FROM m GROUP BY payload_hash
+)
+SELECT m.doc_id, m.media_type, m.payload_hash,
+       m.doc_id = g.keeper_id AS is_keeper,
+       CAST(g.group_size AS BIGINT) AS group_size
+FROM m JOIN g USING (payload_hash)
+"""
+
+
 QUERIES = {
     "mm_media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "mm_media_dedup": (q_media_dedup, SQL_MEDIA_DEDUP),
     "mm_media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     "mm_media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "mm_frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),

@@ -72,6 +72,38 @@ def test_order_count_hist_matches_python(spark):
     assert sum(rows.values()) == len(_load(spark, "customer"))
 
 
+# -- exact media dedup over the binary payload ---------------------------------------
+
+
+def test_media_dedup_matches_python(spark):
+    import hashlib
+
+    from document_processor_spark.operators.multimodal import q_media_dedup
+
+    groups = defaultdict(list)
+    types = {}
+    for r in _load(spark, "documents"):
+        h = hashlib.md5(r["text"][:64].encode("utf-8")).hexdigest()
+        groups[h].append(r["doc_id"])
+        types[r["doc_id"]] = ("image/png" if r["n_chars"] % 3 == 0
+                              else "audio/wav" if r["n_chars"] % 3 == 1
+                              else "video/mp4")
+
+    rows = {r["doc_id"]: r for r in q_media_dedup(spark, SF_DIR).collect()}
+    assert set(rows) == set(types)
+    for h, members in groups.items():
+        keeper = min(members)
+        for d in members:
+            r = rows[d]
+            assert r["payload_hash"] == h
+            assert r["group_size"] == len(members)
+            assert r["is_keeper"] == (d == keeper)
+            assert r["media_type"] == types[d]
+    # the fixture must actually contain byte-identical payloads, or the
+    # dedup path is untested
+    assert any(len(m) > 1 for m in groups.values())
+
+
 # -- cross-source vocabulary Jaccard overlap -----------------------------------------
 
 
