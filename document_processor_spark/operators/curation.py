@@ -1264,8 +1264,49 @@ JOIN t ON d.source = t.source
 """
 
 
+# -- keep-best canonical selection per near-dup group ---------------------------
+#
+# Dedup keepers are usually "first seen" (min doc_id) — but a curation
+# pipeline wants the BEST member of each duplicate group (longest /
+# highest-quality copy of a boilerplate-prefixed page), not an arbitrary
+# one.  Groups here are shared-64-char-prefix buckets (leading-boilerplate
+# near-dup heuristic); quality is the length score.
+
+_KEEP_BEST_PACK = 10_000_000_000  # doc_id < 10^10: fits (quality, -id) in one BIGINT
+
+
+def q_cur_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-per-group selection as ONE mergeable aggregate.
+
+    Scale shape: max_by with the (n_chars, -doc_id) ordering packed into
+    a single BIGINT (n_chars * 10^10 - doc_id — deterministic tiebreak:
+    highest quality, then lowest id) runs as a map-side partial agg +
+    one shuffle on the uniform hash key — no window over the group (a
+    boilerplate prefix shared by 10^7 pages would pin one task) and no
+    join-back (contrast cur_url_dedup, which flags every member; this
+    emits only the survivors, the corpus a trainer actually reads).
+    Pure integer ordering — bit-exact on both engines."""
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars", "text")
+    ord_ = (F.col("n_chars") * F.lit(_KEEP_BEST_PACK) - F.col("doc_id"))
+    return (d.groupBy(F.md5(F.substring("text", 1, 64)).alias("prefix_hash"))
+            .agg(F.max_by("doc_id", ord_).alias("keeper_id"),
+                 F.max("n_chars").cast("bigint").alias("best_n_chars"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+
+
+SQL_CUR_KEEP_BEST = f"""
+SELECT md5(substr(text, 1, 64)) AS prefix_hash,
+       arg_max(doc_id, n_chars * {_KEEP_BEST_PACK} - doc_id) AS keeper_id,
+       CAST(max(n_chars) AS BIGINT) AS best_n_chars,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY md5(substr(text, 1, 64))
+"""
+
+
 QUERIES = {
     "cur_corpus_build": (q_cur_corpus_build, _sql_corpus_build()),
+    "cur_keep_best": (q_cur_keep_best, SQL_CUR_KEEP_BEST),
     "cur_score_normalize": (q_cur_score_normalize, SQL_CUR_SCORE_NORMALIZE),
     "cur_url_dedup": (q_cur_url_dedup, SQL_CUR_URL_DEDUP),
     "cur_domain_cap": (q_cur_domain_cap, SQL_CUR_DOMAIN_CAP),

@@ -25,7 +25,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # rel_moments_corr, rel_local_supplier_volume, rel_skew_salted_join,
 # rel_large_orders,
 # cur_url_dedup, cur_score_normalize, ta_bpe_encode, ta_sentence_stats,
-# ta_phrase_search, dedup_triangles), then
+# ta_phrase_search, dedup_triangles,
+# and the session-5 additions: rel_priority_class, rel_order_count_hist,
+# ta_source_vocab_overlap, mm_media_dedup, cur_keep_best), then
 # the long-parked stable families (ext_*, dedup_*, ann_* minus kmeans,
 # ta_* minus the r4 sketches, rel_* classics, mm_media_*).  That pool
 # exceeds 50 slots: park the overflow inside ext_* at the very end —

@@ -104,6 +104,35 @@ def test_media_dedup_matches_python(spark):
     assert any(len(m) > 1 for m in groups.values())
 
 
+# -- keep-best canonical selection per prefix group ----------------------------------
+
+
+def test_keep_best_matches_python(spark):
+    import hashlib
+
+    from document_processor_spark.operators.curation import q_cur_keep_best
+
+    groups = defaultdict(list)
+    for r in _load(spark, "documents"):
+        h = hashlib.md5(r["text"][:64].encode("utf-8")).hexdigest()
+        groups[h].append((r["doc_id"], r["n_chars"]))
+
+    rows = {r["prefix_hash"]: r for r in q_cur_keep_best(spark, SF_DIR).collect()}
+    assert set(rows) == set(groups)
+    for h, members in groups.items():
+        # best = highest quality, then LOWEST doc_id among the tied
+        best_q = max(q for _, q in members)
+        keeper = min(d for d, q in members if q == best_q)
+        r = rows[h]
+        assert r["keeper_id"] == keeper
+        assert r["best_n_chars"] == best_q
+        assert r["n_docs"] == len(members)
+    # the keep-best path must differ from keep-first on this fixture:
+    # some group's keeper must NOT be its min doc_id
+    assert any(rows[h]["keeper_id"] != min(d for d, _ in m)
+               for h, m in groups.items() if len(m) > 1)
+
+
 # -- cross-source vocabulary Jaccard overlap -----------------------------------------
 
 
