@@ -319,6 +319,106 @@ WHERE round(CAST(inter AS DOUBLE) / CAST(un AS DOUBLE), 4) >= {NGRAM_JACCARD_T}
 """
 
 
+# -- prefix-filtered set-similarity join (PPJoin-style) -------------------------------
+#
+# The exact-Jaccard pair join above bounds fan-out with a stoplist (lossy
+# at the cap).  Prefix filtering (Chaudhuri et al. SSJoin / Xiao et al.
+# PPJoin) is the LOSSLESS pruning: order every shingle set by global
+# rarity, and two sets with Jaccard >= t must share a token within their
+# first |x| - ceil(t*|x|) + 1 tokens — so only that short prefix is
+# indexed.  The oracle here is deliberately the BRUTE all-pairs join:
+# the correctness gate itself proves the pruning loses no pair.
+
+PREFIX_JACCARD_T_PPM = 300_000  # t = 0.3
+
+
+def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide (no group restriction) shingle-Jaccard pairs >= t via
+    prefix filtering.
+
+    Scale shape: shingle document-frequency is one mergeable groupBy; the
+    rarity order joins back equi on shingle (vocab-sized — NEVER
+    broadcast, module rule); per-doc sort is array_sort over the doc's
+    own shingle structs (map-side, document-bounded).  Only the
+    (1-t)·|x|+1 prefix is exploded into the index, and rare-first
+    ordering makes those posting lists the SHORTEST in the corpus — the
+    boilerplate mega-shingle lands in a prefix only for docs where
+    nothing rarer exists.  Candidates pass the size-compatibility filter
+    (t·|A| <= |B| <= |A|/t) inside the join condition; verification is
+    candidate-bounded (cand ⋈ postings on d1, then equi on (d2, s)) —
+    intersection counts are computed ONLY for surviving pairs, never all
+    pairs.  jacc_ppm = inter*1e6 div union: integer end-to-end."""
+    d = _docs(spark, sf_dir)
+    sh = _pin(d.select("doc_id", _shingles_col().alias("shingles"))
+              .filter(F.size("shingles") > 0))
+    post = sh.select("doc_id",
+                     F.size("shingles").cast("bigint").alias("n"),
+                     F.explode("shingles").alias("s"))
+    dfreq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    t = F.lit(PREFIX_JACCARD_T_PPM).cast("bigint")
+    # prefix length p = n - ceil(t*n) + 1, in exact integer math
+    p = (F.col("n")
+         - ((t * F.col("n") + F.lit(999_999)) / F.lit(1_000_000))
+         .cast("bigint") + F.lit(1))
+    ordered = (post.join(dfreq, "s")  # equi on shingle, vocab never broadcast
+               .groupBy("doc_id", "n")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col("df_s"), F.col("s")))).alias("by_rarity")))
+    prefix = (ordered
+              .select("doc_id", "n",
+                      F.explode(F.slice("by_rarity", 1, p)).alias("tok"))
+              .select("doc_id", "n", F.col("tok.s").alias("s")))
+    a = prefix.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"),
+                      "s")
+    b = prefix.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"),
+                      "s")
+    million = F.lit(1_000_000).cast("bigint")
+    cand = (a.join(b, (a.s == b.s) & (F.col("d1") < F.col("d2"))
+                   & (F.col("n2") * million >= t * F.col("n1"))
+                   & (F.col("n1") * million >= t * F.col("n2")))
+            .select("d1", "d2").distinct())
+    p1 = post.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"),
+                     "s")
+    p2 = post.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"),
+                     "s")
+    inter = (cand.join(p1, "d1")          # candidate-bounded fan-out
+             .join(p2, ["d2", "s"])
+             .groupBy("d1", "d2", "n1", "n2")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    uni = F.col("n1") + F.col("n2") - F.col("inter")
+    return (inter
+            .select("d1", "d2", F.col("inter").cast("bigint").alias("inter"),
+                    uni.cast("bigint").alias("uni"),
+                    F.expr("inter * 1000000 div (n1 + n2 - inter)")
+                    .cast("bigint").alias("jacc_ppm"))
+            .filter(F.col("jacc_ppm") >= PREFIX_JACCARD_T_PPM))
+
+
+SQL_DEDUP_PREFIX_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text,' ')) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 2),
+                     i -> string_split(text,' ')[i] || ' ' ||
+                          string_split(text,' ')[i+1] || ' ' ||
+                          string_split(text,' ')[i+2]))
+              ELSE [] END AS w
+  FROM documents
+), ne AS (SELECT * FROM sh WHERE len(w) > 0),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         len(list_intersect(a.w, b.w)) AS inter,
+         len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS un
+  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+)
+SELECT d1, d2, CAST(inter AS BIGINT) AS inter, CAST(un AS BIGINT) AS uni,
+       CAST((inter * 1000000) // un AS BIGINT) AS jacc_ppm
+FROM pairs
+WHERE (inter * 1000000) // un >= {PREFIX_JACCARD_T_PPM}
+"""
+
+
 # -- SimHash --------------------------------------------------------------------------
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1389,6 +1489,8 @@ QUERIES = {
                                    _sql_embedding_lsh()),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_prefix_jaccard": (q_dedup_prefix_jaccard,
+                             SQL_DEDUP_PREFIX_JACCARD),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),

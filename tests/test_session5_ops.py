@@ -72,6 +72,42 @@ def test_order_count_hist_matches_python(spark):
     assert sum(rows.values()) == len(_load(spark, "customer"))
 
 
+# -- prefix-filtered set-similarity join (PPJoin-style) -------------------------------
+
+
+def _py_shingles(text):
+    ws = text.split(" ")
+    if len(ws) < 3:
+        return set()
+    return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+
+def test_prefix_jaccard_matches_bruteforce(spark):
+    from document_processor_spark.operators.dedup import (
+        PREFIX_JACCARD_T_PPM,
+        q_dedup_prefix_jaccard,
+    )
+
+    sets = {r["doc_id"]: _py_shingles(r["text"])
+            for r in _load(spark, "documents")}
+    sets = {d: s for d, s in sets.items() if s}
+    expect = {}
+    ids = sorted(sets)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1:]:
+            inter = len(sets[d1] & sets[d2])
+            uni = len(sets[d1] | sets[d2])
+            ppm = (inter * 1_000_000) // uni
+            if ppm >= PREFIX_JACCARD_T_PPM:
+                expect[(d1, d2)] = (inter, uni, ppm)
+
+    rows = {(r["d1"], r["d2"]): (r["inter"], r["uni"], r["jacc_ppm"])
+            for r in q_dedup_prefix_jaccard(spark, SF_DIR).collect()}
+    # the prefix filter must be LOSSLESS: exactly the brute-force answer
+    assert rows == expect
+    assert expect, "fixture must contain at least one qualifying pair"
+
+
 # -- exact media dedup over the binary payload ---------------------------------------
 
 
