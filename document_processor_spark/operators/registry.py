@@ -20,14 +20,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # long-stable green families into the tail.
 #
 # ROUND-5 ROTATION PLAN: once r4 lands driver rows for the names below,
-# swap this list for the queries with no r4 row: FIRST the never-checked
-# session-4 additions (rel_json_props, rel_range_join, rel_gapfill_locf,
-# rel_moments_corr, rel_local_supplier_volume, rel_skew_salted_join,
-# rel_large_orders,
-# cur_url_dedup, cur_score_normalize, ta_bpe_encode, ta_sentence_stats,
-# ta_phrase_search, dedup_triangles,
-# and the session-5 additions: rel_priority_class, rel_order_count_hist,
-# ta_source_vocab_overlap, mm_media_dedup, cur_keep_best), then
+# swap this list for the queries with no r4 row: FIRST the 19 that have
+# never had a driver row in ANY round (exact list, recomputed against
+# CORRECTNESS_r01..r03 at the 119-query surface):
+# rel_json_props, rel_range_join, rel_gapfill_locf, rel_moments_corr,
+# rel_local_supplier_volume, rel_skew_salted_join, rel_large_orders,
+# rel_priority_class, rel_order_count_hist,
+# cur_url_dedup, cur_score_normalize, cur_keep_best,
+# ta_bpe_encode, ta_sentence_stats, ta_phrase_search,
+# ta_source_vocab_overlap, dedup_triangles, dedup_prefix_jaccard,
+# mm_media_dedup, rel_waiting_suppliers, rel_idle_customers — then
 # the long-parked stable families (ext_*, dedup_*, ann_* minus kmeans,
 # ta_* minus the r4 sketches, rel_* classics, mm_media_*).  That pool
 # exceeds 50 slots: park the overflow inside ext_* at the very end —

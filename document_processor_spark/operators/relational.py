@@ -1131,8 +1131,130 @@ FROM g
 """
 
 
+# -- sole-blamed supplier per multi-supplier order (TPC-H Q21 shape) -----------
+#
+# Q21's EXISTS / NOT EXISTS pair ("another supplier participated in the
+# order" / "no OTHER supplier also failed") is the classic correlated-
+# subquery shape.  The fixture lineitem has no commit/receipt dates, so
+# "failed" is proxied by l_returnflag = 'R'.
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier: count of returned ('R') line items in multi-supplier
+    orders where THIS supplier is the only one with a returned item.
+
+    Scale shape: the two correlated subqueries are rewritten as ONE
+    mergeable per-order aggregation — n_supp = countDistinct(suppkey),
+    n_bad = countDistinct(suppkey | flag='R') — instead of the textbook
+    two lineitem self-joins (each a full fact-fact shuffle; at 10^12
+    rows the naive plan shuffles the fact table three times, this plan
+    once).  EXISTS ⇔ n_supp >= 2; NOT EXISTS ⇔ n_bad = 1, with the bad
+    supplier carried out of the same aggregate via the min-over-matches
+    trick (min of a when(): exactly one distinct value survives the
+    n_bad = 1 filter, so min IS the value), and that supplier's 'R'
+    line-item count (what the textbook plan counts — one per l1 row,
+    not one per order) summed alongside, valid because n_bad = 1 means
+    every 'R' row in the order is that supplier's.  The supplier dim joins
+    broadcast.  The ORACLE is deliberately the textbook correlated
+    EXISTS / NOT EXISTS — the gate proves the single-pass rewrite."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_returnflag"))
+    is_r = F.col("l_returnflag") == "R"
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(
+                          F.when(is_r, F.col("l_suppkey"))).alias("n_bad"),
+                      F.min(F.when(is_r, F.col("l_suppkey")))
+                       .alias("bad_supp"),
+                      F.sum(F.when(is_r, 1).otherwise(0))
+                       .alias("n_bad_rows")))
+    sole = (per_order
+            .filter((F.col("n_supp") >= 2) & (F.col("n_bad") == 1))
+            .select(F.col("bad_supp").alias("s_suppkey"), "n_bad_rows"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (sole.join(F.broadcast(s), "s_suppkey")
+            .groupBy("s_name")
+            .agg(F.sum("n_bad_rows").cast("bigint").alias("numwait")))
+
+
+SQL_WAITING_SUPPLIERS = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1
+WHERE s_suppkey = l1.l_suppkey
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
+# -- above-average balance, never ordered (TPC-H Q22 shape) ---------------------
+
+IDLE_CUTOFF = "2000-01-01"
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: count + total balance of customers whose account
+    balance is above the average positive balance AND who have placed
+    no RECENT order (none since IDLE_CUTOFF — the fixture has no
+    order-free customers, so lapsed-since-cutoff keeps the anti-join
+    non-vacuous) — the scalar-subquery + anti-join shape.
+
+    Scale shape: the scalar threshold is one full-fold aggregate reduced
+    to a single row and broadcast (crossJoin of a 1-row side is a
+    BroadcastNestedLoopJoin over ONE row — free); the "no recent order"
+    NOT EXISTS is a left ANTI join against the date-filtered (pushed to
+    the scan) and pre-deduplicated custkey projection of orders
+    (distinct first, so the anti probe moves one row per customer, not
+    one per order).  Float discipline: balances are exact integer cents
+    end-to-end, and the above-average test is cross-multiplied
+    (cents * n_pos > sum_cents) so neither engine ever divides — the
+    boundary is decided in exact integer math."""
+    c = (_t(spark, sf_dir, "customer")
+         .select("c_custkey", "c_nationkey",
+                 F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+                 .alias("cents")))
+    pos = c.filter(F.col("cents") > 0)
+    stats = pos.agg(F.sum("cents").alias("sum_cents"),
+                    F.count(F.lit(1)).alias("n_pos"))
+    rich = (c.crossJoin(F.broadcast(stats))
+            .filter(F.col("cents") * F.col("n_pos") > F.col("sum_cents")))
+    ordered = (_t(spark, sf_dir, "orders")
+               .filter(F.col("o_orderdate") >= F.lit(IDLE_CUTOFF))
+               .select("o_custkey").distinct())
+    idle = rich.join(ordered, rich.c_custkey == ordered.o_custkey,
+                     "left_anti")
+    return (idle.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("numcust"),
+                 F.sum("cents").cast("bigint").alias("totacctbal_cents")))
+
+
+SQL_IDLE_CUSTOMERS = f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+FROM c
+WHERE cents * (SELECT count(*) FROM c WHERE cents > 0)
+      > (SELECT sum(cents) FROM c WHERE cents > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{IDLE_CUTOFF} 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "rel_waiting_suppliers": (q_waiting_suppliers, SQL_WAITING_SUPPLIERS),
+    "rel_idle_customers": (q_idle_customers, SQL_IDLE_CUSTOMERS),
     "rel_json_props": (q_json_props, SQL_JSON_PROPS),
     "rel_range_join": (q_range_join, SQL_RANGE_JOIN),
     "rel_gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),

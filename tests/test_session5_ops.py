@@ -196,3 +196,62 @@ def test_source_vocab_overlap_matches_python(spark):
         assert r["jacc_ppm"] == (inter * 1_000_000) // uni
     # overlap is symmetric-by-construction: only a<b pairs are emitted
     assert all(a < b for a, b in rows)
+
+
+# -- TPC-H Q21-shape sole-blamed supplier ---------------------------------------------
+
+
+def test_waiting_suppliers_matches_python(spark):
+    from document_processor_spark.operators.relational import (
+        q_waiting_suppliers,
+    )
+
+    supp_of, bad_of, bad_rows = (defaultdict(set), defaultdict(set),
+                                 Counter())
+    for r in _load(spark, "lineitem"):
+        supp_of[r["l_orderkey"]].add(r["l_suppkey"])
+        if r["l_returnflag"] == "R":
+            bad_of[r["l_orderkey"]].add(r["l_suppkey"])
+            bad_rows[(r["l_orderkey"], r["l_suppkey"])] += 1
+    names = {r["s_suppkey"]: r["s_name"] for r in _load(spark, "supplier")}
+    expect = Counter()
+    for ok, supps in supp_of.items():
+        if len(supps) >= 2 and len(bad_of[ok]) == 1:
+            (bad,) = bad_of[ok]
+            expect[names[bad]] += bad_rows[(ok, bad)]
+
+    rows = {r["s_name"]: r["numwait"]
+            for r in q_waiting_suppliers(spark, SF_DIR).collect()}
+    assert rows == dict(expect)
+    assert rows, "fixture must produce at least one sole-blamed supplier"
+
+
+# -- TPC-H Q22-shape idle above-average customers -------------------------------------
+
+
+def test_idle_customers_matches_python(spark):
+    import datetime
+
+    from document_processor_spark.operators.relational import (
+        IDLE_CUTOFF,
+        q_idle_customers,
+    )
+
+    cents = {r["c_custkey"]: round(r["c_acctbal"] * 100)
+             for r in _load(spark, "customer")}
+    nation = {r["c_custkey"]: r["c_nationkey"]
+              for r in _load(spark, "customer")}
+    pos = [v for v in cents.values() if v > 0]
+    cutoff = datetime.datetime.fromisoformat(IDLE_CUTOFF)
+    recent = {r["o_custkey"] for r in _load(spark, "orders")
+              if r["o_orderdate"] >= cutoff}
+    expect_n, expect_tot = Counter(), Counter()
+    for ck, v in cents.items():
+        if v * len(pos) > sum(pos) and ck not in recent:
+            expect_n[nation[ck]] += 1
+            expect_tot[nation[ck]] += v
+
+    rows = {r["c_nationkey"]: (r["numcust"], r["totacctbal_cents"])
+            for r in q_idle_customers(spark, SF_DIR).collect()}
+    assert rows == {k: (expect_n[k], expect_tot[k]) for k in expect_n}
+    assert rows, "fixture must leave at least one idle rich customer"
