@@ -124,6 +124,11 @@ NOTES = {
         "one crossJoin of the corpus with the broadcast 1-ROW pivoted "
         "merge table — constant-size side; encoding itself is map-side "
         "string algebra, the corpus is never shuffled"),
+    "rel_idle_customers": (
+        "crossJoin with a broadcast 1-ROW aggregate (positive-balance "
+        "sum + count for the cross-multiplied above-average test) — "
+        "constant-size side; the no-recent-order check is a left ANTI "
+        "equi-join"),
 }
 
 HEADER = '''# PLANS.md — physical-plan audit of the driver query surface
