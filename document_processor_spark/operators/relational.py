@@ -1251,10 +1251,106 @@ GROUP BY c_nationkey
 """
 
 
+# -- EXISTS semi-join priority count (TPC-H Q4 shape) ---------------------------
+
+def q_priority_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per priority, within a date window, that have at least one
+    returned ('R') line item — Q4's EXISTS as a LEFT SEMI join.
+
+    Scale shape: the date window is pushed to the orders scan; the
+    EXISTS probe is a left SEMI join (first match short-circuits — no
+    fan-out, no distinct needed on the 10^12-row lineitem side, and the
+    probe side ships only l_orderkey after the flag filter prunes it).
+    Counting after the semi join is one mergeable integer groupBy.  The
+    ORACLE stays in correlated EXISTS form — the gate proves the
+    semi-join de-correlation."""
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                 & (F.col("o_orderdate") < F.lit("1996-07-01")))
+         .select("o_orderkey", "o_orderpriority"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey"))
+    return (o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("order_count")))
+
+
+SQL_PRIORITY_WAIT = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+# -- promo revenue share per ship month (TPC-H Q14 shape) ------------------------
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per ship month: the fraction (ppm) of discounted revenue coming
+    from PROMO-type parts — the broadcast-dimension join + conditional
+    ratio aggregate.
+
+    Scale shape: part is a true dimension (bounded by the catalog, not
+    the fact volume) — explicitly broadcast, so the 10^12-row lineitem
+    side never shuffles for the join; the month rollup is the only
+    exchange and its partial aggregates are mergeable.  Float
+    discipline: revenue = price·(1−discount) is computed entirely in
+    DECIMAL (exact at scale 4), quantized to integer 1e-4 units, and the
+    promo share is integer-divided to ppm — both engines agree
+    bit-for-bit with no float fold anywhere.  Month keys are formatted
+    from the stored timestamp (no session-timezone dependency — module
+    time discipline)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (_t(spark, sf_dir, "part")
+         .select("p_partkey", (F.col("p_type") == "PROMO").alias("promo")))
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    rev = dp * (F.lit(1).cast("decimal(18,2)") - dd)
+    month = F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    agg = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .groupBy(month)
+           .agg((F.sum(F.when(F.col("promo"), rev)
+                       .otherwise(F.lit(0).cast("decimal(18,2)")))
+                 * 10000).cast("bigint").alias("promo_units"),
+                (F.sum(rev) * 10000).cast("bigint").alias("all_units")))
+    return agg.select(
+        "ship_month", "promo_units", "all_units",
+        F.expr("promo_units * 1000000 div all_units").cast("bigint")
+        .alias("promo_ppm"))
+
+
+SQL_PROMO_SHARE = """
+WITH j AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+         AS rev,
+         p_type = 'PROMO' AS promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT ship_month,
+       CAST(sum(CASE WHEN promo THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END)
+            * 10000 AS BIGINT) AS promo_units,
+       CAST(sum(rev) * 10000 AS BIGINT) AS all_units,
+       CAST((CAST(sum(CASE WHEN promo THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,2)) END)
+                  * 10000 AS BIGINT) * 1000000)
+            // CAST(sum(rev) * 10000 AS BIGINT) AS BIGINT) AS promo_ppm
+FROM j
+GROUP BY ship_month
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "rel_waiting_suppliers": (q_waiting_suppliers, SQL_WAITING_SUPPLIERS),
     "rel_idle_customers": (q_idle_customers, SQL_IDLE_CUSTOMERS),
+    "rel_priority_wait": (q_priority_wait, SQL_PRIORITY_WAIT),
+    "rel_promo_share": (q_promo_share, SQL_PROMO_SHARE),
     "rel_json_props": (q_json_props, SQL_JSON_PROPS),
     "rel_range_join": (q_range_join, SQL_RANGE_JOIN),
     "rel_gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),

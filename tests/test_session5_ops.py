@@ -255,3 +255,59 @@ def test_idle_customers_matches_python(spark):
             for r in q_idle_customers(spark, SF_DIR).collect()}
     assert rows == {k: (expect_n[k], expect_tot[k]) for k in expect_n}
     assert rows, "fixture must leave at least one idle rich customer"
+
+
+# -- TPC-H Q4-shape EXISTS semi-join priority count ------------------------------------
+
+
+def test_priority_wait_matches_python(spark):
+    import datetime
+
+    from document_processor_spark.operators.relational import (
+        q_priority_wait,
+    )
+
+    has_r = {r["l_orderkey"] for r in _load(spark, "lineitem")
+             if r["l_returnflag"] == "R"}
+    lob = datetime.datetime(1996, 1, 1)
+    hib = datetime.datetime(1996, 7, 1)
+    expect = Counter(r["o_orderpriority"] for r in _load(spark, "orders")
+                     if lob <= r["o_orderdate"] < hib
+                     and r["o_orderkey"] in has_r)
+
+    rows = {r["o_orderpriority"]: r["order_count"]
+            for r in q_priority_wait(spark, SF_DIR).collect()}
+    assert rows == dict(expect)
+    assert rows, "fixture must have returned orders in the window"
+
+
+# -- TPC-H Q14-shape promo revenue share ------------------------------------------------
+
+
+def test_promo_share_matches_python(spark):
+    from decimal import Decimal
+
+    from document_processor_spark.operators.relational import q_promo_share
+
+    promo = {r["p_partkey"]: r["p_type"] == "PROMO"
+             for r in _load(spark, "part")}
+    units, promo_units = Counter(), Counter()
+    q2 = Decimal("0.01")
+    for r in _load(spark, "lineitem"):
+        m = r["l_shipdate"].strftime("%Y-%m")
+        rev = (Decimal(r["l_extendedprice"]).quantize(q2)
+               * (1 - Decimal(r["l_discount"]).quantize(q2)))
+        u = int(rev * 10000)
+        units[m] += u
+        if promo[r["l_partkey"]]:
+            promo_units[m] += u
+
+    rows = {r["ship_month"]: (r["promo_units"], r["all_units"],
+                              r["promo_ppm"])
+            for r in q_promo_share(spark, SF_DIR).collect()}
+    expect = {m: (promo_units[m], units[m],
+                  (promo_units[m] * 1_000_000) // units[m])
+              for m in units}
+    assert rows == expect
+    assert any(p for p, _a, _r in rows.values()), \
+        "fixture must contain promo revenue"
