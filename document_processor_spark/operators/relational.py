@@ -1251,6 +1251,53 @@ GROUP BY c_nationkey
 """
 
 
+# -- event-sequence transition mining (first-order Markov counts) ----------------
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for every ordered (prev_type -> event_type) step, the count and the
+    per-source transition probability in ppm.
+
+    Scale shape: ONE shuffle — the lag window partitions by user_id
+    (state per task is one row, streaming frame), and the transition
+    count groupBy is mergeable map-side.  The per-source normalizer
+    reuses the transition counts (groupBy prev_type over the already
+    TINY |states|² aggregate — bounded by the event-type vocabulary,
+    not the event volume) and joins back broadcast.  Ordering is total
+    and deterministic: (ts, event_id) — ts ties cannot reorder across
+    engines.  Probability is integer ppm: count * 1e6 div row-total."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (ev.withColumn("prev_type", F.lag("event_type").over(w))
+             .filter(F.col("prev_type").isNotNull()))
+    trans = (steps.groupBy("prev_type", "event_type")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    totals = (trans.groupBy("prev_type")
+              .agg(F.sum("n").alias("n_from")))
+    return (trans.join(F.broadcast(totals), "prev_type")
+            .select("prev_type", "event_type", "n",
+                    F.expr("n * 1000000 div n_from").cast("bigint")
+                    .alias("prob_ppm")))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type
+  FROM events
+), trans AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM steps WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n,
+       CAST((n * 1000000) // sum(n) OVER (PARTITION BY prev_type)
+            AS BIGINT) AS prob_ppm
+FROM trans
+"""
+
+
 # -- EXISTS semi-join priority count (TPC-H Q4 shape) ---------------------------
 
 def q_priority_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1351,6 +1398,7 @@ QUERIES = {
     "rel_idle_customers": (q_idle_customers, SQL_IDLE_CUSTOMERS),
     "rel_priority_wait": (q_priority_wait, SQL_PRIORITY_WAIT),
     "rel_promo_share": (q_promo_share, SQL_PROMO_SHARE),
+    "rel_event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "rel_json_props": (q_json_props, SQL_JSON_PROPS),
     "rel_range_join": (q_range_join, SQL_RANGE_JOIN),
     "rel_gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),

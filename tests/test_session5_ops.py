@@ -311,3 +311,39 @@ def test_promo_share_matches_python(spark):
     assert rows == expect
     assert any(p for p, _a, _r in rows.values()), \
         "fixture must contain promo revenue"
+
+
+# -- first-order Markov transition counts over event sequences ---------------------------
+
+
+def test_event_transitions_matches_python(spark):
+    from document_processor_spark.operators.relational import (
+        q_event_transitions,
+    )
+
+    seqs = defaultdict(list)
+    for r in _load(spark, "events"):
+        seqs[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    trans = Counter()
+    for evs in seqs.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            trans[(a, b)] += 1
+    totals = Counter()
+    for (a, _b), n in trans.items():
+        totals[a] += n
+
+    rows = {(r["prev_type"], r["event_type"]): (r["n"], r["prob_ppm"])
+            for r in q_event_transitions(spark, SF_DIR).collect()}
+    expect = {(a, b): (n, (n * 1_000_000) // totals[a])
+              for (a, b), n in trans.items()}
+    assert rows == expect
+    # every source state's probabilities must nearly sum to 1 (floor loss
+    # bounded by the number of distinct targets)
+    by_src = defaultdict(int)
+    n_tgt = Counter()
+    for (a, _b), (_n, ppm) in rows.items():
+        by_src[a] += ppm
+        n_tgt[a] += 1
+    for a, s in by_src.items():
+        assert 1_000_000 - n_tgt[a] < s <= 1_000_000
