@@ -1298,6 +1298,66 @@ FROM trans
 """
 
 
+# -- time-weighted average over event intervals ----------------------------------
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: the time-weighted average of `value` — each reading
+    weighted by how long it was in effect (until the user's next event).
+    The numeric-integration shape behind TWAP pricing, uptime-weighted
+    gauges, and duration-weighted metric rollups.
+
+    Scale shape: ONE shuffle — the lead window partitions by user_id
+    (streaming frame, one row of state), the weighted fold is a
+    mergeable per-user groupBy on the same partitioning (no second
+    exchange: Catalyst reuses the window's hash partitioning for the
+    aggregation).  Exactness: durations are integer MICROSECONDS
+    (timestampdiff — no float time math), values are floor-quantized to
+    integer 1e-6 units once (bit-identical on both engines since they
+    read the same doubles), and the weighted sum accumulates in
+    DECIMAL(38,0) — unit·µs products reach ~1e18, one overflow away
+    from BIGINT — so partial-agg order cannot change a single bit.
+    The last reading of each user has no successor and integrates to
+    zero weight (dropped), matching the oracle row-for-row."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = (ev.withColumn("next_ts", F.lead("ts").over(w))
+               .filter(F.col("next_ts").isNotNull()))
+    dt = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+    vu = F.floor(F.col("value") * 1_000_000).cast("decimal(38,0)")
+    return (stepped
+            .groupBy("user_id")
+            .agg(F.sum(vu * dt.cast("decimal(38,0)")).alias("wv"),
+                 F.sum(dt.cast("decimal(38,0)")).alias("wt"))
+            .filter(F.col("wt") > 0)
+            # `div` = exact integral division on DECIMAL (no intermediate
+            # rounded quotient); values are non-negative so truncating and
+            # flooring (DuckDB //) agree
+            .select("user_id",
+                    F.col("wt").cast("bigint").alias("held_us"),
+                    F.expr("wv div wt").cast("bigint")
+                    .alias("twap_units")))
+
+
+SQL_TWAP = """
+WITH stepped AS (
+  SELECT user_id,
+         CAST(floor(value * 1000000) AS HUGEINT) AS vu,
+         CAST(datediff('microsecond', ts,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)) AS HUGEINT)
+         AS dt
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(dt) AS BIGINT) AS held_us,
+       CAST(sum(vu * dt) // sum(dt) AS BIGINT) AS twap_units
+FROM stepped
+WHERE dt IS NOT NULL
+GROUP BY user_id
+HAVING sum(dt) > 0
+"""
+
+
 # -- EXISTS semi-join priority count (TPC-H Q4 shape) ---------------------------
 
 def q_priority_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1399,6 +1459,7 @@ QUERIES = {
     "rel_priority_wait": (q_priority_wait, SQL_PRIORITY_WAIT),
     "rel_promo_share": (q_promo_share, SQL_PROMO_SHARE),
     "rel_event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "rel_twap": (q_twap, SQL_TWAP),
     "rel_json_props": (q_json_props, SQL_JSON_PROPS),
     "rel_range_join": (q_range_join, SQL_RANGE_JOIN),
     "rel_gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),

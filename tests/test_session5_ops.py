@@ -347,3 +347,32 @@ def test_event_transitions_matches_python(spark):
         n_tgt[a] += 1
     for a, s in by_src.items():
         assert 1_000_000 - n_tgt[a] < s <= 1_000_000
+
+
+# -- time-weighted average over event intervals ------------------------------------------
+
+
+def test_twap_matches_python(spark):
+    from math import floor
+
+    from document_processor_spark.operators.relational import q_twap
+
+    seqs = defaultdict(list)
+    for r in _load(spark, "events"):
+        seqs[r["user_id"]].append((r["ts"], r["event_id"], r["value"]))
+    expect = {}
+    for uid, evs in seqs.items():
+        evs.sort()
+        wv = wt = 0
+        for (t0, _e0, v), (t1, _e1, _v1) in zip(evs, evs[1:]):
+            d = t1 - t0  # exact integer microseconds, no float time math
+            dt = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+            wv += floor(v * 1_000_000) * dt
+            wt += dt
+        if wt > 0:
+            expect[uid] = (wt, wv // wt)
+
+    rows = {r["user_id"]: (r["held_us"], r["twap_units"])
+            for r in q_twap(spark, SF_DIR).collect()}
+    assert rows == expect
+    assert rows, "fixture must have users with >1 event"
