@@ -1500,7 +1500,69 @@ JOIN sizes sb ON i.source_b = sb.source
 """
 
 
+# -- skip-gram training-pair generation (word2vec-style) -------------------------------
+
+SKIPGRAM_WINDOW = 2    # symmetric context window (±2 tokens)
+SKIPGRAM_MIN = 3       # min pair support in the output
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(center, context, n) corpus counts of skip-gram pairs within a
+    symmetric ±SKIPGRAM_WINDOW token window — the training-pair
+    generation stage of word2vec/GloVe-style embedding pipelines.
+
+    Scale shape: pair expansion is MAP-ONLY array algebra inside
+    whole-stage codegen — for each offset k the per-doc token array
+    yields its (w[i], w[i+k]) struct array via transform(slice(...)),
+    fan-out bounded by window·|doc|, no shuffle until the count; the
+    count is ONE mergeable hash groupBy on the pair.  Symmetry
+    (context on either side) is the map-side swap of the same forward
+    arrays, never a second pass over the corpus.  The support filter
+    is applied after the aggregate (HAVING), so the shuffle moves
+    partial counts, not raw pairs.  Pure integer output."""
+    ws = F.split(F.lower("text"), " ", -1)
+    fwd = [F.expr(
+        f"transform(slice(ws, 1, greatest(size(ws) - {k}, 0)), "
+        f"(w, i) -> struct(w AS a, element_at(ws, i + 1 + {k}) AS b))")
+        for k in range(1, SKIPGRAM_WINDOW + 1)]
+    pairs = (_docs(spark, sf_dir)
+             .filter(F.col("text").isNotNull())
+             .select(ws.alias("ws"))
+             .select(F.explode(F.concat(*fwd)).alias("p"))
+             .select(F.col("p.a").alias("a"), F.col("p.b").alias("b")))
+    sym = pairs.select(F.col("a").alias("center"),
+                       F.col("b").alias("context")).unionAll(
+        pairs.select(F.col("b").alias("center"),
+                     F.col("a").alias("context")))
+    return (sym.groupBy("center", "context")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .filter(F.col("n") >= SKIPGRAM_MIN))
+
+
+def _sql_skipgram() -> str:
+    ks = range(1, SKIPGRAM_WINDOW + 1)
+    arms = " || ".join(
+        f"list_transform(generate_series(1, greatest(len(ws) - {k}, 0)), "
+        f"i -> {{'a': ws[i], 'b': ws[i + {k}]}})" for k in ks)
+    return f"""
+WITH toks AS (
+  SELECT string_split(lower(text), ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+), fwd AS (
+  SELECT unnest({arms}) AS p FROM toks
+), sym AS (
+  SELECT p.a AS center, p.b AS context FROM fwd
+  UNION ALL
+  SELECT p.b AS center, p.a AS context FROM fwd
+)
+SELECT center, context, CAST(count(*) AS BIGINT) AS n
+FROM sym GROUP BY center, context
+HAVING count(*) >= {SKIPGRAM_MIN}
+"""
+
+
 QUERIES = {
+    "ta_skipgram_pairs": (q_skipgram_pairs, _sql_skipgram()),
     "ta_corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "ta_source_vocab_overlap": (q_source_vocab_overlap,
                                 SQL_SOURCE_VOCAB_OVERLAP),

@@ -376,3 +376,33 @@ def test_twap_matches_python(spark):
             for r in q_twap(spark, SF_DIR).collect()}
     assert rows == expect
     assert rows, "fixture must have users with >1 event"
+
+
+# -- skip-gram training-pair generation ----------------------------------------------
+
+
+def test_skipgram_pairs_matches_python(spark):
+    from document_processor_spark.operators.text_analysis import (
+        SKIPGRAM_MIN,
+        SKIPGRAM_WINDOW,
+        q_skipgram_pairs,
+    )
+
+    counts = Counter()
+    for r in _load(spark, "documents"):
+        if r["text"] is None:
+            continue
+        ws = r["text"].lower().split(" ")
+        for i, w in enumerate(ws):
+            for k in range(1, SKIPGRAM_WINDOW + 1):
+                if i + k < len(ws):
+                    counts[(w, ws[i + k])] += 1
+                    counts[(ws[i + k], w)] += 1
+    expect = {p: n for p, n in counts.items() if n >= SKIPGRAM_MIN}
+
+    rows = {(r["center"], r["context"]): r["n"]
+            for r in q_skipgram_pairs(spark, SF_DIR).collect()}
+    assert rows == expect
+    assert rows, "fixture must produce supported skip-gram pairs"
+    # symmetric window: the count matrix must be symmetric
+    assert all(rows.get((b, a)) == n for (a, b), n in rows.items())
