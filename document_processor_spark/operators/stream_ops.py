@@ -567,7 +567,74 @@ FROM events c JOIN events p
 """
 
 
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC dimension enrichment: the events stream inner-joins
+    the static customer table on user_id per micro-batch, then rolls up
+    per market segment — the live-ingest analog of the batch broadcast
+    dimension join, and the one streaming join flavor the surface was
+    missing (stream-stream is stream_join_attribution).
+
+    Scale shape: a stream-static join keeps NO join state — the static
+    side is (re)broadcast per micro-batch and each batch joins
+    stateless, so state is owned entirely by the downstream aggregate,
+    whose keys are bounded by |segments|, not the stream.  Two staged
+    copies of the events file with maxFilesPerTrigger=1 force the join
+    to actually run across ≥2 micro-batches; the doubled counts prove
+    every batch hit the dimension (the oracle doubles accordingly).
+    Sums cross batch boundaries in DECIMAL(18,4) (associative), cast
+    back to double only in the returned plan."""
+    df, _q = _run_static_enrich(spark, sf_dir)
+    return df
+
+
+def _run_static_enrich(spark: SparkSession, sf_dir: str):
+    """Body of q_stream_static_enrich; returns (result df, finished query)
+    so tests can assert from recentProgress that the stateless join ran
+    across >= 2 micro-batches (the hash gate only proves the doubled
+    totals)."""
+    name = _sink_name(spark, "stream_se_sink")
+    base = Path(tempfile.mkdtemp(prefix="stream_se_"))
+    try:
+        inp = base / "in"
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev.coalesce(1).write.parquet(str(inp))
+        part = next(inp.glob("part-*.parquet"))
+        shutil.copy(part, inp / f"again-{part.name}")
+        dim = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+               .select("c_custkey", "c_mktsegment"))
+        with _utc_session(spark), _pinned_state_partitions(spark):
+            src = (spark.readStream.schema(EVENTS_DDL)
+                   .option("maxFilesPerTrigger", 1).parquet(str(inp)))
+            joined = src.join(F.broadcast(dim),
+                              src.user_id == dim.c_custkey)
+            agg = (joined.groupBy("c_mktsegment")
+                   .agg(F.count(F.lit(1)).alias("n_events"),
+                        F.sum(F.col("value").cast("decimal(18,4)"))
+                        .alias("sv")))
+            q = (agg.writeStream.outputMode("complete").format("memory")
+                 .queryName(name)
+                 .option("checkpointLocation", str(base / "ckpt"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return (spark.table(name)
+            .select("c_mktsegment", "n_events",
+                    F.col("sv").cast("double").alias("sum_value")), q)
+
+
+SQL_STREAM_STATIC_ENRICH = """
+SELECT c_mktsegment,
+       2 * count(*) AS n_events,
+       CAST(2 * sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
+    "stream_static_enrich": (q_stream_static_enrich,
+                             SQL_STREAM_STATIC_ENRICH),
     "stream_tumbling_hourly": (q_stream_tumbling_hourly,
                                SQL_STREAM_TUMBLING_HOURLY),
     "stream_dedup_replay": (q_stream_dedup_replay, SQL_STREAM_DEDUP_REPLAY),

@@ -406,3 +406,29 @@ def test_skipgram_pairs_matches_python(spark):
     assert rows, "fixture must produce supported skip-gram pairs"
     # symmetric window: the count matrix must be symmetric
     assert all(rows.get((b, a)) == n for (a, b), n in rows.items())
+
+
+# -- stream-static dimension enrichment ---------------------------------------------
+
+
+def test_stream_static_enrich_crosses_micro_batches(spark):
+    from document_processor_spark.operators.stream_ops import (
+        _run_static_enrich,
+    )
+
+    seg = {r["c_custkey"]: r["c_mktsegment"]
+           for r in _load(spark, "customer")}
+    n, sv = Counter(), defaultdict(float)
+    for r in _load(spark, "events"):
+        s = seg[r["user_id"]]
+        n[s] += 2          # two staged copies -> every event ingested twice
+        sv[s] += 2 * r["value"]
+
+    df, q = _run_static_enrich(spark, SF_DIR)
+    rows = {r["c_mktsegment"]: r for r in df.collect()}
+    assert {s: r["n_events"] for s, r in rows.items()} == dict(n)
+    for s, r in rows.items():
+        assert abs(r["sum_value"] - sv[s]) < 1e-6 * max(1.0, abs(sv[s]))
+    # the stateless join must have run in >= 2 micro-batches (1 file each)
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 2
