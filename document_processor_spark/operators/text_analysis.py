@@ -1561,8 +1561,92 @@ HAVING count(*) >= {SKIPGRAM_MIN}
 """
 
 
+# -- TextRank keyword extraction --------------------------------------------------------
+
+TEXTRANK_ITERS = 3
+TEXTRANK_DAMP = 0.85
+TEXTRANK_K = 20
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TextRank (Mihalcea & Tarau): weighted PageRank over the
+    word co-occurrence graph, top-TEXTRANK_K words — unsupervised keyword
+    extraction as a composition of two operators this engine already has
+    (skip-gram pair counts as the weighted edge list + the unrolled
+    damped-propagation loop of dedup_pagerank).
+
+    Scale shape per round: one equi-join on the source word (same key
+    every round, edges pinned once — the pair counting never re-runs) +
+    one groupBy(dest) whose incoming float sum is the repo's value-sorted
+    exact-order fold, so the unrolled ANSI oracle replays it bit-exactly.
+    Edge support >= SKIPGRAM_MIN prunes the hapax tail (documented
+    coverage bound — the dropped mass is the long tail that cannot rank).
+    Global top-k is TakeOrderedAndProject on (rank desc, word): the
+    deterministic tie-break keeps the boundary stable across engines.
+    Ranks integer-quantized (floor(rank*1e6))."""
+    from .dedup import _pin
+
+    edges = _pin(q_skipgram_pairs(spark, sf_dir)
+                 .select(F.col("center").alias("u"),
+                         F.col("context").alias("v"),
+                         F.col("n").cast("double").alias("w")))
+    wdeg = edges.groupBy("u").agg(F.sum("w").alias("wdeg"))
+    ewd = _pin(edges.join(wdeg, "u"))
+    nodes = _pin(edges.select(F.col("u").alias("word")).distinct())
+    r = nodes.select("word", F.lit(1.0).alias("rank"))
+    for _ in range(TEXTRANK_ITERS):
+        x = (ewd.join(r, ewd["u"] == r["word"])
+             .select(F.col("v").alias("word"),
+                     (F.col("rank") * F.col("w") / F.col("wdeg"))
+                     .alias("x")))
+        s = (x.groupBy("word")
+             .agg(F.aggregate(F.array_sort(F.collect_list("x")),
+                              F.lit(0.0), lambda a, b: a + b).alias("s")))
+        r = nodes.join(s, "word", "left").select(
+            "word",
+            (F.lit(0.15) + F.lit(TEXTRANK_DAMP)
+             * F.coalesce("s", F.lit(0.0))).alias("rank"))
+    ranked = r.select("word", F.floor(F.col("rank") * 1000000)
+                      .cast("long").alias("rank_q"))
+    return (ranked.orderBy(F.col("rank_q").desc(), F.col("word"))
+            .limit(TEXTRANK_K))
+
+
+def _sql_textrank() -> str:
+    # wdeg is an integer-count sum (exact in any order); only the rank
+    # propagation needs the value-sorted float fold
+    its = []
+    prev = "r0"
+    for k in range(1, TEXTRANK_ITERS + 1):
+        its.append(f"""
+x{k} AS (
+  SELECT e.v AS word, r.rank * e.w / d.wdeg AS x
+  FROM edges e JOIN {prev} r ON e.u = r.word JOIN wdeg d ON e.u = d.u),
+s{k} AS (
+  SELECT word,
+         list_reduce(list_prepend(0.0, list(x ORDER BY x)),
+                     (a, b) -> a + b) AS s
+  FROM x{k} GROUP BY word),
+r{k} AS (
+  SELECT n.word, 0.15 + {TEXTRANK_DAMP} * coalesce(s.s, 0.0) AS rank
+  FROM nodes n LEFT JOIN s{k} s USING (word))""")
+        prev = f"r{k}"
+    return f"""
+WITH sg AS ({_sql_skipgram()}),
+edges AS (SELECT center AS u, context AS v, CAST(n AS DOUBLE) AS w FROM sg),
+wdeg AS (SELECT u, sum(w) AS wdeg FROM edges GROUP BY u),
+nodes AS (SELECT DISTINCT u AS word FROM edges),
+r0 AS (SELECT word, 1.0 AS rank FROM nodes),{",".join(its)}
+SELECT word, CAST(floor(rank * 1000000) AS BIGINT) AS rank_q
+FROM r{TEXTRANK_ITERS}
+ORDER BY rank_q DESC, word
+LIMIT {TEXTRANK_K}
+"""
+
+
 QUERIES = {
     "ta_skipgram_pairs": (q_skipgram_pairs, _sql_skipgram()),
+    "ta_textrank_keywords": (q_textrank_keywords, _sql_textrank()),
     "ta_corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "ta_source_vocab_overlap": (q_source_vocab_overlap,
                                 SQL_SOURCE_VOCAB_OVERLAP),

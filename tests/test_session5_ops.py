@@ -432,3 +432,57 @@ def test_stream_static_enrich_crosses_micro_batches(spark):
     # the stateless join must have run in >= 2 micro-batches (1 file each)
     batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
     assert len(batches) >= 2
+
+
+# -- TextRank keyword extraction -------------------------------------------------------
+
+
+def test_textrank_matches_python(spark):
+    from document_processor_spark.operators.text_analysis import (
+        SKIPGRAM_MIN,
+        SKIPGRAM_WINDOW,
+        TEXTRANK_DAMP,
+        TEXTRANK_ITERS,
+        TEXTRANK_K,
+        q_textrank_keywords,
+    )
+
+    counts = Counter()
+    for r in _load(spark, "documents"):
+        if r["text"] is None:
+            continue
+        ws = r["text"].lower().split(" ")
+        for i, w in enumerate(ws):
+            for k in range(1, SKIPGRAM_WINDOW + 1):
+                if i + k < len(ws):
+                    counts[(w, ws[i + k])] += 1
+                    counts[(ws[i + k], w)] += 1
+    edges = {p: n for p, n in counts.items() if n >= SKIPGRAM_MIN}
+    wdeg = defaultdict(float)
+    for (u, _v), n in edges.items():
+        wdeg[u] += float(n)
+    nodes = sorted(wdeg)
+    rank = {w: 1.0 for w in nodes}
+    for _ in range(TEXTRANK_ITERS):
+        incoming = defaultdict(list)
+        for (u, v), n in edges.items():
+            incoming[v].append(rank[u] * n / wdeg[u])
+        # value-sorted fold: the exact addition order both engines use
+        rank = {w: 0.15 + TEXTRANK_DAMP * _fold(incoming.get(w, []))
+                for w in nodes}
+    from math import floor
+    ranked = sorted(((floor(r_ * 1_000_000), w) for w, r_ in rank.items()),
+                    key=lambda t: (-t[0], t[1]))[:TEXTRANK_K]
+    expect = [(w, q) for q, w in ranked]
+
+    rows = [(r["word"], r["rank_q"])
+            for r in q_textrank_keywords(spark, SF_DIR).collect()]
+    assert rows == expect
+    assert len(rows) == TEXTRANK_K
+
+
+def _fold(xs):
+    acc = 0.0
+    for x in sorted(xs):
+        acc += x
+    return acc
