@@ -1304,7 +1304,57 @@ GROUP BY md5(substr(text, 1, 64))
 """
 
 
+# -- coherent universe sampling ---------------------------------------------------------
+
+UNIVERSE_T = 300_000  # keep users whose hash lands below 30% of SAMPLE_MOD
+
+
+def q_cur_universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Universe sampling (the BigQuery/Meta trick for debugging 100 TB
+    joins): sample ENTITIES, not rows — every table filtered by the SAME
+    deterministic hash test on the SAME key keeps a coherent universe,
+    so samples still JOIN (row-level Bernoulli breaks every join: a 1%
+    sample of two tables shares ~0.01% of keys).
+
+    Scale shape: the hash test is a map-side filter pushed onto both
+    scans — no coordination, no sampled-key exchange, any number of
+    tables join coherently because the decision is a pure function of
+    the key.  The rollup after the (now tiny) inner join is one
+    mergeable groupBy.  countDistinct here is exact and bounded by the
+    sampled-user count.  Output is pure integers."""
+    from .relational import _t
+    ev = (_t(spark, sf_dir, "events")
+          .filter(_hash_u(F.col("user_id")) < UNIVERSE_T))
+    cust = (_t(spark, sf_dir, "customer")
+            .filter(_hash_u(F.col("c_custkey")) < UNIVERSE_T)
+            .select("c_custkey", "c_mktsegment"))
+    return (ev.join(cust, ev.user_id == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.countDistinct("user_id").cast("bigint")
+                 .alias("n_users")))
+
+
+SQL_CUR_UNIVERSE_SAMPLE = f"""
+WITH se AS (
+  SELECT * FROM events
+  WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        % {SAMPLE_MOD} < {UNIVERSE_T}
+), sc AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+  WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+        % {SAMPLE_MOD} < {UNIVERSE_T}
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM se JOIN sc ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
+    "cur_universe_sample": (q_cur_universe_sample, SQL_CUR_UNIVERSE_SAMPLE),
     "cur_corpus_build": (q_cur_corpus_build, _sql_corpus_build()),
     "cur_keep_best": (q_cur_keep_best, SQL_CUR_KEEP_BEST),
     "cur_score_normalize": (q_cur_score_normalize, SQL_CUR_SCORE_NORMALIZE),

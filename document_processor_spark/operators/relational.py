@@ -1358,6 +1358,81 @@ HAVING sum(dt) > 0
 """
 
 
+# -- interval-union coverage (sweep-line island merge) ----------------------------
+
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: total time covered by the UNION of their activity
+    intervals [ts, ts + value seconds) and the count of merged islands
+    — the sweep-line/island shape behind uptime, sessionized watch
+    time, and SLA-coverage rollups (overlaps must not double-count).
+
+    Scale shape: the classic island merge is TWO windows over the SAME
+    (user_id, start-ordered) partitioning — running max of prior ends
+    marks island starts, a running sum of the 0/1 marks numbers the
+    islands — then one mergeable groupBy((user, island)) and one per
+    user; Catalyst reuses the window's hash partitioning for both
+    aggregates, so the user's data is exchanged ONCE.  Exactness:
+    interval ends are start + floor(value·1e6) integer MICROSECONDS —
+    no float time math anywhere, bit-exact across engines."""
+    ev = _t(spark, sf_dir, "events")
+    # NTZ-safe epoch micros: timestampdiff from the epoch literal (the
+    # module's integer-microsecond time discipline; unix_micros rejects
+    # the parquet NTZ type)
+    start = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    iv = ev.select("user_id", "event_id", start.alias("s"),
+                   (start + F.floor(F.col("value") * 1_000_000)
+                    .cast("bigint")).alias("e"))
+    w = W.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+         .otherwise(0))
+    numbered = marked.withColumn(
+        "island", F.sum("new_island").over(
+            w.rowsBetween(W.unboundedPreceding, 0)))
+    islands = (numbered.groupBy("user_id", "island")
+               .agg((F.max("e") - F.min("s")).alias("covered_us")))
+    return (islands.groupBy("user_id")
+            .agg(F.sum("covered_us").cast("bigint").alias("covered_us"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_islands")))
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e
+  FROM events
+), marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island,
+         event_id
+  FROM iv
+), numbered AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+  FROM marked
+), islands AS (
+  SELECT user_id, island, max(e) - min(s) AS covered_us
+  FROM numbered GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(sum(covered_us) AS BIGINT) AS covered_us,
+       CAST(count(*) AS BIGINT) AS n_islands
+FROM islands GROUP BY user_id
+"""
+
+
 # -- EXISTS semi-join priority count (TPC-H Q4 shape) ---------------------------
 
 def q_priority_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1460,6 +1535,7 @@ QUERIES = {
     "rel_promo_share": (q_promo_share, SQL_PROMO_SHARE),
     "rel_event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "rel_twap": (q_twap, SQL_TWAP),
+    "rel_interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
     "rel_json_props": (q_json_props, SQL_JSON_PROPS),
     "rel_range_join": (q_range_join, SQL_RANGE_JOIN),
     "rel_gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),
