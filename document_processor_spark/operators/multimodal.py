@@ -600,7 +600,101 @@ FROM m JOIN g USING (payload_hash)
 """
 
 
+# --------------------------------------------------------------------------
+# Audio constellation fingerprint (Shazam-lite).  The payload's byte run
+# stands in for PCM samples (the real decoder swaps into decode_media, the
+# frame math is codec-independent): non-overlapping 8-sample frames, each
+# reduced to (peak position 1-based, first occurrence wins; energy bucket
+# = byte-sum div 64).  Two clips are near-dup when they agree on
+# AUDIO_MIN_SHARED aligned (frame, peak, energy) triples.
+# --------------------------------------------------------------------------
+
+AUDIO_FRAME = 8
+AUDIO_MIN_SHARED = 4
+
+_AUDIO_FP_SCHEMA = ("doc_id bigint, frame_idx bigint, peak_pos bigint, "
+                    "energy_q bigint")
+
+
+def _audio_fp_batches(it: Iterator["object"]) -> Iterator["object"]:
+    """mapInPandas worker: frame the byte run and emit one constellation
+    point per frame — the Arrow-stage analog of a real PCM peak pick."""
+    import pandas as pd
+    for pdf in it:
+        out = {"doc_id": [], "frame_idx": [], "peak_pos": [], "energy_q": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            bs = bytes(payload)
+            for f in range(len(bs) // AUDIO_FRAME):
+                fr = bs[f * AUDIO_FRAME:(f + 1) * AUDIO_FRAME]
+                peak = max(range(AUDIO_FRAME), key=lambda i: (fr[i], -i)) + 1
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(f)
+                out["peak_pos"].append(peak)
+                out["energy_q"].append(sum(fr) // 64)
+        yield pd.DataFrame({k: pd.Series(v, dtype="int64")
+                            for k, v in out.items()})
+
+
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs via constellation fingerprint matching.
+
+    Scale shape: peak extraction is the Arrow batch stage (one pass over
+    the audio payloads, output bounded by samples/FRAME — a pure map);
+    matching is an INVERTED-INDEX equi-join on the (frame, peak, energy)
+    triple — the posting-list join of ta_bm25/dedup_ngram, never an
+    all-pairs audio comparison — followed by one mergeable pair count
+    with the >= AUDIO_MIN_SHARED support filter after the aggregate.
+    The DuckDB oracle re-derives the identical byte math from hex(payload)
+    — the mapInPandas stage has an exact SQL restatement, proving the
+    Python worker does nothing a declarative engine couldn't replay."""
+    audio = media_table(spark, sf_dir).filter(
+        F.col("media_type") == "audio/wav")
+    fp = audio.select("doc_id", "payload").mapInPandas(
+        _audio_fp_batches, _AUDIO_FP_SCHEMA)
+    a = fp.select(F.col("doc_id").alias("d1"), "frame_idx", "peak_pos",
+                  "energy_q")
+    b = fp.select(F.col("doc_id").alias("d2"), "frame_idx", "peak_pos",
+                  "energy_q")
+    return (a.join(b, ["frame_idx", "peak_pos", "energy_q"])
+            .filter(F.col("d1") < F.col("d2"))
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+            .filter(F.col("shared") >= AUDIO_MIN_SHARED))
+
+
+SQL_AUDIO_FINGERPRINT = f"""
+WITH audio AS (
+  SELECT doc_id, hex(encode(substr(text, 1, 64))) AS hx
+  FROM documents WHERE n_chars % 3 = 1
+), fr AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, CAST(len(hx) / 2 / {AUDIO_FRAME} AS BIGINT) - 1),
+           f -> {{'frame_idx': f,
+                  'bytes_': list_transform(
+                      generate_series(1, {AUDIO_FRAME}),
+                      i -> CAST(('0x' || substr(hx,
+                                 (f * {AUDIO_FRAME} + i - 1) * 2 + 1, 2))
+                                AS BIGINT))}})) AS u
+  FROM audio
+), fp AS (
+  SELECT doc_id, CAST(u.frame_idx AS BIGINT) AS frame_idx,
+         CAST(list_position(u.bytes_, list_max(u.bytes_)) AS BIGINT)
+         AS peak_pos,
+         CAST(list_sum(u.bytes_) // 64 AS BIGINT) AS energy_q
+  FROM fr
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS shared
+FROM fp a JOIN fp b
+  ON a.frame_idx = b.frame_idx AND a.peak_pos = b.peak_pos
+ AND a.energy_q = b.energy_q AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {AUDIO_MIN_SHARED}
+"""
+
+
 QUERIES = {
+    "mm_audio_fingerprint": (q_audio_fingerprint, SQL_AUDIO_FINGERPRINT),
     "mm_media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "mm_media_dedup": (q_media_dedup, SQL_MEDIA_DEDUP),
     "mm_media_decode": (q_media_decode, SQL_MEDIA_DECODE),

@@ -32,7 +32,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # mm_media_dedup, rel_waiting_suppliers, rel_idle_customers,
 # rel_priority_wait, rel_promo_share, rel_event_transitions, rel_twap,
 # ta_skipgram_pairs, stream_static_enrich, ta_textrank_keywords,
-# cur_universe_sample, rel_interval_coverage — then
+# cur_universe_sample, rel_interval_coverage, mm_audio_fingerprint —
+# then
 # the long-parked stable families (ext_*, dedup_*, ann_* minus kmeans,
 # ta_* minus the r4 sketches, rel_* classics, mm_media_*).  That pool
 # exceeds 50 slots: park the overflow inside ext_* at the very end —

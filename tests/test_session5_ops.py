@@ -567,3 +567,38 @@ def test_interval_coverage_matches_python(spark):
     assert rows == expect
     # the merge must actually merge something on this fixture
     assert overlap_seen
+
+
+# -- audio constellation fingerprint near-dup --------------------------------------------
+
+
+def test_audio_fingerprint_matches_python(spark):
+    from document_processor_spark.operators.multimodal import (
+        AUDIO_FRAME,
+        AUDIO_MIN_SHARED,
+        q_audio_fingerprint,
+    )
+
+    fps = {}
+    for r in _load(spark, "documents"):
+        if r["n_chars"] % 3 != 1:
+            continue
+        bs = r["text"][:64].encode("utf-8")
+        pts = set()
+        for f in range(len(bs) // AUDIO_FRAME):
+            fr = bs[f * AUDIO_FRAME:(f + 1) * AUDIO_FRAME]
+            peak = max(range(AUDIO_FRAME), key=lambda i: (fr[i], -i)) + 1
+            pts.add((f, peak, sum(fr) // 64))
+        fps[r["doc_id"]] = pts
+    ids = sorted(fps)
+    expect = {}
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1:]:
+            shared = len(fps[d1] & fps[d2])
+            if shared >= AUDIO_MIN_SHARED:
+                expect[(d1, d2)] = shared
+
+    rows = {(r["d1"], r["d2"]): r["shared"]
+            for r in q_audio_fingerprint(spark, SF_DIR).collect()}
+    assert rows == expect
+    assert rows, "fixture must contain matching audio clips"
