@@ -1527,12 +1527,243 @@ GROUP BY ship_month
 """
 
 
+# -- pure scan-side aggregate (TPC-H Q6 shape) -----------------------------------
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change: one pass over lineitem with every
+    predicate (date window, discount band, quantity cap) pushed to the
+    parquet scan and a single mergeable aggregate on top.
+
+    Scale shape: this is the degenerate-but-important plan — no join, no
+    window, ONE exchange (the final 1-row reduce).  At 10^12 rows the
+    entire cost is the scan, so the plan must show PushedFilters for all
+    four predicates and read only the three columns the aggregate needs
+    (ReadSchema discipline).  revenue = price·discount accumulates in
+    DECIMAL (exact, order-independent) and ships as integer 1e-4 units."""
+    li = _t(spark, sf_dir, "lineitem")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    return (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                      & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg((F.sum(dp * dd) * 10000).cast("bigint")
+                 .alias("revenue_units"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_lines")))
+
+
+SQL_FORECAST_REVENUE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)
+         AS revenue_units,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# -- correlated-average de-correlation (TPC-H Q17 shape) --------------------------
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems whose quantity is below 20% of the
+    per-part average — Q17's correlated AVG subquery de-correlated into
+    one per-part aggregate joined back to the fact rows.
+
+    Scale shape: the textbook plan re-scans lineitem once per outer row;
+    here the part filter semi-joins first (part is a broadcast dim, so
+    the 10^12-row fact side never shuffles for it), then ONE
+    groupBy(partkey) aggregate and ONE co-partitioned join back — both
+    exchanges hash on the same key, so AQE reuses the partitioning.
+    Boundary discipline: qty < avg/5 is cross-multiplied to
+    5·qty·n < Σqty in exact BIGINTs (quantities are integral) — neither
+    engine divides, so the threshold cannot straddle a float ulp."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (_t(spark, sf_dir, "part")
+         .filter(F.col("p_type") == "SMALL").select("p_partkey"))
+    lif = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .select("l_partkey",
+                   F.col("l_quantity").cast("bigint").alias("qty"),
+                   F.col("l_extendedprice").cast("decimal(18,2)")
+                   .alias("price")))
+    stats = lif.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"))
+    keep = (lif.join(stats, "l_partkey")
+            .filter(F.col("qty") * F.lit(5) * F.col("n_li")
+                    < F.col("sum_qty")))
+    return keep.agg(
+        (F.sum("price") * 100).cast("bigint").alias("small_units"),
+        F.count(F.lit(1)).cast("bigint").alias("n_small"))
+
+
+SQL_SMALL_QTY_REVENUE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS small_units,
+       CAST(count(*) AS BIGINT) AS n_small
+FROM lineitem l JOIN part ON l_partkey = p_partkey
+WHERE p_type = 'SMALL'
+  AND CAST(l_quantity AS BIGINT) * 5
+      * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT sum(CAST(l2.l_quantity AS BIGINT))
+         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+# -- disjunctive predicate join (TPC-H Q19 shape) ---------------------------------
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue matching an OR of three (brand, size-range, qty-range)
+    conjunctions — the disjunctive-pushdown shape.
+
+    Scale shape: the join stays a plain broadcast hash join on partkey
+    (the disjunction must NOT turn it into a nested-loop join — only the
+    equi key feeds the hash table; the OR evaluates as a post-join
+    filter in the same codegen stage).  The common conjunct
+    (l_returnflag != 'R') is factored OUT of the disjunction so it
+    pushes to the fact scan and prunes before the join.  One exchange
+    total (the 1-row reduce)."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") != "R"))
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    qty = F.col("l_quantity")
+    cond = (((F.col("p_brand") == "Brand#1")
+             & F.col("p_size").between(1, 15) & qty.between(1, 11))
+            | ((F.col("p_brand") == "Brand#2")
+               & F.col("p_size").between(1, 25) & qty.between(10, 20))
+            | ((F.col("p_brand") == "Brand#3")
+               & F.col("p_size").between(1, 35) & qty.between(20, 30)))
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    rev = dp * (F.lit(1).cast("decimal(18,2)") - dd)
+    return (j.filter(cond)
+            .agg((F.sum(rev) * 10000).cast("bigint").alias("revenue_units"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_lines")))
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            * 10000 AS BIGINT) AS revenue_units,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_returnflag != 'R'
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+# -- max-over-aggregated-view (TPC-H Q15 shape) -----------------------------------
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier(s) with the highest revenue in 1996 H1 — Q15's
+    revenue view + scalar-max selection.
+
+    Scale shape: per-supplier revenue is one mergeable groupBy; the
+    global max is a 1-ROW aggregate broadcast back as an equality filter
+    — never a global sort and never a single-reducer window over all
+    suppliers.  Ties all surface (exact integer units, so 'equal' is
+    well-defined).  The supplier dim broadcasts for the name."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                  & (F.col("l_shipdate") < F.lit("1996-07-01"))))
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    rev = dp * (F.lit(1).cast("decimal(18,2)") - dd)
+    per_supp = (li.groupBy("l_suppkey")
+                .agg((F.sum(rev) * 10000).cast("bigint")
+                     .alias("total_units")))
+    best = per_supp.agg(F.max("total_units").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (per_supp.join(F.broadcast(best),
+                          per_supp.total_units == F.col("mx"))
+            .join(F.broadcast(s), per_supp.l_suppkey == s.s_suppkey)
+            .select("s_suppkey", "s_name", "total_units"))
+
+
+SQL_TOP_SUPPLIER = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+           AS total_units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_units
+FROM supplier JOIN r ON s_suppkey = l_suppkey
+WHERE total_units = (SELECT max(total_units) FROM r)
+"""
+
+
+# -- group share vs global scalar (TPC-H Q11 shape) --------------------------------
+
+def q_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose lifetime revenue exceeds the mean supplier
+    revenue — Q11's 'group aggregate vs a scalar over the same
+    aggregate' shape.
+
+    Scale shape: ONE groupBy(suppkey) produces both sides — the global
+    (total, n_suppliers) scalar is a 1-row re-aggregate of the group
+    result, broadcast back as a crossJoin; the threshold
+    rev > total/n is cross-multiplied to rev·n > total in exact BIGINTs
+    so neither engine divides.  The fact table is read once."""
+    li = _t(spark, sf_dir, "lineitem")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    rev = dp * (F.lit(1).cast("decimal(18,2)") - dd)
+    per_supp = (li.groupBy("l_suppkey")
+                .agg((F.sum(rev) * 10000).cast("bigint")
+                     .alias("rev_units")))
+    totals = per_supp.agg(F.sum("rev_units").alias("total_units"),
+                          F.count(F.lit(1)).alias("n_supp"))
+    return (per_supp.crossJoin(F.broadcast(totals))
+            .filter(F.col("rev_units") * F.col("n_supp")
+                    > F.col("total_units"))
+            .select(F.col("l_suppkey").alias("s_suppkey"), "rev_units"))
+
+
+SQL_SUPPLIER_CONCENTRATION = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+           AS rev_units
+  FROM lineitem GROUP BY l_suppkey
+), t AS (
+  SELECT sum(rev_units) AS total_units, count(*) AS n_supp FROM r
+)
+SELECT l_suppkey AS s_suppkey, rev_units
+FROM r, t
+WHERE rev_units * n_supp > total_units
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "rel_waiting_suppliers": (q_waiting_suppliers, SQL_WAITING_SUPPLIERS),
     "rel_idle_customers": (q_idle_customers, SQL_IDLE_CUSTOMERS),
     "rel_priority_wait": (q_priority_wait, SQL_PRIORITY_WAIT),
     "rel_promo_share": (q_promo_share, SQL_PROMO_SHARE),
+    "rel_forecast_revenue": (q_forecast_revenue, SQL_FORECAST_REVENUE),
+    "rel_small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
+    "rel_disjunctive_revenue": (q_disjunctive_revenue,
+                                SQL_DISJUNCTIVE_REVENUE),
+    "rel_top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),
+    "rel_supplier_concentration": (q_supplier_concentration,
+                                   SQL_SUPPLIER_CONCENTRATION),
     "rel_event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "rel_twap": (q_twap, SQL_TWAP),
     "rel_interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
