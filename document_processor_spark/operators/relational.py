@@ -1751,6 +1751,381 @@ WHERE rev_units * n_supp > total_units
 """
 
 
+# -- region-mapped dimension helpers (Q2/Q7/Q8 shapes) -----------------------------
+#
+# supplier/customer ⋈ nation ⋈ region collapse to ONE tiny broadcast side
+# each: nation (25 rows) and region (5 rows) fold into the entity dim
+# before it ships, so the fact side sees a single broadcast hash join per
+# entity — never a chain of three joins on the 10^12-row side.
+
+def _supp_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("s_suppkey", "s_name",
+                    F.col("n_name").alias("supp_nation"),
+                    F.col("r_name").alias("supp_region")))
+
+
+def _cust_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("c_custkey", F.col("r_name").alias("cust_region")))
+
+
+_SQL_EUR = """
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+"""
+
+
+# -- correlated scalar-MIN de-correlation (TPC-H Q2 shape) --------------------------
+
+def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each small part (p_size ≤ 10): the EUROPE supplier(s) whose
+    lineitem price achieves the per-part minimum — Q2's correlated
+    MIN-cost subquery de-correlated into one per-part aggregate.
+
+    Scale shape: the correlated form re-scans the fact per part; here
+    the region-restricted supplier dim folds to one broadcast
+    (supplier⋈nation⋈region collapses BEFORE touching the fact), the
+    part filter is a second broadcast, then ONE groupBy(partkey) MIN and
+    ONE co-partitioned join back on (partkey, price) — both exchanges
+    hash on partkey.  Prices compare as exact integer cents, so the
+    min-equality join cannot straddle a float ulp; ties all surface and
+    the trailing distinct collapses same-supplier duplicates.  The
+    ORACLE stays correlated — the gate proves the de-correlation."""
+    eur = _supp_region(spark, sf_dir).filter(
+        F.col("supp_region") == "EUROPE").drop("supp_region")
+    p = (_t(spark, sf_dir, "part")
+         .filter(F.col("p_size") <= 10).select("p_partkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("price_units"))
+    f = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+         .join(F.broadcast(eur), li.l_suppkey == eur.s_suppkey))
+    mn = f.groupBy("l_partkey").agg(F.min("price_units").alias("min_units"))
+    return (f.join(mn, "l_partkey")
+            .filter(F.col("price_units") == F.col("min_units"))
+            .select(F.col("l_partkey").alias("p_partkey"), "s_suppkey",
+                    "s_name", F.col("supp_nation").alias("n_name"),
+                    "min_units")
+            .distinct())
+
+
+SQL_MIN_PRICE_SUPPLIER = f"""
+WITH eur AS ({_SQL_EUR})
+SELECT DISTINCT l.l_partkey AS p_partkey, e.s_suppkey, e.s_name, e.n_name,
+       CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         AS min_units
+FROM lineitem l
+JOIN part ON l.l_partkey = p_partkey
+JOIN eur e ON l.l_suppkey = e.s_suppkey
+WHERE p_size <= 10
+  AND CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) =
+      (SELECT min(CAST(CAST(l2.l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT))
+       FROM lineitem l2 JOIN eur e2 ON l2.l_suppkey = e2.s_suppkey
+       WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+# -- two-dimension-pair trade volume (TPC-H Q7 shape) -------------------------------
+
+def q_region_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping revenue between the AMERICA and ASIA regions (both
+    directions) per ship year — Q7's aliased double-dimension join with
+    a disjunctive pair predicate.
+
+    Scale shape: lineitem⋈orders is the one fact-fact shuffle (equi on
+    orderkey); the supplier-side and customer-side region lookups are
+    two INDEPENDENT broadcast joins of pre-collapsed dim chains (the
+    nation⋈region fold happens on the 10-row side, never on the fact).
+    The pair disjunction evaluates post-join in the same stage — it must
+    not break the equi joins.  Year keys come from the stored timestamp
+    (no session-timezone dependency)."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01"))))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sup = (_supp_region(spark, sf_dir)
+           .select("s_suppkey", "supp_region"))
+    cus = _cust_region(spark, sf_dir)
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    rev = dp * (F.lit(1).cast("decimal(18,2)") - dd)
+    pair = (((F.col("supp_region") == "AMERICA")
+             & (F.col("cust_region") == "ASIA"))
+            | ((F.col("supp_region") == "ASIA")
+               & (F.col("cust_region") == "AMERICA")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+            .join(F.broadcast(cus), o.o_custkey == cus.c_custkey)
+            .filter(pair)
+            .groupBy("supp_region", "cust_region",
+                     F.date_format("l_shipdate", "yyyy").alias("ship_year"))
+            .agg((F.sum(rev) * 10000).cast("bigint").alias("revenue_units"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_lines")))
+
+
+SQL_REGION_TRADE = """
+WITH sup AS (
+  SELECT s_suppkey, r_name AS supp_region
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+), cus AS (
+  SELECT c_custkey, r_name AS cust_region
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+)
+SELECT supp_region, cust_region, strftime(l_shipdate, '%Y') AS ship_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+         AS revenue_units,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN sup ON l_suppkey = s_suppkey
+JOIN cus ON o_custkey = c_custkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND ((supp_region = 'AMERICA' AND cust_region = 'ASIA')
+    OR (supp_region = 'ASIA' AND cust_region = 'AMERICA'))
+GROUP BY supp_region, cust_region, ship_year
+"""
+
+
+# -- conditional market share (TPC-H Q8 shape) --------------------------------------
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASIA suppliers' share (ppm) of STANDARD-part revenue sold to
+    AMERICA customers, per ship year — Q8's two-level conditional ratio.
+
+    Scale shape: same single fact-fact shuffle as Q7; part and the two
+    region lookups broadcast.  The share is a CONDITIONAL aggregate (the
+    numerator is a when() inside the same groupBy, not a second pass) —
+    one exchange computes both numerator and denominator, then an exact
+    integer division to ppm."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = (_t(spark, sf_dir, "part")
+         .filter(F.col("p_type") == "STANDARD").select("p_partkey"))
+    sup = _supp_region(spark, sf_dir).select("s_suppkey", "supp_region")
+    cus = (_cust_region(spark, sf_dir)
+           .filter(F.col("cust_region") == "AMERICA").select("c_custkey"))
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    rev = dp * (F.lit(1).cast("decimal(18,2)") - dd)
+    agg = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(cus), o.o_custkey == cus.c_custkey)
+           .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+           .groupBy(F.date_format("l_shipdate", "yyyy").alias("ship_year"))
+           .agg((F.sum(F.when(F.col("supp_region") == "ASIA", rev)
+                       .otherwise(F.lit(0).cast("decimal(18,2)")))
+                 * 10000).cast("bigint").alias("asia_units"),
+                (F.sum(rev) * 10000).cast("bigint").alias("all_units")))
+    return agg.select(
+        "ship_year", "asia_units", "all_units",
+        F.expr("asia_units * 1000000 div all_units").cast("bigint")
+        .alias("asia_ppm"))
+
+
+SQL_MARKET_SHARE = """
+WITH sup AS (
+  SELECT s_suppkey, r_name AS supp_region
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+), cus AS (
+  SELECT c_custkey
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA'
+), j AS (
+  SELECT strftime(l_shipdate, '%Y') AS ship_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           AS rev,
+         supp_region = 'ASIA' AS is_asia
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN cus ON o_custkey = c_custkey
+  JOIN sup ON l_suppkey = s_suppkey
+  WHERE p_type = 'STANDARD'
+), a AS (
+  SELECT ship_year,
+         CAST(sum(CASE WHEN is_asia THEN rev
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS BIGINT)
+           AS asia_units,
+         CAST(sum(rev) * 10000 AS BIGINT) AS all_units
+  FROM j GROUP BY ship_year
+)
+SELECT ship_year, asia_units, all_units,
+       CAST(asia_units * 1000000 // all_units AS BIGINT) AS asia_ppm
+FROM a
+"""
+
+
+# -- expression-profit rollup (TPC-H Q9 shape) --------------------------------------
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on '%bolt%' parts per (supplier nation, ship year) — Q9's
+    expression aggregate joining fact columns with a dimension cost
+    column (p_retailprice stands in for ps_supplycost; the corpus has no
+    partsupp table).
+
+    Scale shape: part (LIKE-filtered) and the supplier-nation fold both
+    broadcast; profit = rev − qty·cost is computed per row in exact
+    integer 1e-4 units BEFORE the rollup, so the aggregate is one
+    mergeable integer sum — no decimal mixing across partial aggregates.
+    One exchange (the nation×year rollup)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (_t(spark, sf_dir, "part")
+         .filter(F.col("p_name").like("%bolt%"))
+         .select("p_partkey",
+                 (F.col("p_retailprice").cast("decimal(18,2)") * 10000)
+                 .cast("bigint").alias("retail_units")))
+    sup = _supp_region(spark, sf_dir).select(
+        "s_suppkey", F.col("supp_nation").alias("n_name"))
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    rev_units = ((dp * (F.lit(1).cast("decimal(18,2)") - dd)) * 10000) \
+        .cast("bigint")
+    profit = (rev_units
+              - F.col("l_quantity").cast("bigint") * F.col("retail_units"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+            .groupBy("n_name",
+                     F.date_format("l_shipdate", "yyyy").alias("ship_year"))
+            .agg(F.sum(profit).cast("bigint").alias("profit_units"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_lines")))
+
+
+SQL_PRODUCT_PROFIT = """
+WITH sup AS (
+  SELECT s_suppkey, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name, strftime(l_shipdate, '%Y') AS ship_year,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2))
+                        - CAST(l_discount AS DECIMAL(18,2)))
+                     * 10000 AS BIGINT)
+                - CAST(l_quantity AS BIGINT)
+                  * CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 10000
+                         AS BIGINT)) AS BIGINT) AS profit_units,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN sup ON l_suppkey = s_suppkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, ship_year
+"""
+
+
+# -- distinct-count distribution with NOT-IN exclusion (TPC-H Q16 shape) ------------
+
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct shipping suppliers per (brand, type, size) for
+    non-PROMO parts, excluding low-balance suppliers — Q16's NOT IN →
+    anti-join with a two-phase distinct count.
+
+    Scale shape: the NOT IN is a broadcast LEFT ANTI join (the excluded
+    set is supplier-dim-sized); count(DISTINCT suppkey) per group runs
+    as TWO mergeable aggregates — dedupe (brand,type,size,suppkey)
+    first (map-side partial dedup), then a plain count — never an
+    expensive distinct inside a single aggregate at 10^12 rows."""
+    bad = (_t(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 2000).select("s_suppkey"))
+    p = (_t(spark, sf_dir, "part")
+         .filter(F.col("p_type") != "PROMO")
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    pairs = (li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey,
+                     "left_anti")
+             .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+             .groupBy("p_brand", "p_type", "p_size", "l_suppkey")
+             .agg(F.lit(1).alias("_one")))
+    return (pairs.groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("supplier_cnt")))
+
+
+SQL_PART_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type != 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 2000)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# -- two-level-aggregate dominance + semi-join chain (TPC-H Q20 shape) --------------
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped more than half of some PROMO part's total
+    1997 quantity — Q20's correlated availability threshold recast over
+    the two-level (part, supplier) aggregate, then a semi-join chain
+    into the supplier⋈nation dims.
+
+    Scale shape: the per-(part,supplier) aggregate is computed ONCE and
+    re-aggregated to per-part totals (the second level consumes the
+    first's output — tiny — never a second fact scan); both hash on
+    partkey, so the dominance join back is co-partitioned.  The
+    qualifying suppkey set is a distinct projection semi-joined into
+    the broadcast dim fold.  Quantities are exact BIGINTs; 2·qty_ps >
+    qty_p needs no division.  The ORACLE keeps the correlated IN +
+    scalar-subquery form — the gate proves the flattening."""
+    promo = (_t(spark, sf_dir, "part")
+             .filter(F.col("p_type") == "PROMO").select("p_partkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1997-01-01"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01")))
+          .select("l_partkey", "l_suppkey",
+                  F.col("l_quantity").cast("bigint").alias("qty")))
+    ps = (li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum("qty").alias("qty_ps")))
+    pt = ps.groupBy("l_partkey").agg(F.sum("qty_ps").alias("qty_p"))
+    dom = (ps.join(pt, "l_partkey")
+           .filter(F.col("qty_ps") * 2 > F.col("qty_p"))
+           .select("l_suppkey").distinct())
+    sup = _supp_region(spark, sf_dir).select(
+        "s_suppkey", "s_name", F.col("supp_nation").alias("n_name"))
+    return (sup.join(dom, sup.s_suppkey == dom.l_suppkey, "left_semi")
+            .select("s_suppkey", "s_name", "n_name"))
+
+
+SQL_DOMINANT_SUPPLIERS = """
+WITH f AS (
+  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+), ps AS (
+  SELECT l_partkey, l_suppkey, sum(qty) AS qty_ps FROM f GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM ps
+  WHERE 2 * qty_ps > (SELECT sum(p2.qty_ps) FROM ps p2
+                      WHERE p2.l_partkey = ps.l_partkey))
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "rel_waiting_suppliers": (q_waiting_suppliers, SQL_WAITING_SUPPLIERS),
@@ -1764,6 +2139,15 @@ QUERIES = {
     "rel_top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),
     "rel_supplier_concentration": (q_supplier_concentration,
                                    SQL_SUPPLIER_CONCENTRATION),
+    "rel_min_price_supplier": (q_min_price_supplier,
+                               SQL_MIN_PRICE_SUPPLIER),
+    "rel_region_trade": (q_region_trade, SQL_REGION_TRADE),
+    "rel_market_share": (q_market_share, SQL_MARKET_SHARE),
+    "rel_product_profit": (q_product_profit, SQL_PRODUCT_PROFIT),
+    "rel_part_supplier_counts": (q_part_supplier_counts,
+                                 SQL_PART_SUPPLIER_COUNTS),
+    "rel_dominant_suppliers": (q_dominant_suppliers,
+                               SQL_DOMINANT_SUPPLIERS),
     "rel_event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "rel_twap": (q_twap, SQL_TWAP),
     "rel_interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),

@@ -182,3 +182,212 @@ def test_supplier_concentration_matches_python(spark):
     assert got == want
     # the threshold must bite both ways: some pass, some fail
     assert 0 < len(want) < n_supp
+
+
+# -- shared dim folds for the Q2/Q7/Q8/Q9/Q20 recomputes -----------------------------
+
+
+def _region_of(spark):
+    nat = {r["n_nationkey"]: r["n_regionkey"] for r in _load(spark, "nation")}
+    reg = {r["r_regionkey"]: r["r_name"] for r in _load(spark, "region")}
+    return {k: reg[v] for k, v in nat.items()}
+
+
+def _nation_of(spark):
+    return {r["n_nationkey"]: r["n_name"] for r in _load(spark, "nation")}
+
+
+# -- TPC-H Q2-shape correlated scalar-MIN de-correlation ------------------------------
+
+
+def test_min_price_supplier_matches_python(spark):
+    from document_processor_spark.operators.relational import (
+        q_min_price_supplier,
+    )
+
+    region = _region_of(spark)
+    nation = _nation_of(spark)
+    eur = {r["s_suppkey"]: (r["s_name"], nation[r["s_nationkey"]])
+           for r in _load(spark, "supplier")
+           if region[r["s_nationkey"]] == "EUROPE"}
+    small = {r["p_partkey"] for r in _load(spark, "part")
+             if r["p_size"] <= 10}
+    rows = [(r["l_partkey"], r["l_suppkey"],
+             int(_d2(r["l_extendedprice"]) * 100))
+            for r in _load(spark, "lineitem")
+            if r["l_partkey"] in small and r["l_suppkey"] in eur]
+    mn: dict[int, int] = {}
+    for pk, _, cents in rows:
+        mn[pk] = min(mn.get(pk, cents), cents)
+    want = {(pk, sk, eur[sk][0], eur[sk][1], cents)
+            for pk, sk, cents in rows if cents == mn[pk]}
+
+    got = {(r["p_partkey"], r["s_suppkey"], r["s_name"], r["n_name"],
+            r["min_units"])
+           for r in q_min_price_supplier(spark, SF_DIR).collect()}
+    assert got == want
+    # both filters bite: some suppliers are not in EUROPE, some parts too big
+    assert eur and len(eur) < len(_load(spark, "supplier"))
+    assert want
+
+
+# -- TPC-H Q7-shape region-pair trade volume ------------------------------------------
+
+
+def test_region_trade_matches_python(spark):
+    from document_processor_spark.operators.relational import q_region_trade
+
+    region = _region_of(spark)
+    sreg = {r["s_suppkey"]: region[r["s_nationkey"]]
+            for r in _load(spark, "supplier")}
+    creg = {r["c_custkey"]: region[r["c_nationkey"]]
+            for r in _load(spark, "customer")}
+    cust_of = {r["o_orderkey"]: r["o_custkey"] for r in _load(spark, "orders")}
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+    agg: dict[tuple, list] = defaultdict(lambda: [Decimal(0), 0])
+    for r in _load(spark, "lineitem"):
+        if not (lo <= r["l_shipdate"] < hi):
+            continue
+        sr = sreg[r["l_suppkey"]]
+        cr = creg[cust_of[r["l_orderkey"]]]
+        if {sr, cr} != {"AMERICA", "ASIA"}:
+            continue
+        cell = agg[(sr, cr, str(r["l_shipdate"].year))]
+        cell[0] += _rev(r)
+        cell[1] += 1
+
+    want = {(sr, cr, y, int(v[0] * 10000), v[1])
+            for (sr, cr, y), v in agg.items()}
+    got = {(r["supp_region"], r["cust_region"], r["ship_year"],
+            r["revenue_units"], r["n_lines"])
+           for r in q_region_trade(spark, SF_DIR).collect()}
+    assert got == want
+    # both directions of the pair disjunction must appear
+    assert len({(sr, cr) for sr, cr, *_ in want}) == 2
+
+
+# -- TPC-H Q8-shape conditional market share ------------------------------------------
+
+
+def test_market_share_matches_python(spark):
+    from document_processor_spark.operators.relational import q_market_share
+
+    region = _region_of(spark)
+    sreg = {r["s_suppkey"]: region[r["s_nationkey"]]
+            for r in _load(spark, "supplier")}
+    amer = {r["c_custkey"] for r in _load(spark, "customer")
+            if region[r["c_nationkey"]] == "AMERICA"}
+    std = {r["p_partkey"] for r in _load(spark, "part")
+           if r["p_type"] == "STANDARD"}
+    cust_of = {r["o_orderkey"]: r["o_custkey"] for r in _load(spark, "orders")}
+    num: dict[str, Decimal] = defaultdict(Decimal)
+    den: dict[str, Decimal] = defaultdict(Decimal)
+    for r in _load(spark, "lineitem"):
+        if r["l_partkey"] not in std:
+            continue
+        if cust_of[r["l_orderkey"]] not in amer:
+            continue
+        y = str(r["l_shipdate"].year)
+        rev = _rev(r)
+        den[y] += rev
+        if sreg[r["l_suppkey"]] == "ASIA":
+            num[y] += rev
+
+    want = set()
+    for y, d in den.items():
+        a = int(num[y] * 10000)
+        al = int(d * 10000)
+        want.add((y, a, al, a * 1000000 // al))
+    got = {(r["ship_year"], r["asia_units"], r["all_units"], r["asia_ppm"])
+           for r in q_market_share(spark, SF_DIR).collect()}
+    assert got == want
+    # the share is a real fraction somewhere: 0 < asia < all for some year
+    assert any(0 < a < al for _, a, al, _ in want)
+
+
+# -- TPC-H Q9-shape expression-profit rollup ------------------------------------------
+
+
+def test_product_profit_matches_python(spark):
+    from document_processor_spark.operators.relational import (
+        q_product_profit,
+    )
+
+    nation = _nation_of(spark)
+    snat = {r["s_suppkey"]: nation[r["s_nationkey"]]
+            for r in _load(spark, "supplier")}
+    bolts = {r["p_partkey"]: int(_d2(r["p_retailprice"]) * 10000)
+             for r in _load(spark, "part") if "bolt" in r["p_name"]}
+    assert bolts, "fixture must contain bolt parts"
+    agg: dict[tuple, list] = defaultdict(lambda: [0, 0])
+    for r in _load(spark, "lineitem"):
+        if r["l_partkey"] not in bolts:
+            continue
+        profit = (int(_rev(r) * 10000)
+                  - int(r["l_quantity"]) * bolts[r["l_partkey"]])
+        cell = agg[(snat[r["l_suppkey"]], str(r["l_shipdate"].year))]
+        cell[0] += profit
+        cell[1] += 1
+
+    want = {(n, y, v[0], v[1]) for (n, y), v in agg.items()}
+    got = {(r["n_name"], r["ship_year"], r["profit_units"], r["n_lines"])
+           for r in q_product_profit(spark, SF_DIR).collect()}
+    assert got == want
+
+
+# -- TPC-H Q16-shape distinct-count distribution with NOT-IN --------------------------
+
+
+def test_part_supplier_counts_matches_python(spark):
+    from document_processor_spark.operators.relational import (
+        q_part_supplier_counts,
+    )
+
+    bad = {r["s_suppkey"] for r in _load(spark, "supplier")
+           if r["s_acctbal"] < 2000}
+    assert bad, "the exclusion must bite at sf0.001"
+    parts = {r["p_partkey"]: (r["p_brand"], r["p_type"], r["p_size"])
+             for r in _load(spark, "part") if r["p_type"] != "PROMO"}
+    seen: dict[tuple, set] = defaultdict(set)
+    for r in _load(spark, "lineitem"):
+        if r["l_suppkey"] in bad or r["l_partkey"] not in parts:
+            continue
+        seen[parts[r["l_partkey"]]].add(r["l_suppkey"])
+
+    want = {(b, t, s, len(v)) for (b, t, s), v in seen.items()}
+    got = {(r["p_brand"], r["p_type"], r["p_size"], r["supplier_cnt"])
+           for r in q_part_supplier_counts(spark, SF_DIR).collect()}
+    assert got == want
+
+
+# -- TPC-H Q20-shape two-level dominance + semi-join chain ----------------------------
+
+
+def test_dominant_suppliers_matches_python(spark):
+    from document_processor_spark.operators.relational import (
+        q_dominant_suppliers,
+    )
+
+    nation = _nation_of(spark)
+    promo = {r["p_partkey"] for r in _load(spark, "part")
+             if r["p_type"] == "PROMO"}
+    lo = datetime.datetime(1997, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+    qty_ps: dict[tuple, int] = defaultdict(int)
+    for r in _load(spark, "lineitem"):
+        if r["l_partkey"] in promo and lo <= r["l_shipdate"] < hi:
+            qty_ps[(r["l_partkey"], r["l_suppkey"])] += int(r["l_quantity"])
+    qty_p: dict[int, int] = defaultdict(int)
+    for (pk, _), q in qty_ps.items():
+        qty_p[pk] += q
+    dom = {sk for (pk, sk), q in qty_ps.items() if 2 * q > qty_p[pk]}
+    supp = {r["s_suppkey"]: (r["s_name"], nation[r["s_nationkey"]])
+            for r in _load(spark, "supplier")}
+    want = {(sk, supp[sk][0], supp[sk][1]) for sk in dom}
+
+    got = {(r["s_suppkey"], r["s_name"], r["n_name"])
+           for r in q_dominant_suppliers(spark, SF_DIR).collect()}
+    assert got == want
+    # dominance must bite: some supplier is NOT dominant anywhere
+    assert 0 < len(dom) < len(supp)
