@@ -40,6 +40,9 @@ NOTES = {
     "rel_tumbling_hourly": (
         "crossJoin with a broadcast 1-ROW aggregate (corpus min ts) — "
         "constant-size side"),
+    "rel_supplier_concentration": (
+        "crossJoin with a broadcast 1-ROW aggregate (global revenue total "
+        "+ supplier count, the Q11 scalar) — constant-size side"),
     "rel_rolling_1h": (
         "crossJoin with a broadcast 1-ROW aggregate (corpus min ts, the "
         "timezone-free order-key origin) — constant-size side; the frame "
