@@ -772,8 +772,54 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# -- recall@k evaluation: IVF vs the exact baseline ---------------------------------
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the IVF path against the brute-force ground
+    truth — the quality gate every ANN deployment needs next to its
+    latency numbers.
+
+    Scale shape: both inputs are k-bounded per query, so the comparison
+    join moves k·|queries| rows however big the corpus is; the cost is
+    the brute-force side itself, which is why at 100 TB the eval runs on
+    a SAMPLED query set (here the deterministic vec_id % QUERY_MOD set
+    both paths already share) rather than every query.  recall_pct is
+    exact integer math — no float leaves the plan."""
+    bf = q_ann_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id")
+    iv = q_ann_ivf_topk(spark, sf_dir).select("query_id", "vec_id")
+    truth = bf.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_true"))
+    hits = (bf.join(iv, ["query_id", "vec_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (truth.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.col("n_true").cast("bigint").alias("n_true"),
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+                    .alias("n_hits"))
+            .withColumn("recall_pct",
+                        F.expr("n_hits * 100 div n_true").cast("bigint")))
+
+
+SQL_ANN_RECALL = f"""
+WITH bf AS (SELECT query_id, vec_id FROM ({SQL_ANN_BRUTEFORCE}) t_bf),
+iv AS (SELECT query_id, vec_id FROM ({SQL_ANN_IVF}) t_iv),
+truth AS (SELECT query_id, count(*) AS n_true FROM bf GROUP BY query_id),
+hits AS (
+  SELECT bf.query_id, count(*) AS n_hits
+  FROM bf JOIN iv USING (query_id, vec_id)
+  GROUP BY bf.query_id
+)
+SELECT t.query_id,
+       CAST(t.n_true AS BIGINT) AS n_true,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 100 // t.n_true AS BIGINT) AS recall_pct
+FROM truth t LEFT JOIN hits h USING (query_id)
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE),
+    "ann_recall_eval": (q_ann_recall_eval, SQL_ANN_RECALL),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF),
     "ann_kmeans_train": (q_ann_kmeans_train, _sql_kmeans()),

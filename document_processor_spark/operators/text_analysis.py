@@ -1644,8 +1644,68 @@ LIMIT {TEXTRANK_K}
 """
 
 
+# -- hashed linear classifier scoring (fastText-style quality model) ---------------
+#
+# Model *scoring* at 100 TB is a map-only problem when the model is a
+# hashed linear scorer (fastText, DSIR-style importance models, spam/
+# quality gates): each token hashes to a feature id whose weight is
+# looked up and summed.  Here the weight table is itself a deterministic
+# function of the feature hash (w(h) = h mod 2001 − 1000 milliweights) —
+# the dataflow is identical to a broadcast weight-array lookup, but the
+# oracle stays restatable in pure SQL.  The per-document fold runs INSIDE
+# the tokens array (F.aggregate over split()) — zero explode, zero
+# shuffle, whole-stage codegen end-to-end.
+
+CLS_MOD = 2001
+CLS_OFF = 1000
+
+
+def q_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document linear score over hashed token features; keep_doc is
+    the sign gate a curation funnel would apply.
+
+    Scale shape: map-only — no explode (a 10^6-token doc would fan out
+    10^6 rows before re-aggregating), no shuffle, no Python.  The token
+    weight reuses the shared md5 60-bit construction
+    (functions/hashing.py) so the SQL mirror is bit-exact."""
+    d = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.lower("text"), " ", -1),
+                     lambda w: w != F.lit(""))
+
+    def wt(w):
+        h = F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint")
+        return (h % CLS_MOD) - CLS_OFF
+
+    score = F.aggregate(words, F.lit(0).cast("bigint"),
+                        lambda acc, w: acc + wt(w))
+    return d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_tokens"),
+        score.alias("score_milli"),
+        (score > 0).alias("keep_doc"))
+
+
+SQL_HASH_CLASSIFIER = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> w != '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(coalesce(list_sum(list_transform(ws,
+              w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % {CLS_MOD}
+                   - {CLS_OFF})), 0) AS BIGINT) AS score_milli,
+       coalesce(list_sum(list_transform(ws,
+              w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % {CLS_MOD}
+                   - {CLS_OFF})), 0) > 0 AS keep_doc
+FROM t
+"""
+
+
 QUERIES = {
     "ta_skipgram_pairs": (q_skipgram_pairs, _sql_skipgram()),
+    "ta_hash_classifier": (q_hash_classifier, SQL_HASH_CLASSIFIER),
     "ta_textrank_keywords": (q_textrank_keywords, _sql_textrank()),
     "ta_corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "ta_source_vocab_overlap": (q_source_vocab_overlap,

@@ -391,3 +391,64 @@ def test_dominant_suppliers_matches_python(spark):
     assert got == want
     # dominance must bite: some supplier is NOT dominant anywhere
     assert 0 < len(dom) < len(supp)
+
+
+# -- hashed linear classifier scoring --------------------------------------------------
+
+
+def test_hash_classifier_matches_python(spark):
+    import hashlib
+
+    from document_processor_spark.operators.text_analysis import (
+        CLS_MOD,
+        CLS_OFF,
+        q_hash_classifier,
+    )
+
+    def wt(w: str) -> int:
+        h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        return h % CLS_MOD - CLS_OFF
+
+    want = {}
+    for r in _load(spark, "documents"):
+        ws = [w for w in r["text"].lower().split(" ") if w]
+        s = sum(wt(w) for w in ws)
+        want[r["doc_id"]] = (len(ws), s, s > 0)
+
+    rows = q_hash_classifier(spark, SF_DIR).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        assert (r["n_tokens"], r["score_milli"],
+                r["keep_doc"]) == want[r["doc_id"]]
+    # the gate must bite both ways
+    kept = sum(1 for _, _, k in want.values() if k)
+    assert 0 < kept < len(want)
+
+
+# -- ANN recall@k evaluation ------------------------------------------------------------
+
+
+def test_ann_recall_eval_matches_composition(spark):
+    """The recall operator's per-query numbers must equal the set
+    algebra over its two (independently oracle-gated) input queries, and
+    the eval must be informative: not every query at 100%."""
+    from document_processor_spark.operators import ann
+
+    truth: dict = {}
+    for r in ann.q_ann_bruteforce_topk(spark, SF_DIR).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got_ivf: dict = {}
+    for r in ann.q_ann_ivf_topk(spark, SF_DIR).collect():
+        got_ivf.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    rows = {r["query_id"]: r
+            for r in ann.q_ann_recall_eval(spark, SF_DIR).collect()}
+    assert set(rows) == set(truth)
+    for q, t in truth.items():
+        hits = len(t & got_ivf.get(q, set()))
+        r = rows[q]
+        assert r["n_true"] == len(t) == ann.TOP_K
+        assert r["n_hits"] == hits
+        assert r["recall_pct"] == hits * 100 // len(t)
+    assert any(r["recall_pct"] < 100 for r in rows.values())
+    assert any(r["recall_pct"] > 0 for r in rows.values())
