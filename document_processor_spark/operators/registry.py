@@ -32,7 +32,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # mm_media_dedup, rel_waiting_suppliers, rel_idle_customers,
 # rel_priority_wait, rel_promo_share, rel_event_transitions, rel_twap,
 # ta_skipgram_pairs, stream_static_enrich, ta_textrank_keywords,
-# cur_universe_sample, rel_interval_coverage, mm_audio_fingerprint —
+# cur_universe_sample, rel_interval_coverage, mm_audio_fingerprint,
+# and the session-6 batch: rel_forecast_revenue, rel_small_qty_revenue,
+# rel_disjunctive_revenue, rel_top_supplier, rel_supplier_concentration,
+# rel_min_price_supplier, rel_region_trade, rel_market_share,
+# rel_product_profit, rel_part_supplier_counts, rel_dominant_suppliers,
+# ta_hash_classifier, ann_recall_eval —
 # then
 # the long-parked stable families (ext_*, dedup_*, ann_* minus kmeans,
 # ta_* minus the r4 sketches, rel_* classics, mm_media_*).  That pool
