@@ -817,8 +817,103 @@ FROM truth t LEFT JOIN hits h USING (query_id)
 """
 
 
+# -- int8 scalar quantization (SQ8) -------------------------------------------------
+
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN: every vector is compressed to one uint8 code
+    per dimension against GLOBAL per-dimension [min, max] ranges, and
+    candidates are ranked by the exact INTEGER dot product of the codes —
+    the FAISS ``SQ8`` memory layout (reference has no ANN surface; this is
+    the training-data-pipeline extension the 100 TB brief asks for).
+
+    Scale shape: the per-dim range scan is ONE shuffle of (dim, x) pairs
+    with map-side partial min/max (64 rows per task survive the map side,
+    whatever the corpus size); the 1-row range table broadcasts; scoring
+    reuses the brute-force broadcast-query shape but moves 8x fewer bytes
+    per candidate (uint8 codes vs float64) — at 10^12 vectors the code
+    table is the only thing that has to fit, which is the whole point of
+    SQ8.  All ranking math is integer, so the oracle is bit-exact."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    # one partial-agg shuffle: (dim, x) -> 64 (min, max) rows
+    st = (e.select(F.posexplode("v").alias("dim", "x"))
+          .groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx")))
+    ranges = st.agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("dim", "mn"))),
+                    lambda s: s.mn).alias("mns"),
+        F.transform(F.array_sort(F.collect_list(F.struct("dim", "mx"))),
+                    lambda s: s.mx).alias("mxs"))
+    mn = F.col("mns")
+    mx = F.col("mxs")
+    code = F.transform(
+        F.col("v"),
+        lambda x, i: F.when(
+            F.element_at(mx, i + 1) > F.element_at(mn, i + 1),
+            F.least(
+                F.lit(255).cast("bigint"),
+                F.floor((x - F.element_at(mn, i + 1)) * 255.0
+                        / (F.element_at(mx, i + 1)
+                           - F.element_at(mn, i + 1))),
+            )).otherwise(F.lit(0).cast("bigint")))
+    codes = (e.crossJoin(F.broadcast(ranges))
+             .select("vec_id", code.alias("c")))
+    q = codes.filter(F.col("vec_id") % QUERY_MOD == 0) \
+             .select(F.col("vec_id").alias("query_id"), F.col("c").alias("qc"))
+    score = F.aggregate(F.zip_with("qc", "c", lambda a, b: a * b),
+                        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    pairs = (codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "vec_id", score.alias("score_q")))
+    w = W.partitionBy("query_id").orderBy(F.col("score_q").desc(),
+                                          F.col("vec_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "vec_id",
+                    F.col("rank").cast("bigint").alias("rank"),
+                    F.col("score_q").cast("bigint").alias("score_q")))
+
+
+SQL_ANN_SQ8 = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+st AS (
+  SELECT dim, min(x) AS mn, max(x) AS mx FROM (
+    SELECT unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x FROM e
+  ) GROUP BY dim
+),
+ranges AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+           FROM st),
+codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(v)),
+           i -> CASE WHEN r.mxs[i] > r.mns[i]
+                THEN CAST(least(255, floor((v[i] - r.mns[i]) * 255.0
+                                           / (r.mxs[i] - r.mns[i])))
+                          AS BIGINT)
+                ELSE 0 END) AS c
+  FROM e CROSS JOIN ranges r
+),
+q AS (SELECT vec_id AS query_id, c AS qc FROM codes
+      WHERE vec_id % {QUERY_MOD} = 0),
+pairs AS (
+  SELECT q.query_id, codes.vec_id,
+         list_reduce(list_transform(generate_series(1, len(qc)),
+                                    i -> qc[i] * c[i]),
+                     (x, y) -> x + y) AS score_q
+  FROM codes JOIN q ON codes.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+       CAST(score_q AS BIGINT) AS score_q
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE),
+    "ann_sq8_topk": (q_ann_sq8_topk, SQL_ANN_SQ8),
     "ann_recall_eval": (q_ann_recall_eval, SQL_ANN_RECALL),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF),

@@ -1353,8 +1353,104 @@ GROUP BY c_mktsegment
 """
 
 
+# -- overlapping context-window chunking (RAG / training windows) ------------------
+
+CHUNK_W = 32       # tokens per chunk
+CHUNK_STRIDE = 24  # stride between chunk starts (CHUNK_W - CHUNK_STRIDE overlap)
+
+
+def q_cur_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping CHUNK_W-token windows at
+    CHUNK_STRIDE — the sliding-context chunking a RAG indexer or a
+    long-context training loader applies before embedding/packing
+    (reference app/slice_extractor emits whole slices; the window pass is
+    the pipeline step after it).
+
+    Scale shape: map-only — starts come from ``sequence`` over the doc's
+    own length and the window slice is array math on the already-split
+    token array, so there is NO shuffle and NO Python; a 10^12-doc corpus
+    chunks at scan speed.  The trailing window is kept short (never
+    padded, never dropped) so coverage is total: every token lands in
+    >=1 chunk."""
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ", -1)
+    starts = F.sequence(F.lit(0),
+                        F.greatest(F.size(words) - 1, F.lit(0)),
+                        F.lit(CHUNK_STRIDE))
+    chunks = F.transform(
+        starts,
+        lambda s: F.array_join(F.slice(words, s + 1, CHUNK_W), " "))
+    return (d.select("doc_id", F.posexplode(chunks)
+                     .alias("chunk_idx", "chunk_text"))
+            .select("doc_id",
+                    F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+                    F.size(F.split("chunk_text", " ", -1))
+                    .cast("bigint").alias("n_tokens"),
+                    "chunk_text"))
+
+
+SQL_CUR_CHUNK_OVERLAP = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id, w,
+         unnest(generate_series(0, greatest(len(w) - 1, 0),
+                                {CHUNK_STRIDE})) AS start,
+         unnest(generate_series(0,
+             len(generate_series(0, greatest(len(w) - 1, 0),
+                                 {CHUNK_STRIDE})) - 1)) AS chunk_idx
+  FROM d
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(w, start + 1,
+                           least(start + {CHUNK_W}, len(w)))) AS BIGINT)
+         AS n_tokens,
+       array_to_string(list_slice(w, start + 1,
+                                  least(start + {CHUNK_W}, len(w))), ' ')
+         AS chunk_text
+FROM s
+"""
+
+
+# -- k-anonymity audit over quasi-identifiers ---------------------------------------
+
+K_ANON = 5
+
+
+def q_cur_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: group the corpus by its quasi-identifier tuple
+    (lang, source, length decile) and flag equivalence classes smaller
+    than K_ANON — the privacy gate a release pipeline runs after PII
+    redaction (cur_pii_redact) to catch re-identifiable small cells.
+
+    Scale shape: ONE groupBy shuffle with map-side partial counts; the
+    quasi-id space is tiny (langs x sources x 10 buckets) so the result
+    is always driver-safe.  The length decile is integer floor math, not
+    a percentile pass."""
+    d = _docs(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).cast("bigint")
+    return (d.groupBy(F.col("lang"), F.col("source"),
+                      bucket.alias("len_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select("lang", "source", "len_bucket",
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    (F.col("n_docs") < K_ANON).alias("below_k")))
+
+
+SQL_CUR_K_ANONYMITY = f"""
+SELECT lang, source,
+       CAST(least(floor(n_chars / 100), 9) AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       count(*) < {K_ANON} AS below_k
+FROM documents
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "cur_universe_sample": (q_cur_universe_sample, SQL_CUR_UNIVERSE_SAMPLE),
+    "cur_chunk_overlap": (q_cur_chunk_overlap, SQL_CUR_CHUNK_OVERLAP),
+    "cur_k_anonymity": (q_cur_k_anonymity, SQL_CUR_K_ANONYMITY),
     "cur_corpus_build": (q_cur_corpus_build, _sql_corpus_build()),
     "cur_keep_best": (q_cur_keep_best, SQL_CUR_KEEP_BEST),
     "cur_score_normalize": (q_cur_score_normalize, SQL_CUR_SCORE_NORMALIZE),

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 N_BANDS = 8
@@ -1474,8 +1474,74 @@ LEFT JOIN pern p ON p.n = d.doc_id
 """
 
 
+# -- sorted-neighborhood blocking ----------------------------------------------------
+
+SNM_W = 3        # candidate pairs within this global-rank distance
+SNM_KEY_LEN = 12  # normalized sort-key prefix length
+SNM_CHUNK = 64   # pigeonhole chunk width for the rank-adjacency equi-join
+
+
+def q_dedup_sorted_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo): sort the corpus
+    by a normalized key and emit every pair within SNM_W positions as a
+    dedup candidate — the classic entity-resolution blocker for keys that
+    hash-blocking splits (typos, prefixes).
+
+    Scale shape: the GLOBAL rank is built without a single-task window —
+    (1) per-coarse-bucket counts (one partial-agg shuffle, tiny result),
+    (2) a cumsum over that TINY bucket table (driver-safe), broadcast
+    back, (3) per-bucket local row_number + offset.  Adjacency pairs come
+    from a pigeonhole chunk equi-join (each right row probes its own and
+    the previous rank-chunk), so the join is chunk-local and never O(N²).
+    This is the same distributed-ranking shape cur_shard_export uses."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring(F.regexp_replace(F.lower("text"), "[^a-z]", ""),
+                    1, SNM_KEY_LEN).alias("key"))
+    d = d.withColumn("bucket", F.substring("key", 1, 1))
+    counts = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    # cumsum over the tiny bucket table (≤ alphabet size — driver-safe)
+    woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("off"))
+    wloc = Window.partitionBy("bucket").orderBy("key", "doc_id")
+    ranked = (d.join(F.broadcast(offsets), "bucket")
+              .select("doc_id", "key",
+                      (F.col("off") + F.row_number().over(wloc))
+                      .alias("rnk"))
+              .withColumn("chunk", F.floor((F.col("rnk") - 1) / SNM_CHUNK)))
+    a = ranked.alias("a")
+    b = (ranked.select(
+            F.col("doc_id").alias("doc_b"), F.col("rnk").alias("rnk_b"),
+            F.explode(F.array(F.col("chunk"), F.col("chunk") - 1))
+            .alias("chunk")))
+    return (a.join(b, "chunk")
+            .filter((F.col("rnk_b") - F.col("a.rnk") >= 1)
+                    & (F.col("rnk_b") - F.col("a.rnk") <= SNM_W))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("doc_b"),
+                    (F.col("rnk_b") - F.col("a.rnk")).cast("bigint")
+                    .alias("gap")))
+
+
+SQL_DEDUP_SORTED_BLOCKING = f"""
+WITH d AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z]', '', 'g'),
+                1, {SNM_KEY_LEN}) AS key
+  FROM documents
+),
+r AS (SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS rnk FROM d)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(b.rnk - a.rnk AS BIGINT) AS gap
+FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND {SNM_W}
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_sorted_blocking": (q_dedup_sorted_blocking,
+                              SQL_DEDUP_SORTED_BLOCKING),
     "dedup_triangles": (q_dedup_triangles,
                         SQL_DEDUP_TRIANGLES.format(pairs=SQL_DEDUP_MINHASH_LSH)),
     "dedup_exact_substr": (q_dedup_exact_substr, SQL_DEDUP_EXACT_SUBSTR),

@@ -1703,7 +1703,89 @@ FROM t
 """
 
 
+# -- boolean retrieval (AND / threshold-OR postings intersection) ---------------
+
+# Lucene's BooleanQuery core: candidate docs come from an inverted-index
+# probe, AND-satisfaction from counting distinct matched terms against the
+# query's term count — never from rescanning text.  Queries are carved
+# deterministically from the corpus (the 3 alphabetically-first distinct
+# words of length >= BOOL_MIN_LEN of each doc_id % BOOL_QUERY_MOD doc), so
+# the operator is self-contained like phrase_search.
+#
+# Scale shape: ONE corpus shuffle builds the DISTINCT (doc_id, word)
+# postings; the query-term table is provably tiny (3 rows per query doc)
+# and broadcasts; the intersection groupBy moves only posting rows that
+# matched a query term.  At 10^12 docs the hot-term stoplist from
+# dedup_ngram_jaccard caps posting-list length before the probe.
+
+BOOL_QUERY_MOD = 317
+BOOL_TERMS = 3
+BOOL_MIN_LEN = 4
+BOOL_MIN_MATCH = 2   # threshold-OR floor: emit docs matching >= this many
+
+
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean multi-term retrieval: per (query, doc), the count of
+    distinct matched terms plus the exact-AND flag (all query terms
+    present).  Output bounded by BOOL_MIN_MATCH threshold."""
+    from pyspark.sql import Window as W
+
+    from .dedup import _pin
+    d = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    post = _pin(
+        d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("word"))
+        .filter(F.col("word") != "").distinct())
+    wq = W.partitionBy("query_id").orderBy("word")
+    qt = (post.filter((F.col("doc_id") % BOOL_QUERY_MOD == 0)
+                      & (F.length("word") >= BOOL_MIN_LEN))
+          .select(F.col("doc_id").alias("query_id"), "word")
+          .withColumn("r", F.row_number().over(wq))
+          .filter(F.col("r") <= BOOL_TERMS)
+          .drop("r"))
+    need = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("need"))
+    matched = (post.join(F.broadcast(qt), "word")
+               .filter(F.col("doc_id") != F.col("query_id"))
+               .groupBy("query_id", "doc_id")
+               .agg(F.count(F.lit(1)).alias("n_matched")))
+    return (matched.join(F.broadcast(need), "query_id")
+            .filter(F.col("n_matched") >= BOOL_MIN_MATCH)
+            .select("query_id", "doc_id",
+                    F.col("n_matched").cast("bigint").alias("n_matched"),
+                    (F.col("n_matched") == F.col("need")).alias("and_match")))
+
+
+SQL_BOOLEAN_SEARCH = f"""
+WITH post AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE length(text) > 0
+  ) WHERE word <> ''
+),
+qt AS (
+  SELECT query_id, word FROM (
+    SELECT doc_id AS query_id, word,
+           row_number() OVER (PARTITION BY doc_id ORDER BY word) AS r
+    FROM post
+    WHERE doc_id % {BOOL_QUERY_MOD} = 0 AND length(word) >= {BOOL_MIN_LEN}
+  ) WHERE r <= {BOOL_TERMS}
+),
+need AS (SELECT query_id, count(*) AS need FROM qt GROUP BY query_id),
+matched AS (
+  SELECT qt.query_id, post.doc_id, count(*) AS n_matched
+  FROM post JOIN qt USING (word)
+  WHERE post.doc_id <> qt.query_id
+  GROUP BY qt.query_id, post.doc_id
+)
+SELECT m.query_id, m.doc_id,
+       CAST(m.n_matched AS BIGINT) AS n_matched,
+       m.n_matched = n.need AS and_match
+FROM matched m JOIN need n USING (query_id)
+WHERE m.n_matched >= {BOOL_MIN_MATCH}
+"""
+
+
 QUERIES = {
+    "ta_boolean_search": (q_boolean_search, SQL_BOOLEAN_SEARCH),
     "ta_skipgram_pairs": (q_skipgram_pairs, _sql_skipgram()),
     "ta_hash_classifier": (q_hash_classifier, SQL_HASH_CLASSIFIER),
     "ta_textrank_keywords": (q_textrank_keywords, _sql_textrank()),
