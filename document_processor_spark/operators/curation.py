@@ -1353,6 +1353,104 @@ GROUP BY c_mktsegment
 """
 
 
+# -- Hilbert-curve layout key --------------------------------------------------------
+#
+# Locality sibling of cur_zorder_layout: the Hilbert curve guarantees
+# consecutive keys are ADJACENT grid cells (unit Manhattan step — pinned by
+# test over the full 256x256 grid), so a range of Hilbert buckets maps to a
+# tighter rectangle set than the same range of Z-order buckets (Z-order
+# jumps at quadrant seams).  This is the layout Databricks liquid
+# clustering and modern Iceberg writers prefer over Z-order for 2-D
+# predicate locality.  Pure integer bit math (the 8-step unrolled
+# xy→d transform below), ZERO shuffle, evaluated identically in both
+# engines — the same discipline as cur_zorder_layout.
+
+HILBERT_ORDER = 8                 # 8 bits per axis -> 256x256 grid
+HILBERT_BUCKET_SHIFT = 8          # hbucket = hkey >> 8: 256 buckets
+
+
+def hilbert_d(x: int, y: int, order: int = HILBERT_ORDER) -> int:
+    """Pure-Python twin of the dataflow transform (tests + docs)."""
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def q_cur_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.least(F.floor(F.col("n_chars") / ZORDER_LEN_DIV), F.lit(255))
+         .cast("bigint").alias("bx"),
+        (F.conv(F.substring(F.md5(F.concat_ws("|", "source", "lang")), 1, 15),
+                16, 10).cast("bigint") % 256).alias("by"))
+    df = d.select("doc_id", "bx", "by",
+                  F.col("bx").alias("x"), F.col("by").alias("y"),
+                  F.lit(0).cast("bigint").alias("hd"))
+    for i in range(HILBERT_ORDER - 1, -1, -1):
+        s = 1 << i
+        rx = F.when(F.col("x").bitwiseAND(F.lit(s)) > 0,
+                    F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(F.col("y").bitwiseAND(F.lit(s)) > 0,
+                    F.lit(1)).otherwise(F.lit(0))
+        hd = F.col("hd") + F.lit(s * s) * (rx * 3).bitwiseXOR(ry)
+        xn = (F.when(ry == 0,
+                     F.when(rx == 1, F.lit(s - 1) - F.col("y"))
+                      .otherwise(F.col("y")))
+               .otherwise(F.col("x")))
+        yn = (F.when(ry == 0,
+                     F.when(rx == 1, F.lit(s - 1) - F.col("x"))
+                      .otherwise(F.col("x")))
+               .otherwise(F.col("y")))
+        df = df.select("doc_id", "bx", "by", xn.alias("x"), yn.alias("y"),
+                       hd.alias("hd"))
+    return df.select("doc_id", "bx", "by",
+                     F.col("hd").cast("bigint").alias("hkey"),
+                     F.shiftright(F.col("hd"), HILBERT_BUCKET_SHIFT)
+                      .cast("bigint").alias("hbucket"))
+
+
+def _sql_hilbert_layout() -> str:
+    ctes = [f"""k0 AS (
+  SELECT doc_id, bx, by, bx AS x, by AS y, CAST(0 AS BIGINT) AS hd FROM d)"""]
+    for step, i in enumerate(range(HILBERT_ORDER - 1, -1, -1), start=1):
+        s = 1 << i
+        rx = f"CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END"
+        ry = f"CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END"
+        ctes.append(f"""k{step} AS (
+  SELECT doc_id, bx, by,
+         CASE WHEN ({ry}) = 0
+              THEN CASE WHEN ({rx}) = 1 THEN {s - 1} - y ELSE y END
+              ELSE x END AS x,
+         CASE WHEN ({ry}) = 0
+              THEN CASE WHEN ({rx}) = 1 THEN {s - 1} - x ELSE x END
+              ELSE y END AS y,
+         hd + {s * s} * xor(({rx}) * 3, {ry}) AS hd
+  FROM k{step - 1})""")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(least(floor(n_chars / {ZORDER_LEN_DIV}), 255) AS BIGINT)
+           AS bx,
+         ('0x' || substr(md5(source || '|' || lang), 1, 15))::BIGINT % 256
+           AS by
+  FROM documents),
+{",".join(ctes)}
+SELECT doc_id, bx, by, CAST(hd AS BIGINT) AS hkey,
+       CAST(hd >> {HILBERT_BUCKET_SHIFT} AS BIGINT) AS hbucket
+FROM k{HILBERT_ORDER}
+"""
+
+
 # -- overlapping context-window chunking (RAG / training windows) ------------------
 
 CHUNK_W = 32       # tokens per chunk
@@ -1451,6 +1549,7 @@ QUERIES = {
     "cur_universe_sample": (q_cur_universe_sample, SQL_CUR_UNIVERSE_SAMPLE),
     "cur_chunk_overlap": (q_cur_chunk_overlap, SQL_CUR_CHUNK_OVERLAP),
     "cur_k_anonymity": (q_cur_k_anonymity, SQL_CUR_K_ANONYMITY),
+    "cur_hilbert_layout": (q_cur_hilbert_layout, _sql_hilbert_layout()),
     "cur_corpus_build": (q_cur_corpus_build, _sql_corpus_build()),
     "cur_keep_best": (q_cur_keep_best, SQL_CUR_KEEP_BEST),
     "cur_score_normalize": (q_cur_score_normalize, SQL_CUR_SCORE_NORMALIZE),

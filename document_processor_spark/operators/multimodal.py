@@ -693,7 +693,74 @@ HAVING count(*) >= {AUDIO_MIN_SHARED}
 """
 
 
+# -- video scene-cut detection -------------------------------------------------------
+
+SCENE_CUT_T = 48  # sum-abs-diff threshold across one FRAME_BYTES frame
+
+_SCENE_SCHEMA = ("doc_id bigint, frame_idx bigint, delta bigint, "
+                 "is_cut boolean")
+
+
+def _scene_cut_batches(it: Iterator["object"]) -> Iterator["object"]:
+    import pandas as pd
+    for pdf in it:
+        rows = []
+        for doc_id, payload, mt in zip(pdf["doc_id"], pdf["payload"],
+                                       pdf["media_type"]):
+            px = decode_media(payload, mt)["pixels"]
+            n_frames = len(px) // FRAME_BYTES
+            for f in range(1, n_frames):
+                prev = px[(f - 1) * FRAME_BYTES:f * FRAME_BYTES]
+                cur = px[f * FRAME_BYTES:(f + 1) * FRAME_BYTES]
+                delta = sum(abs(a - b) for a, b in zip(prev, cur))
+                rows.append((doc_id, f, delta, delta >= SCENE_CUT_T))
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "delta",
+                                          "is_cut"])
+
+
+def q_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection over the video subset: per consecutive frame
+    pair, the sum of absolute per-byte pixel differences, flagged as a cut
+    at SCENE_CUT_T — the SAD (sum-of-absolute-differences) detector every
+    video curation pipeline runs before frame dedup/sampling.
+
+    Scale shape: same as mm_frame_sample — the media_type filter sits
+    BEFORE the Arrow-batched Python stage so Catalyst prunes non-video
+    rows out of the decode entirely; per-doc work is linear in the pixel
+    run, output rows bounded by frame count, zero shuffle.  The fake-codec
+    decode is where real libav swaps in; the frame-delta math is already
+    the real detector."""
+    return (video_media_table(spark, sf_dir)
+            .filter(F.col("media_type") == "video/mp4")
+            .mapInPandas(_scene_cut_batches, _SCENE_SCHEMA))
+
+
+def _sql_scene_cut() -> str:
+    # SAD over the FRAME_BYTES-wide frames, restated at code-point level
+    # (fixture ASCII pinned by test_phash_fixture_is_ascii)
+    sad = " + ".join(
+        f"abs(ascii(substr(px, {j + 1} + (f - 1) * {FRAME_BYTES}, 1)) - "
+        f"ascii(substr(px, {j + 1} + f * {FRAME_BYTES}, 1)))"
+        for j in range(FRAME_BYTES))
+    return f"""
+WITH vids AS (
+  SELECT doc_id,
+         substr(text, 1, 16 + n_chars % 24) AS px,
+         octet_length(encode(substr(text, 1, 16 + n_chars % 24)))
+           // {FRAME_BYTES} AS n_frames
+  FROM documents
+  WHERE n_chars % 3 = 2
+)
+SELECT doc_id,
+       f AS frame_idx,
+       CAST({sad} AS BIGINT) AS delta,
+       ({sad}) >= {SCENE_CUT_T} AS is_cut
+FROM vids, unnest(range(1, n_frames)) AS t(f)
+"""
+
+
 QUERIES = {
+    "mm_scene_cut": (q_scene_cut, _sql_scene_cut()),
     "mm_audio_fingerprint": (q_audio_fingerprint, SQL_AUDIO_FINGERPRINT),
     "mm_media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "mm_media_dedup": (q_media_dedup, SQL_MEDIA_DEDUP),

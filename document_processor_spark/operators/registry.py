@@ -33,9 +33,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # rel_priority_wait, rel_promo_share, rel_event_transitions, rel_twap,
 # ta_skipgram_pairs, stream_static_enrich, ta_textrank_keywords,
 # cur_universe_sample, rel_interval_coverage, mm_audio_fingerprint,
-# the six displaced from the r4 window by the session-7 batch:
-# dedup_pagerank, rel_pivot, rel_set_ops, stream_session_window,
-# pipe_extract_synth_source, pipe_extract_jsonl_roundtrip,
+# the eight displaced from the r4 window by the session-7/8 batches:
+# ta_length_quantiles, cur_domain_cap, dedup_pagerank, rel_pivot,
+# rel_set_ops, stream_session_window, pipe_extract_synth_source,
+# pipe_extract_jsonl_roundtrip,
 # and the session-6 batch: rel_forecast_revenue, rel_small_qty_revenue,
 # rel_disjunctive_revenue, rel_top_supplier, rel_supplier_concentration,
 # rel_min_price_supplier, rel_region_trade, rel_market_share,
@@ -49,6 +50,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # code, the one place where an older row still certifies the current
 # tree.
 _PRIORITY: tuple[str, ...] = (
+    # new this round (session 8)
+    "stream_late_data", "cur_hilbert_layout", "mm_scene_cut",
     # new this round (session 7)
     "ann_sq8_topk", "cur_chunk_overlap", "cur_k_anonymity",
     "dedup_sorted_blocking", "ta_boolean_search",

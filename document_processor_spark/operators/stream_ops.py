@@ -632,7 +632,132 @@ GROUP BY c_mktsegment
 """
 
 
+# -- watermark late-data semantics, audited exactly ---------------------------------
+
+LATE_MOD = 37           # event_id % LATE_MOD == 0 -> arrives one batch late
+LATE_DELAY_MS = 7_200_000  # the 2-hour watermark delay, in ms (Spark tracks ms)
+
+
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark's LATE-DATA DROP rule, pinned by an exact oracle: the
+    corpus streams in two micro-batches (on-time rows, then the
+    deterministic late subset), so batch 2 runs under the watermark
+    batch 1 established — max(on-time event time) minus the 2-hour delay
+    — and every late row whose 1-hour window already closed is DROPPED
+    from the aggregate, exactly as a live pipeline sheds stragglers.
+
+    The oracle restates Spark's actual rule, not a paraphrase — both
+    halves verified against the live query's numRowsDroppedByWatermark:
+    (1) the data filter uses the watermark of the PREVIOUS trigger, so a
+    late file arriving in the batch right after the on-time max would be
+    admitted in full — a one-row "tick" micro-batch (ts = on-time max,
+    advancing nothing) sits between them so the late batch really runs
+    under the established watermark; (2) the watermark is tracked in
+    MILLISECONDS (floor(max_us/1000) - delay_ms) and a row is dropped iff
+    its window END (micros) <= watermark*1000 — that window's state was
+    already finalized.  A trailing sentinel micro-batch 10 days out
+    flushes every surviving window through the append-mode sink (the
+    sentinel's own window stays in state, unemitted).  State is
+    partitioned on the window key and bounded by the watermark horizon —
+    the shape scales to any executor count."""
+    import os
+
+    name = _sink_name(spark, "stream_ld_sink")
+    base = Path(tempfile.mkdtemp(prefix="stream_ld_"))
+    try:
+        inp = base / "in"
+        inp.mkdir()
+        with _utc_session(spark), _pinned_state_partitions(spark):
+            ev = spark.read.schema(EVENTS_DDL).parquet(
+                f"{sf_dir}/events.parquet")
+            t1_us = ev.agg(F.unix_micros(F.max("ts")).alias("t1")) \
+                      .collect()[0]["t1"]
+            onmax_us = (ev.filter(F.col("event_id") % LATE_MOD != 0)
+                        .agg(F.unix_micros(F.max("ts")).alias("t"))
+                        .collect()[0]["t"])
+            tick = spark.range(1).select(
+                F.lit(10**11).cast("bigint").alias("event_id"),
+                F.timestamp_micros(F.lit(onmax_us)).alias("ts"),
+                F.lit(-1).cast("bigint").alias("user_id"),
+                F.lit("tick").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("").alias("props"))
+            for fname, frame, bump in (
+                    ("aa-ontime.parquet",
+                     ev.filter(F.col("event_id") % LATE_MOD != 0), 0),
+                    ("bb-tick.parquet", tick, 900),
+                    ("cc-late.parquet",
+                     ev.filter(F.col("event_id") % LATE_MOD == 0), 1800),
+                    ("zz-sentinel.parquet",
+                     spark.range(1).select(
+                         F.lit(10**12).cast("bigint").alias("event_id"),
+                         F.timestamp_micros(
+                             F.lit(t1_us + 10 * 86_400 * 1_000_000))
+                          .alias("ts"),
+                         F.lit(-1).cast("bigint").alias("user_id"),
+                         F.lit("sentinel").alias("event_type"),
+                         F.lit(0.0).alias("value"),
+                         F.lit("").alias("props")), 3600)):
+                sdir = base / f"stage_{fname}"
+                frame.coalesce(1).write.parquet(str(sdir))
+                part = next(sdir.glob("part-*.parquet"))
+                shutil.copy(part, inp / fname)
+                os.utime(inp / fname,
+                         (os.stat(inp / "aa-ontime.parquet").st_mtime
+                          + bump,) * 2)
+            src = (spark.readStream.schema(EVENTS_DDL)
+                   .option("maxFilesPerTrigger", 1).parquet(str(inp)))
+            agg = (src.withWatermark("ts", "2 hours")
+                   .groupBy(F.window("ts", "1 hour").alias("w"))
+                   .agg(F.count(F.lit(1)).alias("n_events")))
+            q = (agg.writeStream.outputMode("append").format("memory")
+                 .queryName(name)
+                 .option("checkpointLocation", str(base / "ckpt"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            t0h_us = (spark.read.schema(EVENTS_DDL)
+                      .parquet(f"{sf_dir}/events.parquet")
+                      .agg((F.floor(F.unix_micros(F.min("ts"))
+                                    / MICROS_PER_HOUR)
+                            * F.lit(3_600_000_000)).cast("long").alias("us"))
+                      .collect()[0]["us"])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    bucket = F.floor((F.unix_micros(F.col("w.start")) - F.lit(t0h_us))
+                     / MICROS_PER_HOUR)
+    return (spark.table(name)
+            .filter(F.col("w.start")
+                    < F.timestamp_micros(F.lit(t1_us + 86_400 * 1_000_000)))
+            .select(bucket.cast("bigint").alias("hour_bucket"), "n_events"))
+
+
+SQL_STREAM_LATE_DATA = f"""
+WITH wm AS (
+  SELECT (floor(date_diff('microsecond', TIMESTAMP '1970-01-01', max(ts))
+                / 1000.0) - {LATE_DELAY_MS}) * 1000 AS wm_us
+  FROM events WHERE event_id % {LATE_MOD} <> 0
+),
+kept AS (
+  SELECT ts FROM events WHERE event_id % {LATE_MOD} <> 0
+  UNION ALL
+  SELECT max(ts) AS ts FROM events WHERE event_id % {LATE_MOD} <> 0
+  UNION ALL
+  SELECT e.ts FROM events e, wm
+  WHERE e.event_id % {LATE_MOD} = 0
+    AND date_diff('microsecond', TIMESTAMP '1970-01-01',
+                  date_trunc('hour', e.ts)) + 3600000000 > wm.wm_us
+),
+t0 AS (SELECT date_trunc('hour', min(ts)) AS t0h FROM events)
+SELECT CAST(floor(date_diff('microsecond', t0.t0h, date_trunc('hour', ts))
+                  / 3600000000.0) AS BIGINT) AS hour_bucket,
+       count(*) AS n_events
+FROM kept, t0
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "stream_late_data": (q_stream_late_data, SQL_STREAM_LATE_DATA),
     "stream_static_enrich": (q_stream_static_enrich,
                              SQL_STREAM_STATIC_ENRICH),
     "stream_tumbling_hourly": (q_stream_tumbling_hourly,
