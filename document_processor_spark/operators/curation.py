@@ -1353,6 +1353,71 @@ GROUP BY c_mktsegment
 """
 
 
+# -- differentially-private release counts -------------------------------------------
+#
+# Discrete-Laplace (two-sided geometric) mechanism for the per-cell counts
+# a corpus release publishes (epsilon = DP_EPS, sensitivity 1): noise_k ~
+# P(k) ∝ exp(-eps·|k|), truncated to ±DP_TRUNC.  The noise is drawn via
+# inverse-CDF over the SAME md5 hash-uniform integer both engines already
+# share (cur_stratified_sample's _hash_u discipline), and — the key
+# determinism move — the CDF thresholds are INTEGER LITERALS computed once
+# in Python below and embedded in BOTH the Spark plan and the oracle SQL,
+# so no transcendental function ever evaluates inside either engine and
+# the noisy counts are bit-identical.  Map-side: one partial-agg groupBy,
+# noise applied to the tiny cell table.  (Deterministic seeding is for
+# testability; a production release swaps the hash for a secret seed —
+# the mechanism, truncation, and composition accounting are unchanged.)
+
+import math as _math
+
+DP_EPS = 1.0
+DP_TRUNC = 8
+
+_DP_ALPHA = _math.exp(-DP_EPS)
+_DP_NORM = (1 - _DP_ALPHA) / (1 + _DP_ALPHA)
+# integer CDF thresholds over [−DP_TRUNC, DP_TRUNC) at SAMPLE_MOD grain;
+# the final bucket (+DP_TRUNC) is the ELSE arm
+_DP_THRESHOLDS: list[tuple[int, int]] = []
+_cdf = 0.0
+for _k in range(-DP_TRUNC, DP_TRUNC):
+    _cdf += _DP_NORM * _DP_ALPHA ** abs(_k)
+    _DP_THRESHOLDS.append((_k, int(_cdf * SAMPLE_MOD)))
+
+
+def _dp_noise_col(u) -> "F.Column":
+    expr = F.lit(DP_TRUNC)
+    for k, t in reversed(_DP_THRESHOLDS):
+        expr = F.when(u < t, F.lit(k)).otherwise(expr)
+    return expr
+
+
+def q_cur_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    cells = (d.groupBy("lang", "source")
+             .agg(F.count(F.lit(1)).alias("n")))
+    u = _hash_u(F.concat_ws("|", "lang", "source"))
+    return (cells.select(
+        "lang", "source",
+        F.greatest(F.lit(0), F.col("n") + _dp_noise_col(u))
+         .cast("bigint").alias("noisy_n")))
+
+
+def _sql_dp_count() -> str:
+    case = " ".join(f"WHEN u < {t} THEN {k}" for k, t in _DP_THRESHOLDS)
+    return f"""
+WITH cells AS (
+  SELECT lang, source, count(*) AS n,
+         ('0x' || substr(md5(lang || '|' || source), 1, 15))::BIGINT
+           % {SAMPLE_MOD} AS u
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang, source,
+       CAST(greatest(0, n + CASE {case} ELSE {DP_TRUNC} END) AS BIGINT)
+         AS noisy_n
+FROM cells
+"""
+
+
 # -- Hilbert-curve layout key --------------------------------------------------------
 #
 # Locality sibling of cur_zorder_layout: the Hilbert curve guarantees
@@ -1550,6 +1615,7 @@ QUERIES = {
     "cur_chunk_overlap": (q_cur_chunk_overlap, SQL_CUR_CHUNK_OVERLAP),
     "cur_k_anonymity": (q_cur_k_anonymity, SQL_CUR_K_ANONYMITY),
     "cur_hilbert_layout": (q_cur_hilbert_layout, _sql_hilbert_layout()),
+    "cur_dp_count": (q_cur_dp_count, _sql_dp_count()),
     "cur_corpus_build": (q_cur_corpus_build, _sql_corpus_build()),
     "cur_keep_best": (q_cur_keep_best, SQL_CUR_KEEP_BEST),
     "cur_score_normalize": (q_cur_score_normalize, SQL_CUR_SCORE_NORMALIZE),

@@ -745,6 +745,34 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "revenue", "n_rows"))
 
 
+def q_cube_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (o_orderpriority, o_orderstatus): all four grouping
+    sets — (a,b), (a), (b), () — in ONE Expand pass, the cross-dimension
+    sibling of q_revenue_rollup's hierarchy (ROLLUP skips the (b)-only
+    set; CUBE is what a BI layer asks for when both dimensions filter
+    independently).  Same scale shape: map-side replicate + partial agg,
+    one hash shuffle, grouping_id() disambiguates subtotal NULLs."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderpriority", "o_orderstatus")
+            .agg(F.grouping_id().cast("bigint").alias("gid"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("total_price"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .select("o_orderpriority", "o_orderstatus", "gid",
+                    "total_price", "n_orders"))
+
+
+SQL_CUBE_MIX = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 SQL_REVENUE_ROLLUP = """
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
@@ -2171,6 +2199,7 @@ QUERIES = {
     "rel_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "rel_tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING_HOURLY),
     "rel_revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    "rel_cube_mix": (q_cube_mix, SQL_CUBE_MIX),
     "rel_funnel": (q_funnel, SQL_FUNNEL),
     "rel_cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
     "rel_scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),

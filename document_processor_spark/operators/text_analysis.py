@@ -1703,6 +1703,136 @@ FROM t
 """
 
 
+# -- mergeable histogram quantiles ---------------------------------------------
+#
+# The scale swap for exact percentiles: ta_length_quantiles' exact
+# percentile needs a full sort per group; at 10^12 rows the production
+# answer is a FIXED-BIN integer histogram — 256 ints per group regardless
+# of corpus size, mergeable across partitions/executors/days (the same
+# property class as ta_hll_distinct / ta_cms_heavy_hitters).  The quantile
+# is then "smallest bin whose cumulative count reaches ceil(q·n)" —
+# deterministic integer math, exact against the oracle by construction,
+# approximate against the raw value only by bin width (documented, never
+# silent).
+
+HIST_DIV = 4      # n_chars -> bin = min(n_chars // HIST_DIV, HIST_BINS-1)
+HIST_BINS = 256
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source p50/p90/p99 length bins from a 256-bin histogram: one
+    partial-agg groupBy builds the histogram (the ONLY corpus shuffle);
+    the cumulative scan and quantile picks run on the tiny (source, bin)
+    table."""
+    from pyspark.sql import Window as W
+    d = _docs(spark, sf_dir)
+    bins = (d.groupBy(
+                F.col("source"),
+                F.least(F.floor(F.col("n_chars") / HIST_DIV),
+                        F.lit(HIST_BINS - 1)).cast("bigint").alias("bin"))
+            .agg(F.count(F.lit(1)).alias("c")))
+    w = W.partitionBy("source").orderBy("bin") \
+         .rowsBetween(W.unboundedPreceding, W.currentRow)
+    wn = W.partitionBy("source")
+    cum = (bins.withColumn("cum", F.sum("c").over(w))
+           .withColumn("n", F.sum("c").over(wn)))
+    pick = [F.min(F.when(F.col("cum") * 100 >= q * F.col("n"),
+                         F.col("bin"))).cast("bigint").alias(f"p{q}_bin")
+            for q in (50, 90, 99)]
+    return (cum.groupBy("source")
+            .agg(F.max("n").cast("bigint").alias("n_docs"), *pick))
+
+
+SQL_HIST_QUANTILES = f"""
+WITH bins AS (
+  SELECT source,
+         CAST(least(n_chars // {HIST_DIV}, {HIST_BINS - 1}) AS BIGINT)
+           AS bin,
+         count(*) AS c
+  FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, bin, c,
+         sum(c) OVER (PARTITION BY source ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY source) AS n
+  FROM bins
+)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN cum * 100 >= 50 * n THEN bin END) AS BIGINT)
+         AS p50_bin,
+       CAST(min(CASE WHEN cum * 100 >= 90 * n THEN bin END) AS BIGINT)
+         AS p90_bin,
+       CAST(min(CASE WHEN cum * 100 >= 99 * n THEN bin END) AS BIGINT)
+         AS p99_bin
+FROM cum GROUP BY source
+"""
+
+
+# -- asymmetric containment search ------------------------------------------------
+#
+# Containment C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| — the QUOTE/SUBSET
+# detector symmetric Jaccard misses: a tweet quoted inside an article has
+# tiny Jaccard but containment ≈ 1.  The denominator and intersection are
+# both computed over the STOPLISTED shingle sets (shingles in more than
+# CONTAIN_STOP docs are dropped on BOTH sides — the same hot-key cap
+# dedup_ngram_jaccard proves), so the posting self-join fan-out is bounded
+# by the stoplist, never O(N²) on boilerplate.
+
+CONTAIN_STOP = 50      # drop shingles appearing in more docs than this
+CONTAIN_T_BP = 5000    # emit pairs with containment >= 50% (basis points)
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _pin, _shingles_col
+    d = _docs(spark, sf_dir).select("doc_id", _shingles_col().alias("sh"))
+    post0 = d.select("doc_id", F.explode("sh").alias("s"))
+    df_ = (post0.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") <= CONTAIN_STOP))
+    # equi-join on s keeps only sub-stoplist shingles; never broadcast —
+    # the shingle vocabulary scales with the corpus (ta_bm25's rule)
+    post = _pin(post0.join(df_.select("s"), "s"))
+    sz = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_src"))
+    a = post.select(F.col("doc_id").alias("d_src"), "s")
+    b = post.select(F.col("doc_id").alias("d_dst"), "s")
+    inter = (a.join(b, "s")
+             .filter(F.col("d_src") != F.col("d_dst"))
+             .groupBy("d_src", "d_dst")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    return (inter.join(sz, inter["d_src"] == sz["doc_id"])
+            .select("d_src", "d_dst", "inter",
+                    F.col("n_src").cast("bigint").alias("n_src"),
+                    F.expr(f"inter * 10000 div n_src").cast("bigint")
+                     .alias("contain_bp"))
+            .filter(F.col("contain_bp") >= CONTAIN_T_BP))
+
+
+SQL_CONTAINMENT = f"""
+WITH sh AS ({{shingles}}),
+post0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+keep AS (SELECT s FROM post0 GROUP BY s HAVING count(*) <= {CONTAIN_STOP}),
+post AS (SELECT p.doc_id, p.s FROM post0 p JOIN keep USING (s)),
+sz AS (SELECT doc_id, count(*) AS n_src FROM post GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d_src, b.doc_id AS d_dst, count(*) AS inter
+  FROM post a JOIN post b USING (s)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.d_src, i.d_dst, i.inter,
+       CAST(s.n_src AS BIGINT) AS n_src,
+       CAST(i.inter * 10000 // s.n_src AS BIGINT) AS contain_bp
+FROM inter i JOIN sz s ON s.doc_id = i.d_src
+WHERE i.inter * 10000 // s.n_src >= {CONTAIN_T_BP}
+"""
+
+
+def _sql_containment() -> str:
+    from .dedup import _SQL_SHINGLES
+    return SQL_CONTAINMENT.format(shingles=_SQL_SHINGLES)
+
+
 # -- boolean retrieval (AND / threshold-OR postings intersection) ---------------
 
 # Lucene's BooleanQuery core: candidate docs come from an inverted-index
@@ -1785,6 +1915,8 @@ WHERE m.n_matched >= {BOOL_MIN_MATCH}
 
 
 QUERIES = {
+    "ta_hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
+    "ta_containment": (q_containment, _sql_containment()),
     "ta_boolean_search": (q_boolean_search, SQL_BOOLEAN_SEARCH),
     "ta_skipgram_pairs": (q_skipgram_pairs, _sql_skipgram()),
     "ta_hash_classifier": (q_hash_classifier, SQL_HASH_CLASSIFIER),
