@@ -772,6 +772,73 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# -- maximum-inner-product search (MIPS) ---------------------------------------------
+
+def q_ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-k via the augmented-vector reduction
+    (Bachrach et al. / Shrivastava-Li): append sqrt(M² − |x|²) to every
+    corpus vector (M = max corpus norm, a 1-row broadcast aggregate) and
+    0 to every query — then every augmented vector has norm exactly M,
+    so COSINE order over the augmented space IS inner-product order over
+    the original space, and any cosine-ANN index (the LSH/IVF siblings
+    in this module) serves MIPS unchanged.  That equivalence is this
+    query's contract: the returned ranking is the exact inner-product
+    top-k (tie-break vec_id) and the oracle recomputes it directly from
+    raw dots — the driver's hash gate is the mathematical proof on real
+    data; the augmented cosine ships alongside (sqrt/div are IEEE
+    exact-rounded, so it is bit-identical too).
+
+    Scale shape: M² is one partial-agg scan broadcast as a 1-row frame;
+    scoring reuses the brute broadcast-query shape (documented exact
+    baseline — the LSH bucket join is the scale path, unchanged by the
+    transform)."""
+    e = _emb(spark, sf_dir)
+    m2 = e.agg(F.max(F.col("nrm") * F.col("nrm")).alias("m2"))
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0) \
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                 F.col("nrm").alias("qnrm"))
+    pairs = (e.crossJoin(F.broadcast(m2))
+             .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "vec_id",
+                     _dot(F.col("qv"), F.col("v")).alias("ip"),
+                     (_dot(F.col("qv"), F.col("v"))
+                      / (F.col("qnrm") * F.sqrt(F.col("m2"))))
+                     .alias("cos_aug")))
+    w = W.partitionBy("query_id").orderBy(F.col("ip").desc(), F.col("vec_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "vec_id",
+                    F.col("rank").cast("bigint").alias("rank"),
+                    F.round("ip", 6).alias("ip"),
+                    F.round("cos_aug", 6).alias("cos_aug")))
+
+
+SQL_ANN_MIPS = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  {_SQL_NORM.format(a="(embedding::DOUBLE[])")} AS nrm
+           FROM embeddings),
+m AS (SELECT max(nrm * nrm) AS m2 FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e
+      WHERE vec_id % {QUERY_MOD} = 0),
+pairs AS (
+  SELECT q.query_id, e.vec_id,
+         {_SQL_DOT.format(a="q.qv", b="e.v")} AS ip,
+         {_SQL_DOT.format(a="q.qv", b="e.v")} / (q.qnrm * sqrt(m.m2))
+           AS cos_aug
+  FROM e CROSS JOIN m JOIN q ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, ip, cos_aug,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ip DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+       round(ip, 6) AS ip, round(cos_aug, 6) AS cos_aug
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 # -- recall@k evaluation: IVF vs the exact baseline ---------------------------------
 
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -914,6 +981,7 @@ FROM ranked WHERE rank <= {TOP_K}
 QUERIES = {
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE),
     "ann_sq8_topk": (q_ann_sq8_topk, SQL_ANN_SQ8),
+    "ann_mips_topk": (q_ann_mips_topk, SQL_ANN_MIPS),
     "ann_recall_eval": (q_ann_recall_eval, SQL_ANN_RECALL),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF),

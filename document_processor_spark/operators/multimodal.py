@@ -693,6 +693,98 @@ HAVING count(*) >= {AUDIO_MIN_SHARED}
 """
 
 
+# -- binaryFile-source ingestion ------------------------------------------------------
+
+def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media ingestion through Spark's ``binaryFile`` SOURCE — the path a
+    real 100 TB multimodal corpus takes (payloads live as object-store
+    files, not parquet columns): scan (path, content), recover doc_id
+    from the file name JVM-side, decode in the same Arrow-batched Python
+    stage mm_media_decode uses.  The staging loop below only exists to
+    materialize the fixture payloads as files; at scale the files are
+    already there and the scan is split-parallel with partition pruning
+    on the path glob.  The oracle is mm_media_decode's — the source swap
+    must be invisible downstream."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    base = Path(tempfile.mkdtemp(prefix="bin_ingest_"))
+    try:
+        inp = base / "blobs"
+        inp.mkdir()
+        # fixture staging only (tiny at test SF); a real corpus starts here
+        for r in fake_media_table(spark, sf_dir).collect():
+            (inp / f"{r['doc_id']}.bin").write_bytes(bytes(r["payload"]))
+        src = spark.read.format("binaryFile").load(str(inp))
+        feats = src.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+             .cast("bigint").alias("doc_id"),
+            F.col("content").alias("payload"),
+            F.lit("").alias("media_type"))
+        out = (feats.mapInPandas(_decode_batches, DECODE_SCHEMA)
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+# -- audio voice-activity detection ----------------------------------------------------
+
+VAD_T = 420  # per-frame energy (sum of sample bytes) threshold
+
+_VAD_SCHEMA = ("doc_id bigint, frame_idx bigint, energy bigint, "
+               "is_active boolean")
+
+
+def _vad_batches(it: Iterator["object"]) -> Iterator["object"]:
+    import pandas as pd
+    for pdf in it:
+        rows = []
+        for doc_id, payload, mt in zip(pdf["doc_id"], pdf["payload"],
+                                       pdf["media_type"]):
+            px = decode_media(payload, mt)["pixels"]
+            n_frames = len(px) // FRAME_BYTES
+            for f in range(n_frames):
+                frame = px[f * FRAME_BYTES:(f + 1) * FRAME_BYTES]
+                energy = sum(frame)
+                rows.append((doc_id, f, energy, energy >= VAD_T))
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "energy",
+                                          "is_active"])
+
+
+def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over the audio subset: per-frame energy
+    (sum of sample bytes) against VAD_T — the energy-gate VAD every audio
+    curation pipeline runs before transcription to skip silence.  Same
+    scale shape as mm_scene_cut: the media_type filter sits BEFORE the
+    Arrow-batched Python stage, per-doc work linear, zero shuffle."""
+    return (video_media_table(spark, sf_dir)
+            .filter(F.col("media_type") == "audio/wav")
+            .mapInPandas(_vad_batches, _VAD_SCHEMA))
+
+
+def _sql_audio_vad() -> str:
+    energy = " + ".join(
+        f"ascii(substr(px, {j + 1} + f * {FRAME_BYTES}, 1))"
+        for j in range(FRAME_BYTES))
+    return f"""
+WITH auds AS (
+  SELECT doc_id,
+         substr(text, 1, 16 + n_chars % 24) AS px,
+         octet_length(encode(substr(text, 1, 16 + n_chars % 24)))
+           // {FRAME_BYTES} AS n_frames
+  FROM documents
+  WHERE n_chars % 3 = 1
+)
+SELECT doc_id,
+       f AS frame_idx,
+       CAST({energy} AS BIGINT) AS energy,
+       ({energy}) >= {VAD_T} AS is_active
+FROM auds, unnest(range(0, n_frames)) AS t(f)
+"""
+
+
 # -- video scene-cut detection -------------------------------------------------------
 
 SCENE_CUT_T = 48  # sum-abs-diff threshold across one FRAME_BYTES frame
@@ -760,6 +852,8 @@ FROM vids, unnest(range(1, n_frames)) AS t(f)
 
 
 QUERIES = {
+    "mm_binary_ingest": (q_binary_ingest, SQL_MEDIA_DECODE),
+    "mm_audio_vad": (q_audio_vad, _sql_audio_vad()),
     "mm_scene_cut": (q_scene_cut, _sql_scene_cut()),
     "mm_audio_fingerprint": (q_audio_fingerprint, SQL_AUDIO_FINGERPRINT),
     "mm_media_features": (q_media_features, SQL_MEDIA_FEATURES),

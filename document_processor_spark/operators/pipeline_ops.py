@@ -420,6 +420,57 @@ def q_extract_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def q_extract_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange sink + source: CSV cannot hold nested arrays, so
+    the corpus ships FLAT — one row per span with its array ordinal —
+    and the reader re-assembles the nested input (array_sort on the
+    ordinal-first struct, then project the ordinal away) before
+    extraction.  Null vs empty-string survives via an explicit \\N
+    nullValue token on BOTH sides (CSV's classic fidelity trap: the
+    default maps both to null); quotes/escapes are exercised by the HTML
+    payloads.  The oracle is the SAME SQL_PIPE_EXTRACT as the parquet
+    flagship — any CSV fidelity loss breaks the hash.  Scale note: the
+    re-assembly groupBy is ONE extra shuffle keyed on doc_id, and the
+    span texts embed real newlines so the read needs multiLine=true,
+    which makes each CSV file single-split — two structural reasons
+    (shuffle + lost splittability) why parquet/ORC/JSONL are the 10^12
+    formats and CSV is interchange-only.  The writer quotes embedded
+    newlines/commas itself; null vs empty survives via the \\N token."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    base = Path(tempfile.mkdtemp(prefix="csv_rt_"))
+    opts = {"header": "true", "nullValue": "\\N", "escape": '"'}
+    try:
+        flat = (derived_corpus(spark, sf_dir)
+                .select("doc_id", F.posexplode("spans").alias("idx", "s"))
+                .select("doc_id", "idx", "s.kind", "s.text", "s.media_ref",
+                        "s.offset"))
+        flat.write.mode("overwrite").options(**opts).csv(str(base / "out"))
+        back = (spark.read.options(**opts).option("multiLine", "true")
+                .schema("doc_id string, idx int, kind string, text string, "
+                        "media_ref string, offset int")
+                .csv(str(base / "out")))
+        nested = (back.groupBy("doc_id")
+                  .agg(F.transform(
+                      F.array_sort(F.collect_list(F.struct(
+                          "idx", "kind", "text", "media_ref", "offset"))),
+                      lambda s: F.struct(
+                          s["kind"].alias("kind"),
+                          s["text"].alias("text"),
+                          s["media_ref"].alias("media_ref"),
+                          s["offset"].alias("offset"))).alias("spans")))
+        out = pipeline.extract_documents(nested, engine="sql")
+        result = (out.select("doc_id", F.explode("spans").alias("s"))
+                  .select("doc_id", "s.kind", "s.text", "s.media_ref",
+                          "s.offset")
+                  .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def q_extract_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC interchange sink + source: the derived corpus is written as
     ORC (the second columnar format big ingest estates carry alongside
@@ -457,6 +508,8 @@ QUERIES = {
     "pipe_extract_synth_source": (q_extract_synth_source, None),
     "pipe_extract_jsonl_roundtrip": (q_extract_jsonl_roundtrip,
                                      SQL_PIPE_EXTRACT),
+    "pipe_extract_csv_roundtrip": (q_extract_csv_roundtrip,
+                                   SQL_PIPE_EXTRACT),
     "pipe_extract_arrow": (q_extract_arrow, SQL_PIPE_EXTRACT),
     "pipe_extract_page_range": (q_extract_page_range,
                                 SQL_PIPE_EXTRACT_PAGE_RANGE),

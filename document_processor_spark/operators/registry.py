@@ -50,7 +50,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # code, the one place where an older row still certifies the current
 # tree.
 _PRIORITY: tuple[str, ...] = (
+    # new this round (session 10)
+    "mm_binary_ingest", "pipe_extract_csv_roundtrip", "mm_audio_vad",
     # new this round (session 9)
+    "ann_mips_topk",
     "rel_cube_mix", "cur_dp_count", "ta_hist_quantiles", "ta_containment",
     # new this round (session 8)
     "stream_late_data", "cur_hilbert_layout", "mm_scene_cut",

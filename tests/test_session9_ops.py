@@ -153,3 +153,43 @@ def test_containment_matches_python(spark):
         assert want[(r["d_src"], r["d_dst"])] == (r["inter"], r["n_src"],
                                                   r["contain_bp"])
     assert want  # the fixture must actually contain contained pairs
+
+
+# -- ann_mips_topk ------------------------------------------------------------------
+
+
+def test_mips_topk_matches_python_and_transform_is_order_preserving(spark):
+    from document_processor_spark.operators.ann import (
+        QUERY_MOD, TOP_K, q_ann_mips_topk,
+    )
+
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in _load(spark, "embeddings")}
+    m2 = max(sum(x * x for x in v) for v in vecs.values())
+
+    got = defaultdict(list)
+    for r in q_ann_mips_topk(spark, SF_DIR).collect():
+        got[r["query_id"]].append(r)
+
+    queries = sorted(v for v in vecs if v % QUERY_MOD == 0)
+    assert sorted(got) == queries
+    for qid in queries:
+        qv = vecs[qid]
+        qnrm = math.sqrt(sum(x * x for x in qv))
+        scored = sorted(
+            ((sum(a * b for a, b in zip(qv, v)), vid)
+             for vid, v in vecs.items() if vid != qid),
+            key=lambda t: (-t[0], t[1]))
+        # the augmented-cosine order must equal the raw dot order: every
+        # augmented vector has norm exactly sqrt(m2), so cos_aug is a
+        # per-query monotonic rescale of the inner product
+        aug = sorted(
+            ((sum(a * b for a, b in zip(qv, v)) / (qnrm * math.sqrt(m2)),
+              vid) for vid, v in vecs.items() if vid != qid),
+            key=lambda t: (-t[0], t[1]))
+        assert [v for _, v in aug[:TOP_K]] == [v for _, v in scored[:TOP_K]]
+
+        rows = sorted(got[qid], key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in rows] == [v for _, v in scored[:TOP_K]]
+        for r, (dot, _) in zip(rows, scored):
+            assert abs(r["ip"] - dot) < 1e-5

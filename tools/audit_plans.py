@@ -32,6 +32,17 @@ NOTES = {
     "ann_bruteforce_topk": (
         "BNLJ = broadcast QUERY side vs one corpus scan — the documented "
         "brute baseline shape"),
+    "ann_sq8_topk": (
+        "BNLJ = crossJoin with the broadcast 1-ROW per-dim [min,max] "
+        "range ARRAY (narrow uint8 quantization — constant-size side) "
+        "plus the broadcast QUERY-CODE side vs one corpus-codes scan — "
+        "the brute-rerank shape over 8x smaller integer payload"),
+    "ann_mips_topk": (
+        "BNLJ = crossJoin with the broadcast 1-ROW max-norm aggregate "
+        "(the augmented-transform constant M) plus the broadcast QUERY "
+        "side vs one corpus scan — the documented exact-MIPS baseline "
+        "(the LSH/IVF siblings are the scale path, unchanged by the "
+        "transform)"),
     "ann_ivf_topk": (
         "BNLJ = crossJoin with the broadcast 1-ROW centroid ARRAY (narrow "
         "per-row argmin cell assignment — constant-size side); the "
