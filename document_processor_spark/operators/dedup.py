@@ -1538,8 +1538,96 @@ FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND {SNM_W}
 """
 
 
+# -- end-to-end entity resolution ------------------------------------------------------
+
+ER_T_BP = 5000  # verify gate: Jaccard >= 50%, compared in exact integer bp
+
+
+def q_dedup_entity_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full entity-resolution funnel in ONE plan — the composition a
+    production dedup actually runs, not the stages in isolation:
+    sorted-neighborhood BLOCKING proposes candidates (dedup_sorted_blocking
+    — typo-tolerant where hash blocking splits), exact shingle-Jaccard
+    VERIFIES each candidate (integer basis-point compare, no float
+    threshold), connected components RESOLVES verified pairs into
+    clusters, and every cluster elects its canonical representative
+    (min doc_id) with an auditable member count.
+
+    Scale shape: candidates are blocking-bounded (≤ SNM_W per doc), so
+    carrying the two shingle arrays through the verify join is
+    candidate-bounded work, never corpus×corpus; the component loop runs
+    only over documents that appear in a verified pair; sizes come from
+    groupBy+join (map-side partial agg — no mega-cluster straggler
+    window)."""
+    cand = (q_dedup_sorted_blocking(spark, sf_dir)
+            .select("doc_a", "doc_b").distinct())
+    sh = (_docs(spark, sf_dir)
+          .select("doc_id", _shingles_col().alias("sh"))
+          .filter(F.size("sh") > 0))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("bigint")
+    union = (F.size("sa") + F.size("sb")).cast("bigint") - inter
+    verified = (cand.join(a, "doc_a").join(b, "doc_b")
+                .filter(inter * 10000 >= F.lit(ER_T_BP) * union)
+                .select(F.col("doc_a").alias("d1"),
+                        F.col("doc_b").alias("d2")))
+    labels = connected_components(verified)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    assigned = (docs.join(labels, docs["doc_id"] == labels["node"], "left")
+                .select("doc_id",
+                        F.coalesce("label", "doc_id").alias("cluster_id")))
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    return (assigned.join(sizes, "cluster_id")
+            .select("doc_id", "cluster_id",
+                    (F.col("doc_id") == F.col("cluster_id"))
+                    .alias("is_canonical"),
+                    "n_members"))
+
+
+SQL_DEDUP_ENTITY_RESOLVE = f"""
+WITH RECURSIVE blk AS ({SQL_DEDUP_SORTED_BLOCKING}),
+cand AS (SELECT DISTINCT doc_a, doc_b FROM blk),
+sh AS ({{shingles}}),
+nonempty AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+verified AS (
+  SELECT c.doc_a AS d1, c.doc_b AS d2
+  FROM cand c
+  JOIN nonempty a ON a.doc_id = c.doc_a
+  JOIN nonempty b ON b.doc_id = c.doc_b
+  WHERE len(list_intersect(a.shingles, b.shingles)) * 10000
+        >= {ER_T_BP} * (len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles)))
+),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM verified
+  UNION
+  SELECT d2 AS a, d1 AS b FROM verified),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.b AS node, reach.r AS r
+  FROM reach JOIN edges e ON e.a = reach.node),
+clusters AS (
+  SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+assigned AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id)
+SELECT doc_id, cluster_id,
+       doc_id = cluster_id AS is_canonical,
+       count(*) OVER (PARTITION BY cluster_id) AS n_members
+FROM assigned
+"""
+
+
+def _sql_entity_resolve() -> str:
+    return SQL_DEDUP_ENTITY_RESOLVE.format(shingles=_SQL_SHINGLES)
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_entity_resolve": (q_dedup_entity_resolve, _sql_entity_resolve()),
     "dedup_sorted_blocking": (q_dedup_sorted_blocking,
                               SQL_DEDUP_SORTED_BLOCKING),
     "dedup_triangles": (q_dedup_triangles,

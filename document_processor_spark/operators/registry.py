@@ -51,6 +51,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tree.
 _PRIORITY: tuple[str, ...] = (
     # new this round (session 10)
+    "dedup_entity_resolve",
     "mm_binary_ingest", "pipe_extract_csv_roundtrip", "mm_audio_vad",
     # new this round (session 9)
     "ann_mips_topk",
