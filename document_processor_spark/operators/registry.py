@@ -19,56 +19,43 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # implementation changed this round at the head of this list; rotate
 # long-stable green families into the tail.
 #
-# ROUND-5 ROTATION PLAN: once r4 lands driver rows for the names below,
-# swap this list for the queries with no r4 row: FIRST the 19 that have
-# never had a driver row in ANY round (exact list, recomputed against
-# CORRECTNESS_r01..r03 at the 119-query surface):
-# rel_json_props, rel_range_join, rel_gapfill_locf, rel_moments_corr,
-# rel_local_supplier_volume, rel_skew_salted_join, rel_large_orders,
-# rel_priority_class, rel_order_count_hist,
-# cur_url_dedup, cur_score_normalize, cur_keep_best,
-# ta_bpe_encode, ta_sentence_stats, ta_phrase_search,
-# ta_source_vocab_overlap, dedup_triangles, dedup_prefix_jaccard,
-# mm_media_dedup, rel_waiting_suppliers, rel_idle_customers,
-# rel_priority_wait, rel_promo_share, rel_event_transitions, rel_twap,
-# ta_skipgram_pairs, stream_static_enrich, ta_textrank_keywords,
-# cur_universe_sample, rel_interval_coverage, mm_audio_fingerprint,
-# the eight displaced from the r4 window by the session-7/8 batches:
+# ROUND-5 ROTATION PLAN: once r4 lands driver rows for the current
+# 50-slot window (3 r3-fixes + 23 r3-never-checked stream/cur/mm/pipe +
+# 19 session-7..12 ops + 5 session-3 ops), swap this list for the queries
+# that will then have NO driver row in any round.  The exact residue,
+# recomputed this session against CORRECTNESS_r01..r03 at the 163-query
+# surface (60 names; pick the first 50, park the 10 newest-tested rest):
+# pipe_extract_skew, stream_sliding_hourly, rel_rolling_1h,
 # ta_length_quantiles, cur_domain_cap, dedup_pagerank, rel_pivot,
 # rel_set_ops, stream_session_window, pipe_extract_synth_source,
-# pipe_extract_jsonl_roundtrip,
-# and the session-6 batch: rel_forecast_revenue, rel_small_qty_revenue,
-# rel_disjunctive_revenue, rel_top_supplier, rel_supplier_concentration,
-# rel_min_price_supplier, rel_region_trade, rel_market_share,
-# rel_product_profit, rel_part_supplier_counts, rel_dominant_suppliers,
-# ta_hash_classifier, ann_recall_eval —
-# then
-# the long-parked stable families (ext_*, dedup_*, ann_* minus kmeans,
-# ta_* minus the r4 sketches, rel_* classics, mm_media_*).  That pool
-# exceeds 50 slots: park the overflow inside ext_* at the very end —
-# that family holds BOTH r02 and r03 driver-green rows and unchanged
-# code, the one place where an older row still certifies the current
-# tree.
+# pipe_extract_jsonl_roundtrip, dedup_components_star,
+# ta_hll_distinct, ta_cms_heavy_hitters, cur_bloom_decontaminate,
+# rel_cdc_apply, stream_join_attribution, rel_scd2_history,
+# rel_cohort_retention,
+# dedup_triangles, dedup_prefix_jaccard, ann_recall_eval,
+# ta_skipgram_pairs, ta_hash_classifier, ta_textrank_keywords,
+# ta_source_vocab_overlap, ta_phrase_search, ta_bpe_encode,
+# ta_sentence_stats, rel_waiting_suppliers, rel_idle_customers,
+# rel_priority_wait, rel_promo_share, rel_forecast_revenue,
+# rel_small_qty_revenue, rel_disjunctive_revenue, rel_top_supplier,
+# rel_supplier_concentration, rel_min_price_supplier, rel_region_trade,
+# rel_market_share, rel_product_profit, rel_part_supplier_counts,
+# rel_dominant_suppliers, rel_event_transitions, rel_twap,
+# rel_interval_coverage, rel_json_props, rel_range_join,
+# rel_gapfill_locf, rel_moments_corr, rel_local_supplier_volume,
+# rel_skew_salted_join, rel_large_orders, rel_priority_class,
+# rel_order_count_hist, mm_audio_fingerprint, mm_media_dedup,
+# cur_universe_sample, cur_keep_best, cur_score_normalize, cur_url_dedup,
+# stream_static_enrich — then the long-parked stable families (ext_*
+# holds BOTH r02 and r03 driver-green rows on unchanged code, the one
+# place an older row still certifies the current tree).
 _PRIORITY: tuple[str, ...] = (
-    # new this round (session 10)
-    "dedup_entity_resolve",
-    "mm_binary_ingest", "pipe_extract_csv_roundtrip", "mm_audio_vad",
-    # new this round (session 9)
-    "ann_mips_topk",
-    "rel_cube_mix", "cur_dp_count", "ta_hist_quantiles", "ta_containment",
-    # new this round (session 8)
-    "stream_late_data", "cur_hilbert_layout", "mm_scene_cut",
-    # new this round (session 7)
-    "ann_sq8_topk", "cur_chunk_overlap", "cur_k_anonymity",
-    "dedup_sorted_blocking", "ta_boolean_search",
-    # new this round (session 3)
-    "dedup_exact_substr", "ta_pmi_collocations", "ta_bpe_merges",
-    "cur_fuzzy_decontaminate", "pipe_extract_orc_roundtrip",
-    # new this round (session 2)
-    "ta_hll_distinct", "ta_cms_heavy_hitters", "cur_bloom_decontaminate",
-    "rel_cdc_apply", "stream_join_attribution", "rel_scd2_history",
-    "rel_cohort_retention",
-    # r3-shipped, never driver-checked (stream/cur/mm/pipe = 26 queries)
+    # slots 1-3: CHANGED this round to close r3 VERDICT items (the one red
+    # row ann_kmeans_train; the tfidf broadcast drop; the components
+    # window->groupBy swap) — driver rows prove the fixes, so these can
+    # NEVER fall out of the 50-slot window
+    "ann_kmeans_train", "ta_tfidf_topk", "dedup_components",
+    # r3-shipped, never driver-checked (VERDICT item 1: stream/cur/mm/pipe)
     "stream_tumbling_hourly", "stream_dedup_replay",
     "stream_extract_snapshot", "stream_running_totals",
     "cur_corpus_build", "cur_decontaminate", "cur_stratified_sample",
@@ -76,14 +63,25 @@ _PRIORITY: tuple[str, ...] = (
     "cur_dsir_select", "cur_shard_export", "cur_temperature_mix",
     "cur_zorder_layout",
     # mm_media_features/decode/resize hold their r02 driver rows
-    # (unchanged since) — parked outside the 50-row window for the
-    # session-3 queries
+    # (unchanged since) — parked outside the 50-row window
     "mm_frame_sample", "mm_media_transcode", "mm_phash_neardup",
     "pipe_extract_catalyst", "pipe_extract_arrow", "pipe_extract_page_range",
     "pipe_extract_ocr_fast", "pipe_extract_ocr_full", "pipe_extract_curate",
-    # changed this round — need fresh driver rows
-    "ann_kmeans_train", "ta_tfidf_topk", "dedup_components",
-    # new this round
+    # new this round (sessions 7-12) — 19 queries
+    "ann_sq8_topk", "cur_chunk_overlap", "cur_k_anonymity",
+    "dedup_sorted_blocking", "ta_boolean_search",
+    "stream_late_data", "cur_hilbert_layout", "mm_scene_cut",
+    "ann_mips_topk", "rel_cube_mix", "cur_dp_count", "ta_hist_quantiles",
+    "ta_containment",
+    "dedup_entity_resolve", "mm_binary_ingest", "pipe_extract_csv_roundtrip",
+    "mm_audio_vad", "ta_rake_keyphrases", "rel_skyline_suppliers",
+    # new this round (session 3) — the last 5 window slots
+    "dedup_exact_substr", "ta_pmi_collocations", "ta_bpe_merges",
+    "cur_fuzzy_decontaminate", "pipe_extract_orc_roundtrip",
+    # ---- 50-slot window boundary (session-2 batch onward roll to r5) ----
+    "ta_hll_distinct", "ta_cms_heavy_hitters", "cur_bloom_decontaminate",
+    "rel_cdc_apply", "stream_join_attribution", "rel_scd2_history",
+    "rel_cohort_retention",
     "dedup_components_star", "pipe_extract_skew", "stream_sliding_hourly",
     "rel_rolling_1h", "ta_length_quantiles", "cur_domain_cap",
     "dedup_pagerank", "rel_pivot", "rel_set_ops", "stream_session_window",

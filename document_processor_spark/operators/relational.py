@@ -745,6 +745,54 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "revenue", "n_rows"))
 
 
+def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto-front) query: suppliers not dominated on
+    (total revenue, total quantity) — supplier B dominates A when B is >=
+    on both dimensions and > on at least one.  The multi-criteria "best
+    vendors" report no single ORDER BY can answer.
+
+    Scale shape: the corpus work is ONE partial-agg groupBy to the
+    per-supplier table; dominance then runs as an inequality self-join
+    over that POST-AGGREGATION table (dimension-sized — #suppliers, not
+    corpus rows), left-anti so only undominated rows survive.  Exact
+    integer cents/units — no float threshold."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    per = (li.groupBy("l_suppkey")
+           .agg((F.sum(rev) * 10000).cast("bigint").alias("rev_units"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("bigint").alias("total_qty")))
+    a, b = per.alias("a"), per.alias("b")
+    dominated = ((F.col("b.rev_units") >= F.col("a.rev_units"))
+                 & (F.col("b.total_qty") >= F.col("a.total_qty"))
+                 & ((F.col("b.rev_units") > F.col("a.rev_units"))
+                    | (F.col("b.total_qty") > F.col("a.total_qty"))))
+    return (a.join(b, dominated, "left_anti")
+            .select(F.col("a.l_suppkey").alias("l_suppkey"),
+                    "rev_units", "total_qty"))
+
+
+SQL_SKYLINE_SUPPLIERS = """
+WITH per AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+           AS rev_units,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT a.l_suppkey, a.rev_units, a.total_qty
+FROM per a
+WHERE NOT EXISTS (
+  SELECT 1 FROM per b
+  WHERE b.rev_units >= a.rev_units AND b.total_qty >= a.total_qty
+    AND (b.rev_units > a.rev_units OR b.total_qty > a.total_qty))
+"""
+
+
 def q_cube_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CUBE over (o_orderpriority, o_orderstatus): all four grouping
     sets — (a,b), (a), (b), () — in ONE Expand pass, the cross-dimension
@@ -2200,6 +2248,7 @@ QUERIES = {
     "rel_tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING_HOURLY),
     "rel_revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "rel_cube_mix": (q_cube_mix, SQL_CUBE_MIX),
+    "rel_skyline_suppliers": (q_skyline_suppliers, SQL_SKYLINE_SUPPLIERS),
     "rel_funnel": (q_funnel, SQL_FUNNEL),
     "rel_cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
     "rel_scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),

@@ -1703,6 +1703,106 @@ FROM t
 """
 
 
+# -- RAKE keyphrase extraction ---------------------------------------------------
+#
+# RAKE (Rose et al. 2010): candidate phrases are the maximal stopword-free
+# word runs; word score = deg/freq where freq counts occurrences and deg
+# sums the lengths of the phrases each occurrence sits in; a phrase scores
+# the sum of its word scores.  PER-DOCUMENT statistics (the original
+# algorithm — nothing global), emitted in integer basis points (deg*10000
+# div freq) so both engines agree bit-for-bit.  Complements ta_textrank
+# (graph centrality) with the degree/frequency heuristic that needs no
+# iteration.
+#
+# Scale shape: everything is keyed on doc_id — the phrase segmentation
+# window, the phrase/word aggregations, and the top-k are all co-partitioned
+# per-document work after ONE shuffle on doc_id; no global state at all.
+
+RAKE_TOP_K = 3
+RAKE_STOPS = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
+
+
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .dedup import _pin
+    d = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    toks = (d.select("doc_id",
+                     F.posexplode(F.split("text", " ", -1))
+                     .alias("pos", "word"))
+            .withColumn("is_stop",
+                        F.col("word").isin(*RAKE_STOPS)
+                        | (F.col("word") == "")))
+    wseq = (W.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    content = _pin(
+        toks.withColumn("phrase_id",
+                        F.sum(F.col("is_stop").cast("int")).over(wseq))
+        .filter(~F.col("is_stop"))
+        .select("doc_id", "phrase_id", "pos", "word"))
+    phr = content.groupBy("doc_id", "phrase_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                        lambda s: s["word"]), " ").alias("phrase"),
+        F.count(F.lit(1)).alias("plen"))
+    occ = content.join(phr, ["doc_id", "phrase_id"])
+    wstats = (occ.groupBy("doc_id", "word")
+              .agg(F.count(F.lit(1)).alias("freq"),
+                   F.sum("plen").alias("deg"))
+              .withColumn("wscore_bp", F.expr("deg * 10000 div freq")))
+    ps = (content.join(wstats, ["doc_id", "word"])
+          .groupBy("doc_id", "phrase_id")
+          .agg(F.sum("wscore_bp").alias("score_bp")))
+    ranked = ps.join(phr, ["doc_id", "phrase_id"])
+    w = W.partitionBy("doc_id").orderBy(F.col("score_bp").desc(), "phrase")
+    return (ranked.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= RAKE_TOP_K)
+            .select("doc_id", F.col("rank").cast("bigint").alias("rank"),
+                    "phrase", F.col("score_bp").cast("bigint")
+                    .alias("score_bp")))
+
+
+def _sql_rake() -> str:
+    stops = ", ".join(f"'{s}'" for s in RAKE_STOPS)
+    return f"""
+WITH toks0 AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE length(text) > 0),
+pid AS (
+  SELECT doc_id, pos, word,
+         (word = '' OR word IN ({stops})) AS is_stop,
+         sum(CASE WHEN word = '' OR word IN ({stops}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS phrase_id
+  FROM toks0),
+content AS (SELECT doc_id, phrase_id, pos, word FROM pid WHERE NOT is_stop),
+phr AS (
+  SELECT doc_id, phrase_id,
+         string_agg(word, ' ' ORDER BY pos) AS phrase,
+         count(*) AS plen
+  FROM content GROUP BY 1, 2),
+wstats AS (
+  SELECT c.doc_id, c.word, count(*) AS freq, sum(p.plen) AS deg
+  FROM content c JOIN phr p USING (doc_id, phrase_id)
+  GROUP BY 1, 2),
+ps AS (
+  SELECT c.doc_id, c.phrase_id,
+         sum(w.deg * 10000 // w.freq) AS score_bp
+  FROM content c JOIN wstats w ON w.doc_id = c.doc_id AND w.word = c.word
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT p.doc_id, p.phrase, ps.score_bp,
+         row_number() OVER (PARTITION BY p.doc_id
+                            ORDER BY ps.score_bp DESC, p.phrase) AS rank
+  FROM ps JOIN phr p USING (doc_id, phrase_id))
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase,
+       CAST(score_bp AS BIGINT) AS score_bp
+FROM ranked WHERE rank <= {RAKE_TOP_K}
+"""
+
+
 # -- mergeable histogram quantiles ---------------------------------------------
 #
 # The scale swap for exact percentiles: ta_length_quantiles' exact
@@ -1915,6 +2015,7 @@ WHERE m.n_matched >= {BOOL_MIN_MATCH}
 
 
 QUERIES = {
+    "ta_rake_keyphrases": (q_rake_keyphrases, _sql_rake()),
     "ta_hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
     "ta_containment": (q_containment, _sql_containment()),
     "ta_boolean_search": (q_boolean_search, SQL_BOOLEAN_SEARCH),

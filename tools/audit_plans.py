@@ -37,6 +37,11 @@ NOTES = {
         "range ARRAY (narrow uint8 quantization — constant-size side) "
         "plus the broadcast QUERY-CODE side vs one corpus-codes scan — "
         "the brute-rerank shape over 8x smaller integer payload"),
+    "rel_skyline_suppliers": (
+        "BNLJ = the dominance inequality ANTI-join over the "
+        "POST-AGGREGATION per-supplier table (dimension-sized, never "
+        "corpus rows) — the corpus itself moves through one partial-agg "
+        "groupBy only"),
     "ann_mips_topk": (
         "BNLJ = crossJoin with the broadcast 1-ROW max-norm aggregate "
         "(the augmented-transform constant M) plus the broadcast QUERY "
