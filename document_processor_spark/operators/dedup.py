@@ -1538,6 +1538,137 @@ FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND {SNM_W}
 """
 
 
+# -- LSH quality eval: recall/precision vs the exact pair set --------------------------
+
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the MinHash-LSH index against the EXACT
+    Jaccard pair set — the dedup twin of ann_recall_eval: every index
+    deployment needs its miss rate measured, not assumed.  Ground truth
+    is the brute all-pairs Jaccard >= T set, distributed as the same
+    block-pair equi-join dedup_embedding_cosine uses (never a cartesian);
+    the threshold rule is BIT-IDENTICAL to the LSH query's verify
+    (round(jac,4) >= T), so precision is 100 by construction and the
+    driver-gated number that matters is recall — pairs whose bands never
+    collide.  At 100 TB the eval runs on a sampled corpus slice, exactly
+    like ann_recall_eval; integer percent math end to end."""
+    B = COSINE_BLOCKS
+    sh = _pin(_docs(spark, sf_dir)
+              .select("doc_id", _shingles_col().alias("sh"))
+              .filter(F.size("sh") > 0)
+              .withColumn("g", F.pmod(F.xxhash64("doc_id"),
+                                      F.lit(B)).cast("int")))
+    lo = (sh.withColumn("gb", F.explode(F.sequence(F.col("g"), F.lit(B - 1))))
+          .select(F.col("g").alias("ga"), "gb",
+                  F.col("doc_id").alias("id_a"), F.col("sh").alias("s_a")))
+    hi = (sh.withColumn("ga", F.explode(F.sequence(F.lit(0), F.col("g"))))
+          .select("ga", F.col("g").alias("gb"),
+                  F.col("doc_id").alias("id_b"), F.col("sh").alias("s_b")))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    union = F.size("s_a") + F.size("s_b") - inter
+    jac = F.round(inter.cast("double") / union.cast("double"), 4)
+    truth = (lo.join(hi, ["ga", "gb"])
+             .filter((F.col("ga") != F.col("gb"))
+                     | (F.col("id_a") < F.col("id_b")))
+             .filter(jac >= MINHASH_JACCARD_T)
+             .select(F.least("id_a", "id_b").alias("d1"),
+                     F.greatest("id_a", "id_b").alias("d2")))
+    lsh = q_dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_hit = (truth.join(lsh, ["d1", "d2"])
+             .agg(F.count(F.lit(1)).alias("n_hit")))
+    return (n_true.crossJoin(F.broadcast(n_lsh))
+            .crossJoin(F.broadcast(n_hit))
+            .select(F.col("n_true").cast("bigint").alias("n_true"),
+                    F.col("n_lsh").cast("bigint").alias("n_lsh"),
+                    F.col("n_hit").cast("bigint").alias("n_hit"),
+                    F.expr("n_hit * 100 div n_true").cast("bigint")
+                     .alias("recall_pct"),
+                    F.expr("n_hit * 100 div n_lsh").cast("bigint")
+                     .alias("precision_pct")))
+
+
+SQL_DEDUP_LSH_RECALL = f"""
+WITH lshp AS (SELECT d1, d2 FROM ({SQL_DEDUP_MINHASH_LSH}) t_lsh),
+sh0 AS ({_SQL_SHINGLES}),
+ne AS (SELECT doc_id, shingles FROM sh0 WHERE len(shingles) > 0),
+truth AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+  WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))), 4)
+        >= {MINHASH_JACCARD_T}
+),
+m AS (
+  SELECT (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM lshp) AS n_lsh,
+         (SELECT count(*) FROM truth JOIN lshp USING (d1, d2)) AS n_hit
+)
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_lsh AS BIGINT) AS n_lsh,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(n_hit * 100 // n_true AS BIGINT) AS recall_pct,
+       CAST(n_hit * 100 // n_lsh AS BIGINT) AS precision_pct
+FROM m
+"""
+
+
+# -- edit-distance verification over blocking candidates -------------------------------
+
+EDIT_MAX_BP = 2000  # keep pairs with levenshtein <= 20% of the longer text
+
+
+def q_dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verification: Levenshtein distance over
+    the sorted-neighborhood candidates, kept when the edit distance is
+    within EDIT_MAX_BP basis points of the longer text — the verifier
+    that catches small in-place edits (typo fixes, template fills) that
+    shingle Jaccard under-weights on short documents.
+
+    Scale shape: Levenshtein is O(len²) per pair, so it NEVER runs
+    all-pairs — the blocking stage bounds candidates to <= SNM_W per doc
+    and the distance evaluates JVM-side (Spark's built-in levenshtein,
+    whole-stage codegen) on the candidate-bounded join only.  Integer
+    basis points — no float threshold."""
+    cand = (q_dedup_sorted_blocking(spark, sf_dir)
+            .select("doc_a", "doc_b").distinct())
+    t = _docs(spark, sf_dir).select("doc_id", "text")
+    joined = (cand
+              .join(t.select(F.col("doc_id").alias("doc_a"),
+                             F.col("text").alias("t_a")), "doc_a")
+              .join(t.select(F.col("doc_id").alias("doc_b"),
+                             F.col("text").alias("t_b")), "doc_b"))
+    dist = F.levenshtein("t_a", "t_b")
+    maxlen = F.greatest(F.length("t_a"), F.length("t_b"))
+    return (joined
+            .select("doc_a", "doc_b", dist.cast("bigint").alias("dist"),
+                    (dist * 10000).cast("bigint").alias("dist_x"),
+                    maxlen.cast("bigint").alias("maxlen"))
+            .filter(F.col("dist_x") <= EDIT_MAX_BP * F.col("maxlen"))
+            .select("doc_a", "doc_b", "dist",
+                    F.expr("dist_x div maxlen").cast("bigint")
+                     .alias("dist_bp")))
+
+
+SQL_DEDUP_EDIT_VERIFY = f"""
+WITH blk AS ({SQL_DEDUP_SORTED_BLOCKING}),
+cand AS (SELECT DISTINCT doc_a, doc_b FROM blk),
+j AS (
+  SELECT c.doc_a, c.doc_b,
+         levenshtein(a.text, b.text) AS dist,
+         greatest(length(a.text), length(b.text)) AS maxlen
+  FROM cand c
+  JOIN documents a ON a.doc_id = c.doc_a
+  JOIN documents b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist,
+       CAST(dist * 10000 // maxlen AS BIGINT) AS dist_bp
+FROM j
+WHERE dist * 10000 <= {EDIT_MAX_BP} * maxlen
+"""
+
+
 # -- end-to-end entity resolution ------------------------------------------------------
 
 ER_T_BP = 5000  # verify gate: Jaccard >= 50%, compared in exact integer bp
@@ -1628,6 +1759,8 @@ def _sql_entity_resolve() -> str:
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_entity_resolve": (q_dedup_entity_resolve, _sql_entity_resolve()),
+    "dedup_lsh_recall": (q_dedup_lsh_recall, SQL_DEDUP_LSH_RECALL),
+    "dedup_edit_verify": (q_dedup_edit_verify, SQL_DEDUP_EDIT_VERIFY),
     "dedup_sorted_blocking": (q_dedup_sorted_blocking,
                               SQL_DEDUP_SORTED_BLOCKING),
     "dedup_triangles": (q_dedup_triangles,

@@ -1,0 +1,91 @@
+"""Invariants for the session-13 operators: LSH recall/precision eval and
+edit-distance verification, against pure-Python recomputes.
+"""
+
+from __future__ import annotations
+
+import re
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _load(spark, name):
+    return spark.read.parquet(f"{SF_DIR}/{name}.parquet").collect()
+
+
+def _shingle_sets(rows):
+    sets = {}
+    for r in rows:
+        w = r["text"].split(" ")
+        if len(w) >= 3:
+            s = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+            if s:
+                sets[r["doc_id"]] = s
+    return sets
+
+
+def test_lsh_recall_matches_python_truth(spark):
+    from document_processor_spark.operators.dedup import (
+        MINHASH_JACCARD_T, q_dedup_lsh_recall, q_dedup_minhash_lsh,
+    )
+
+    sets = _shingle_sets(_load(spark, "documents"))
+    ids = sorted(sets)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if round(inter / union, 4) >= MINHASH_JACCARD_T:
+                truth.add((a, b))
+    assert truth  # fixture has real near-dups
+
+    lsh = {(r["d1"], r["d2"])
+           for r in q_dedup_minhash_lsh(spark, SF_DIR).collect()}
+    hit = truth & lsh
+
+    got = q_dedup_lsh_recall(spark, SF_DIR).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_true"] == len(truth)
+    assert r["n_lsh"] == len(lsh)
+    assert r["n_hit"] == len(hit)
+    assert r["recall_pct"] == len(hit) * 100 // len(truth)
+    assert r["precision_pct"] == 100  # verify threshold == truth threshold
+    assert lsh <= truth
+
+
+def test_edit_verify_matches_python(spark):
+    from document_processor_spark.operators.dedup import (
+        EDIT_MAX_BP, SNM_KEY_LEN, SNM_W, q_dedup_edit_verify,
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = _load(spark, "documents")
+    text = {r["doc_id"]: r["text"] for r in rows}
+    keyed = sorted(
+        (re.sub("[^a-z]", "", r["text"].lower())[:SNM_KEY_LEN], r["doc_id"])
+        for r in rows)
+    want = {}
+    for i in range(len(keyed)):
+        for j in range(i + 1, min(i + SNM_W + 1, len(keyed))):
+            a, b = keyed[i][1], keyed[j][1]
+            d = lev(text[a], text[b])
+            m = max(len(text[a]), len(text[b]))
+            if d * 10000 <= EDIT_MAX_BP * m:
+                want[(a, b)] = (d, d * 10000 // m)
+
+    got = q_dedup_edit_verify(spark, SF_DIR).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert want[(r["doc_a"], r["doc_b"])] == (r["dist"], r["dist_bp"])
+    assert want  # fixture exercises the verifier

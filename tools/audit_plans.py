@@ -37,6 +37,11 @@ NOTES = {
         "range ARRAY (narrow uint8 quantization — constant-size side) "
         "plus the broadcast QUERY-CODE side vs one corpus-codes scan — "
         "the brute-rerank shape over 8x smaller integer payload"),
+    "dedup_lsh_recall": (
+        "crossJoins of three broadcast 1-ROW count aggregates (truth/LSH/"
+        "hit totals) — constant-size sides; the truth side itself is the "
+        "documented block-pair equi-join exact baseline, the hit join is "
+        "equi on (d1, d2)"),
     "rel_skyline_suppliers": (
         "BNLJ = the dominance inequality ANTI-join over the "
         "POST-AGGREGATION per-supplier table (dimension-sized, never "
