@@ -729,6 +729,79 @@ def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# -- ViT-style patch tiling ------------------------------------------------------------
+
+TILE_GRID = 4  # image divides into TILE_GRID x TILE_GRID patches
+
+_TILE_SCHEMA = ("doc_id bigint, tile_row bigint, tile_col bigint, "
+                "tile_w bigint, tile_h bigint, n_tile_pixels bigint")
+
+
+def _tile_batches(it: Iterator["object"]) -> Iterator["object"]:
+    import pandas as pd
+    for pdf in it:
+        rows = []
+        for doc_id, payload, mt in zip(pdf["doc_id"], pdf["payload"],
+                                       pdf["media_type"]):
+            d = decode_media(payload, mt)
+            w, h = d["width"], d["height"]
+            for r in range(TILE_GRID):
+                for c in range(TILE_GRID):
+                    # integer tiling: leftover pixels go to the last
+                    # row/column, so tiles EXACTLY partition the image
+                    tw = w // TILE_GRID + (w % TILE_GRID
+                                           if c == TILE_GRID - 1 else 0)
+                    th = h // TILE_GRID + (h % TILE_GRID
+                                           if r == TILE_GRID - 1 else 0)
+                    rows.append((doc_id, r, c, tw, th, tw * th))
+        yield pd.DataFrame(rows, columns=["doc_id", "tile_row", "tile_col",
+                                          "tile_w", "tile_h",
+                                          "n_tile_pixels"])
+
+
+def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch extraction over the image subset: each decoded
+    image partitions EXACTLY into a TILE_GRID² patch grid (remainder
+    pixels absorbed by the last row/column — no padding, no dropped
+    pixels; the partition property is pinned by test).  The geometry
+    stage a vision-training loader runs before pixel-patch flattening.
+
+    Scale shape: image-only filter BEFORE the Arrow-batched Python
+    stage, per-doc constant (TILE_GRID²) fan-out, zero shuffle —
+    identical scaling to mm_frame_sample."""
+    return (video_media_table(spark, sf_dir)
+            .filter(F.col("media_type") == "image/png")
+            .mapInPandas(_tile_batches, _TILE_SCHEMA))
+
+
+def _sql_image_tiles() -> str:
+    return f"""
+WITH imgs AS (
+  SELECT doc_id,
+         64 + n_chars % 640 AS w,
+         64 + (n_chars * 7) % 480 AS h
+  FROM documents WHERE n_chars % 3 = 0
+)
+SELECT doc_id,
+       r AS tile_row, c AS tile_col,
+       CAST(w // {TILE_GRID}
+            + CASE WHEN c = {TILE_GRID - 1} THEN w % {TILE_GRID}
+                   ELSE 0 END AS BIGINT) AS tile_w,
+       CAST(h // {TILE_GRID}
+            + CASE WHEN r = {TILE_GRID - 1} THEN h % {TILE_GRID}
+                   ELSE 0 END AS BIGINT) AS tile_h,
+       CAST((w // {TILE_GRID}
+             + CASE WHEN c = {TILE_GRID - 1} THEN w % {TILE_GRID}
+                    ELSE 0 END)
+            * (h // {TILE_GRID}
+               + CASE WHEN r = {TILE_GRID - 1} THEN h % {TILE_GRID}
+                      ELSE 0 END) AS BIGINT) AS n_tile_pixels
+FROM imgs,
+     unnest(generate_series(0, {TILE_GRID - 1})) AS tr(r),
+     unnest(generate_series(0, {TILE_GRID - 1})) AS tc(c)
+"""
+
+
 # -- audio voice-activity detection ----------------------------------------------------
 
 VAD_T = 420  # per-frame energy (sum of sample bytes) threshold
@@ -853,6 +926,7 @@ FROM vids, unnest(range(1, n_frames)) AS t(f)
 
 QUERIES = {
     "mm_binary_ingest": (q_binary_ingest, SQL_MEDIA_DECODE),
+    "mm_image_tiles": (q_image_tiles, _sql_image_tiles()),
     "mm_audio_vad": (q_audio_vad, _sql_audio_vad()),
     "mm_scene_cut": (q_scene_cut, _sql_scene_cut()),
     "mm_audio_fingerprint": (q_audio_fingerprint, SQL_AUDIO_FINGERPRINT),

@@ -89,3 +89,32 @@ def test_edit_verify_matches_python(spark):
     for r in got:
         assert want[(r["doc_a"], r["doc_b"])] == (r["dist"], r["dist_bp"])
     assert want  # fixture exercises the verifier
+
+
+def test_image_tiles_partition_exactly(spark):
+    """Tiles must EXACTLY partition each image: per-row widths sum to the
+    image width, per-column heights to the height, pixel counts to w*h."""
+    from collections import defaultdict
+
+    from document_processor_spark.operators.multimodal import (
+        TILE_GRID, q_image_tiles,
+    )
+
+    geo = {}
+    for r in _load(spark, "documents"):
+        if r["n_chars"] % 3 == 0:
+            geo[r["doc_id"]] = (64 + r["n_chars"] % 640,
+                                64 + (r["n_chars"] * 7) % 480)
+
+    tiles = defaultdict(list)
+    for r in q_image_tiles(spark, SF_DIR).collect():
+        tiles[r["doc_id"]].append(r)
+    assert set(tiles) == set(geo)
+    for doc_id, (w, h) in geo.items():
+        ts = tiles[doc_id]
+        assert len(ts) == TILE_GRID * TILE_GRID
+        assert sum(t["n_tile_pixels"] for t in ts) == w * h
+        row0 = [t for t in ts if t["tile_row"] == 0]
+        col0 = [t for t in ts if t["tile_col"] == 0]
+        assert sum(t["tile_w"] for t in row0) == w
+        assert sum(t["tile_h"] for t in col0) == h

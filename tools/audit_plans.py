@@ -37,6 +37,11 @@ NOTES = {
         "range ARRAY (narrow uint8 quantization — constant-size side) "
         "plus the broadcast QUERY-CODE side vs one corpus-codes scan — "
         "the brute-rerank shape over 8x smaller integer payload"),
+    "ann_recall_eval": (
+        "BNLJ inherited from its two composed subplans — the brute "
+        "baseline's broadcast QUERY side and the IVF path's broadcast "
+        "1-ROW centroid ARRAY (both documented above); the comparison "
+        "join itself is equi on (query_id, vec_id) over k-bounded rows"),
     "dedup_lsh_recall": (
         "crossJoins of three broadcast 1-ROW count aggregates (truth/LSH/"
         "hit totals) — constant-size sides; the truth side itself is the "
