@@ -695,6 +695,12 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index), and the per-query (dtab, cent_id) side broadcasts, so the
     rank window over the bounded candidates is the only shuffle."""
     e = _emb(spark, sf_dir).select("vec_id", "v")
+    return _pq_rank(_ivf_pq_pairs(e))
+
+
+def _ivf_pq_pairs(e: DataFrame) -> DataFrame:
+    """(query_id, vec_id, adc) candidate pairs of the IVF-PQ index —
+    shared by the direct ADC top-k and the exact re-rank second stage."""
     cb = _pq_codebook(e)
     carr = (e.filter(F.col("vec_id") % CENT_MOD == 0)
             .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
@@ -724,10 +730,9 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (cells(qs, "query_id", N_PROBE)
          .crossJoin(F.broadcast(cb))
          .select("query_id", "cent_id", _pq_dtab().alias("dtab")))
-    pairs = (enc.join(F.broadcast(q), "cent_id")
-             .filter(F.col("vec_id") != F.col("query_id"))
-             .select("query_id", "vec_id", _pq_adc().alias("adc")))
-    return _pq_rank(pairs)
+    return (enc.join(F.broadcast(q), "cent_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", _pq_adc().alias("adc")))
 
 
 def _sql_ivf_pq() -> str:
@@ -768,6 +773,103 @@ ranked AS (
                             ORDER BY adc, vec_id) AS rank
   FROM pairs)
 SELECT query_id, vec_id, rank, round(adc, 6) AS adc_dist
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# -- two-stage retrieval: ADC shortlist -> exact re-rank ------------------------------
+
+RERANK_C = 20   # ADC shortlist size per query (4x the final k)
+
+
+def q_ann_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — IVF-PQ ADC shortlist refined by an exact
+    re-rank (the FAISS ``refine``/IVFADC+R deployment shape, Jégou et al.
+    2011 §V-C): stage 1 ranks the compressed candidates by ADC distance
+    and keeps RERANK_C per query; stage 2 re-scores ONLY the shortlist
+    against the raw float vectors and returns the final exact-L2 top-k.
+
+    Scale shape: the raw float payload is touched by exactly
+    RERANK_C x |queries| rows — the corpus-sized scoring join stays on
+    PQ codes (the whole point of the two-stage design).  The shortlist
+    joins back to the vector table as a co-partitioned equi-join on
+    vec_id; the bounded query-vector side broadcasts; both rank windows
+    are per-query bounded.  dist ships integer-quantized
+    (floor(dist*1e4) AS BIGINT — the repo's _QUANT discipline), never
+    round-on-double."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    pairs = _ivf_pq_pairs(e)
+    w1 = W.partitionBy("query_id").orderBy("adc", "vec_id")
+    short = (pairs.withColumn("r1", F.row_number().over(w1))
+             .filter(F.col("r1") <= RERANK_C)
+             .select("query_id", "vec_id"))
+    qv = (e.filter(F.col("vec_id") % QUERY_MOD == 0)
+          .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+    exact = (short.join(e, "vec_id")
+             .join(F.broadcast(qv), "query_id")
+             .select("query_id", "vec_id",
+                     _sqdist(F.col("v"), F.col("qv")).alias("dist")))
+    w2 = W.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (exact.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "vec_id",
+                    F.col("rank").cast("bigint").alias("rank"),
+                    F.floor(F.col("dist") * 10000).cast("bigint")
+                    .alias("dist_q")))
+
+
+def _sql_rerank_exact() -> str:
+    p = _pq_sql_parts()
+
+    def assign(n: int, id_expr: str, where: str = "") -> str:
+        return f"""
+  SELECT {id_expr} AS id, v, cent_id FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_pq_sql_sq("e.v", "c.cv")}, c.cent_id) AS r
+    FROM e CROSS JOIN cents c {where})
+  WHERE r <= {n}"""
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{p["cb_cte"]},
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+          WHERE vec_id % {CENT_MOD} = 0),
+assigned AS ({assign(1, 'vec_id')}
+),
+enc AS (
+  SELECT id AS vec_id, cent_id, [{p["codes"]}] AS codes
+  FROM assigned CROSS JOIN cb),
+probes AS ({assign(N_PROBE, 'vec_id',
+                   f'WHERE e.vec_id % {QUERY_MOD} = 0')}
+),
+q AS (
+  SELECT id AS query_id, cent_id, [{p["dtab"]}] AS dtab
+  FROM probes CROSS JOIN cb),
+pairs AS (
+  SELECT q.query_id, a.vec_id, {_pq_sql_adc("a", "q")} AS adc
+  FROM enc a JOIN q USING (cent_id) WHERE a.vec_id <> q.query_id),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, vec_id) AS r1
+    FROM pairs)
+  WHERE r1 <= {RERANK_C}),
+exact AS (
+  SELECT s.query_id, s.vec_id,
+         {_pq_sql_sq("ev.v", "qe.v")} AS dist
+  FROM short s
+  JOIN e ev ON ev.vec_id = s.vec_id
+  JOIN e qe ON qe.vec_id = s.query_id),
+ranked AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, vec_id) AS rank
+  FROM exact)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+       CAST(floor(dist * 10000) AS BIGINT) AS dist_q
 FROM ranked WHERE rank <= {TOP_K}
 """
 
@@ -989,4 +1091,5 @@ QUERIES = {
     "ann_ivf_trained_topk": (q_ann_ivf_trained_topk, _sql_ivf_trained()),
     "ann_pq_adc_topk": (q_ann_pq_adc_topk, _sql_pq_adc()),
     "ann_ivf_pq_topk": (q_ann_ivf_pq_topk, _sql_ivf_pq()),
+    "ann_rerank_exact": (q_ann_rerank_exact, _sql_rerank_exact()),
 }

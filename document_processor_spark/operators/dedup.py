@@ -85,6 +85,40 @@ GROUP BY md5(text)
 """
 
 
+def q_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication — keep every copy but reweight it by its
+    duplicate-group size (SoftDeDup, He et al. 2024: down-weight common
+    data instead of dropping it, so the loss contribution of a text seen
+    n times totals one unit regardless of n).  weight_ppm = 1e6 div n in
+    exact integer ppm; the sampled-training-loss reweighting is then a
+    map-only lookup at trainer time.
+
+    Scale shape: identical to dedup_exact — ONE mergeable groupBy on the
+    64-hex content hash (map-side partial counts) plus a co-partitioned
+    equi-join back on the same key; no window (a 10^7-copy boilerplate
+    group would pin one task), no broadcast of the group table (distinct
+    texts ~ corpus size at web scale)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("content_hash"))
+    groups = d.groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("dup_count"))
+    return (d.join(groups, "content_hash")
+            .select("doc_id", "content_hash",
+                    F.col("dup_count").cast("bigint").alias("dup_count"),
+                    F.expr("1000000 div dup_count").cast("bigint")
+                    .alias("weight_ppm")))
+
+
+SQL_DEDUP_SOFT = """
+WITH d AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+g AS (SELECT content_hash, count(*) AS dup_count FROM d GROUP BY content_hash)
+SELECT doc_id, content_hash,
+       CAST(dup_count AS BIGINT) AS dup_count,
+       CAST(1000000 // dup_count AS BIGINT) AS weight_ppm
+FROM d JOIN g USING (content_hash)
+"""
+
+
 # -- shingles (shared by minhash + jaccard) --------------------------------------
 
 def _shingles_col():
@@ -1758,6 +1792,7 @@ def _sql_entity_resolve() -> str:
 
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_soft": (q_dedup_soft, SQL_DEDUP_SOFT),
     "dedup_entity_resolve": (q_dedup_entity_resolve, _sql_entity_resolve()),
     "dedup_lsh_recall": (q_dedup_lsh_recall, SQL_DEDUP_LSH_RECALL),
     "dedup_edit_verify": (q_dedup_edit_verify, SQL_DEDUP_EDIT_VERIFY),

@@ -79,8 +79,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact_substr", "ta_pmi_collocations", "ta_bpe_merges",
     "cur_fuzzy_decontaminate", "pipe_extract_orc_roundtrip",
     # ---- 50-slot window boundary (session-2 batch onward roll to r5) ----
-    # session-13 ops land just past the boundary: mirror+pytest certified
-    # this round, first in line for an r5 driver row
+    # session-13/14 ops land just past the boundary: mirror+pytest
+    # certified this round, first in line for an r5 driver row
+    "ann_rerank_exact", "dedup_soft", "ta_kneser_ney",
     "dedup_lsh_recall", "dedup_edit_verify", "mm_image_tiles",
     "ta_hll_distinct", "ta_cms_heavy_hitters", "cur_bloom_decontaminate",
     "rel_cdc_apply", "stream_join_attribution", "rel_scd2_history",

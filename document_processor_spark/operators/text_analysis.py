@@ -528,6 +528,129 @@ FROM scored
 """
 
 
+# -- interpolated Kneser-Ney bigram LM ----------------------------------------
+#
+# The smoothing CCNet-class quality filters actually want once the corpus
+# is big enough for add-one to over-penalize frequent contexts (Kneser-Ney,
+# Chen & Goodman 1999): absolute-discount the bigram count and back off to
+# the CONTINUATION probability (how many distinct contexts a word follows),
+# not the raw unigram.  Same dataflow discipline as ta_lm_xent — every
+# model table (gram counts, per-context totals, continuation counts) is
+# shuffle-joined on its word key, never broadcast (vocab can exceed 10^9
+# rows); the two global scalars (B, V) are 1-row broadcasts; per-doc scores
+# fold over a value-sorted term list so the DuckDB oracle is bit-identical.
+
+KN_D_NUM = 3   # discount D = KN_D_NUM / KN_D_DEN = 0.75 (exact in binary)
+KN_D_DEN = 4
+
+
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy (nats/bigram, floor-quantized to 1e-4)
+    under an interpolated Kneser-Ney bigram LM trained on the reference
+    slice:
+
+        P(w2|w1) = (max(c(w1 w2) - D, 0) + D * N1+(w1,.) * Pc(w2)) / c(w1.)
+        Pc(w2)   = (N1+(., w2) + 1) / (B + V)      [add-one continuation]
+        fallback to Pc(w2) when w1 never opens a reference bigram.
+
+    c/N1+ are exact integer aggregates; B = distinct reference bigrams,
+    V = distinct continuation words."""
+    D = F.lit(KN_D_NUM / KN_D_DEN)
+    d = _docs(spark, sf_dir).select("doc_id", _bigrams_col().alias("grams"))
+    model = (d.filter(F.col("doc_id") % LM_REF_MOD == 0)
+             .select(F.explode("grams").alias("gram"))
+             .groupBy("gram").agg(F.count(F.lit(1)).alias("c12")))
+    w1s = (model.groupBy(F.substring_index("gram", " ", 1).alias("w1"))
+           .agg(F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")))
+    w2s = (model.groupBy(F.substring_index("gram", " ", -1).alias("w2"))
+           .agg(F.count(F.lit(1)).alias("n1b")))
+    stats = (model.agg(F.count(F.lit(1)).alias("b"))
+             .crossJoin(F.broadcast(w2s.agg(F.count(F.lit(1)).alias("v")))))
+    train = (d.filter((F.col("doc_id") % LM_REF_MOD != 0)
+                      & (F.size("grams") > 0))
+             .select("doc_id", F.explode("grams").alias("gram"))
+             .select("doc_id", "gram",
+                     F.substring_index("gram", " ", 1).alias("w1"),
+                     F.substring_index("gram", " ", -1).alias("w2")))
+    pc = (F.coalesce("n1b", F.lit(0)) + 1).cast("double") \
+        / (F.col("b") + F.col("v")).cast("double")
+    p = F.when(
+        F.col("c1").isNotNull(),
+        (F.greatest(F.coalesce("c12", F.lit(0)).cast("double") - D, F.lit(0.0))
+         + D * F.col("n1f").cast("double") * pc)
+        / F.col("c1").cast("double")).otherwise(pc)
+    terms = (train
+             .join(model, "gram", "left")
+             .join(w1s, "w1", "left")
+             .join(w2s, "w2", "left")
+             .crossJoin(F.broadcast(stats))
+             .select("doc_id", (-F.log(p)).alias("t")))
+    per_doc = (terms.groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list("t")).alias("ts")))
+    s = F.aggregate("ts", F.lit(0.0), lambda acc, x: acc + x)
+    return per_doc.select(
+        "doc_id",
+        F.size("ts").cast("bigint").alias("n_bigrams"),
+        F.floor(s * 10000 / F.size("ts").cast("double"))
+        .cast("bigint").alias("xent_q"))
+
+
+SQL_KNESER_NEY = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS grams
+  FROM t),
+model AS (
+  SELECT gram, count(*) AS c12
+  FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id % {LM_REF_MOD} = 0)
+  GROUP BY gram),
+w1s AS (
+  SELECT split_part(gram, ' ', 1) AS w1,
+         sum(c12) AS c1, count(*) AS n1f
+  FROM model GROUP BY 1),
+w2s AS (
+  SELECT split_part(gram, ' ', 2) AS w2, count(*) AS n1b
+  FROM model GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM model) AS b,
+         (SELECT count(*) FROM w2s) AS v),
+train AS (
+  SELECT doc_id, gram,
+         split_part(gram, ' ', 1) AS w1,
+         split_part(gram, ' ', 2) AS w2
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+        WHERE doc_id % {LM_REF_MOD} <> 0 AND len(grams) > 0)),
+terms AS (
+  SELECT tr.doc_id,
+         -ln(CASE WHEN w1s.c1 IS NOT NULL THEN
+               (greatest(CAST(coalesce(m.c12, 0) AS DOUBLE) - 0.75, 0.0)
+                + 0.75 * CAST(w1s.n1f AS DOUBLE)
+                       * (CAST(coalesce(w2s.n1b, 0) + 1 AS DOUBLE)
+                          / CAST(s.b + s.v AS DOUBLE)))
+               / CAST(w1s.c1 AS DOUBLE)
+             ELSE CAST(coalesce(w2s.n1b, 0) + 1 AS DOUBLE)
+                  / CAST(s.b + s.v AS DOUBLE) END) AS t
+  FROM train tr
+  LEFT JOIN model m USING (gram)
+  LEFT JOIN w1s ON tr.w1 = w1s.w1
+  LEFT JOIN w2s ON tr.w2 = w2s.w2
+  CROSS JOIN stats s),
+per_doc AS (
+  SELECT doc_id, list(t ORDER BY t) AS ts
+  FROM terms GROUP BY doc_id)
+SELECT doc_id,
+       CAST(len(ts) AS BIGINT) AS n_bigrams,
+       CAST(floor(list_reduce(list_prepend(0.0, ts), (x, y) -> x + y)
+                  * 10000 / CAST(len(ts) AS DOUBLE)) AS BIGINT) AS xent_q
+FROM per_doc
+"""
+
+
 # -- word-entropy / lexical-diversity signal ----------------------------------
 #
 # Shannon entropy of the within-document word distribution plus the
@@ -2039,6 +2162,7 @@ QUERIES = {
     "ta_repetition": (q_repetition, SQL_REPETITION),
     "ta_tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "ta_lm_xent": (q_lm_xent, SQL_LM_XENT),
+    "ta_kneser_ney": (q_kneser_ney, SQL_KNESER_NEY),
     "ta_entropy": (q_entropy, SQL_ENTROPY),
     "ta_bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "ta_hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),

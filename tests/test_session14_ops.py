@@ -1,0 +1,155 @@
+"""Invariants for the session-14 operators: exact re-rank second stage,
+soft-dedup reweighting, Kneser-Ney LM — against pure-Python recomputes.
+"""
+
+from __future__ import annotations
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _load(spark, name):
+    return spark.read.parquet(f"{SF_DIR}/{name}.parquet").collect()
+
+
+def test_rerank_exact_refines_adc_shortlist(spark):
+    """Stage 2 must equal a python re-rank of stage 1's shortlist by exact
+    L2 — and must be an actual refinement (the final ordering is by exact
+    distance, not ADC order)."""
+    from document_processor_spark.operators.ann import (
+        QUERY_MOD, RERANK_C, TOP_K, q_ann_rerank_exact, _ivf_pq_pairs, _emb,
+    )
+
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in _load(spark, "embeddings")}
+
+    e = _emb(spark, SF_DIR).select("vec_id", "v")
+    adc_pairs = [(r["query_id"], r["vec_id"], r["adc"])
+                 for r in _ivf_pq_pairs(e).collect()]
+
+    # python stage 1: ADC shortlist per query
+    by_q = {}
+    for qid, vid, adc in adc_pairs:
+        by_q.setdefault(qid, []).append((adc, vid))
+    expect = {}
+    for qid, cands in by_q.items():
+        short = [vid for _, vid in sorted(cands)[:RERANK_C]]
+        # python stage 2: exact L2 over the shortlist only
+        qv = vecs[qid]
+
+        def d2(vid):
+            v = vecs[vid]
+            acc = 0.0
+            for a, b in zip(v, qv):
+                acc += (a - b) * (a - b)
+            return acc
+
+        final = sorted((d2(vid), vid) for vid in short)[:TOP_K]
+        expect[qid] = [(vid, rank + 1, int(dist * 10000 // 1))
+                       for rank, (dist, vid) in enumerate(final)]
+
+    got = {}
+    for r in q_ann_rerank_exact(spark, SF_DIR).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["rank"], r["dist_q"]))
+    for qid in got:
+        got[qid].sort(key=lambda t: t[1])
+
+    assert set(got) == {qid for qid in by_q}
+    for qid, rows in got.items():
+        assert [t[0] for t in rows] == [t[0] for t in expect[qid]]
+        assert [t[1] for t in rows] == [t[1] for t in expect[qid]]
+    assert all(qid % QUERY_MOD == 0 for qid in got)  # query set is the mod set
+
+    # the re-rank is informative: at least one query's final order differs
+    # from pure ADC order over the same shortlist
+    differs = False
+    for qid, cands in by_q.items():
+        adc_top = [vid for _, vid in sorted(cands)[:TOP_K]]
+        if adc_top != [t[0] for t in expect[qid]]:
+            differs = True
+            break
+    assert differs
+
+
+def test_soft_dedup_matches_python(spark, tmp_path):
+    from document_processor_spark.operators.dedup import q_dedup_soft
+
+    # the fixture corpus has no EXACT text duplicates, so build one that
+    # does: every doc_id % 3 == 0 text appears 3x under fresh doc_ids
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = base.count()
+    from pyspark.sql import functions as F
+    dups = (base.filter(F.col("doc_id") % 3 == 0)
+            .withColumn("doc_id", F.col("doc_id") + n))
+    dups2 = dups.withColumn("doc_id", F.col("doc_id") + n)
+    corpus = str(tmp_path / "corpus")
+    base.unionByName(dups).unionByName(dups2) \
+        .write.parquet(f"{corpus}/documents.parquet")
+
+    rows = spark.read.parquet(f"{corpus}/documents.parquet").collect()
+    from collections import Counter
+    counts = Counter(r["text"] for r in rows)
+    assert max(counts.values()) == 3  # real duplicate groups exist
+
+    got = {r["doc_id"]: (r["dup_count"], r["weight_ppm"])
+           for r in q_dedup_soft(spark, corpus).collect()}
+    assert len(got) == len(rows)
+    for r in rows:
+        m = counts[r["text"]]
+        assert got[r["doc_id"]] == (m, 1_000_000 // m)
+    # duplicates actually discount, uniques keep full weight
+    assert any(w < 1_000_000 for _, w in got.values())
+    assert any(w == 1_000_000 for _, w in got.values())
+    # total soft mass == one (floor-quantized) unit per distinct text
+    assert sum(w for _, w in got.values()) == sum(
+        m * (1_000_000 // m) for m in counts.values())
+
+
+def test_kneser_ney_matches_python(spark):
+    from document_processor_spark.operators.text_analysis import (
+        KN_D_NUM, KN_D_DEN, LM_REF_MOD, q_kneser_ney,
+    )
+    import math
+
+    rows = _load(spark, "documents")
+    toks = {r["doc_id"]: [w for w in r["text"].lower().split(" ") if w]
+            for r in rows}
+    grams = {d: list(zip(t, t[1:])) for d, t in toks.items()}
+
+    # reference-slice counts
+    c12, c1, fwd, bwd = {}, {}, {}, {}
+    for d, gs in grams.items():
+        if d % LM_REF_MOD != 0:
+            continue
+        for g in gs:
+            c12[g] = c12.get(g, 0) + 1
+    for (w1, w2), c in c12.items():
+        c1[w1] = c1.get(w1, 0) + c
+        fwd[w1] = fwd.get(w1, 0) + 1
+        bwd[w2] = bwd.get(w2, 0) + 1
+    B = len(c12)
+    V = len(bwd)
+    D = KN_D_NUM / KN_D_DEN
+
+    def prob(w1, w2):
+        pc = (bwd.get(w2, 0) + 1) / (B + V)
+        if c1.get(w1, 0) > 0:
+            return (max(c12.get((w1, w2), 0) - D, 0.0)
+                    + D * fwd[w1] * pc) / c1[w1]
+        return pc
+
+    got = {r["doc_id"]: (r["n_bigrams"], r["xent_q"])
+           for r in q_kneser_ney(spark, SF_DIR).collect()}
+    checked = 0
+    for d, gs in grams.items():
+        if d % LM_REF_MOD == 0 or not gs:
+            assert d not in got
+            continue
+        logs = sorted(-math.log(prob(w1, w2)) for w1, w2 in gs)
+        acc = 0.0
+        for x in logs:
+            acc += x
+        xq = int(acc * 10000 / len(gs) // 1)
+        assert got[d] == (len(gs), xq), d
+        checked += 1
+    assert checked > 100
