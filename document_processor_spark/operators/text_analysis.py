@@ -528,6 +528,105 @@ FROM scored
 """
 
 
+# -- quality-classifier evaluation: exact ROC-AUC -----------------------------
+
+def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the quality score against the English/non-English
+    split — the calibration check a corpus build runs before trusting a
+    quality gate.  The AUC value IS the diagnostic: on this synthetic
+    corpus it sits near 500000 ppm (the generator draws every language's
+    tokens from overlapping pools, so the EN-stopword feature does not
+    separate `lang`), exactly the negative result that tells a builder
+    not to ship the gate as a language filter.  Mann-Whitney rank-sum
+    form with the standard tie correction, ALL-INTEGER:
+
+        2U = sum_b (2 * n_pos_b * cum_neg_below_b + n_pos_b * n_neg_b)
+        auc_ppm = (1e6 * 2U) div (2 * P * N)
+
+    Scale shape: scores floor-quantize to a BOUNDED domain (0..10000), so
+    the per-bucket (n_pos, n_neg) aggregate is ONE map-side-combinable
+    shuffle whose output is <=10001 rows whatever the corpus size; the
+    cumulative-negatives window runs over that tiny bucket table (the
+    dedup_sorted_blocking bucket-cumsum discipline — never a per-row
+    global window).  Pair-count sums run in DECIMAL(38,0): P*N overflows
+    BIGINT past ~3e9 eval docs."""
+    from pyspark.sql import Window as W
+    d = _docs(spark, sf_dir)
+    n_chars = F.length("text").cast("double")
+    n_words = F.size(F.split("text", " ", -1)).cast("double")
+    punct = (F.length("text")
+             - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))).cast("double")
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    stop = sum((_count_occurrences(padded, w) for w in STOPWORDS["en"][1:]),
+               _count_occurrences(padded, STOPWORDS["en"][0])).cast("double")
+    score = (F.lit(0.4) * F.least(n_words / F.lit(100.0), F.lit(1.0))
+             + F.lit(0.3) * F.least(stop / n_words * 5, F.lit(1.0))
+             + F.lit(0.3) * (F.lit(1.0) - F.least(punct / n_chars * 10,
+                                                  F.lit(1.0))))
+    s = d.select(F.floor(score * 10000).cast("bigint").alias("score_q"),
+                 (F.col("lang") == "en").alias("pos"))
+    g = s.groupBy("score_q").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(~F.col("pos"), 1).otherwise(0)).alias("n_neg"))
+    # cumsum over the <=10001-row bucket table — tiny-frame window
+    wb = W.orderBy("score_q").rowsBetween(W.unboundedPreceding, -1)
+    c = g.select("score_q", "n_pos", "n_neg",
+                 F.coalesce(F.sum("n_neg").over(wb), F.lit(0)).alias("below"))
+    dec = "decimal(38,0)"
+    t = c.agg(
+        F.sum(F.col("n_pos").cast(dec)).alias("p"),
+        F.sum(F.col("n_neg").cast(dec)).alias("n"),
+        F.sum((2 * F.col("n_pos") * F.col("below")
+               + F.col("n_pos") * F.col("n_neg")).cast(dec)).alias("two_u"))
+    return t.select(
+        F.col("p").cast("bigint").alias("n_pos"),
+        F.col("n").cast("bigint").alias("n_neg"),
+        F.expr("CAST((1000000 * two_u) DIV (2 * p * n) AS BIGINT)")
+        .alias("auc_ppm"))
+
+
+def _sql_quality_auc() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    stop = " + ".join(_sql_count(padded, w) for w in STOPWORDS["en"])
+    return f"""
+WITH q AS (
+  SELECT lang,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+              AS DOUBLE) AS punct,
+         CAST({stop} AS DOUBLE) AS stop
+  FROM documents
+), s AS (
+  SELECT CAST(floor((0.4 * least(n_words / 100.0, 1.0)
+                     + 0.3 * least(stop / n_words * 5, 1.0)
+                     + 0.3 * (1.0 - least(punct / n_chars * 10, 1.0)))
+                    * 10000) AS BIGINT) AS score_q,
+         (lang = 'en') AS pos
+  FROM q
+), g AS (
+  SELECT score_q,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+         sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg
+  FROM s GROUP BY score_q
+), c AS (
+  SELECT score_q, n_pos, n_neg,
+         coalesce(sum(n_neg) OVER (ORDER BY score_q
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM g
+), t AS (
+  SELECT CAST(sum(n_pos) AS DECIMAL(38,0)) AS p,
+         CAST(sum(n_neg) AS DECIMAL(38,0)) AS n,
+         CAST(sum(2 * n_pos * below + n_pos * n_neg) AS DECIMAL(38,0))
+           AS two_u
+  FROM c)
+SELECT CAST(p AS BIGINT) AS n_pos,
+       CAST(n AS BIGINT) AS n_neg,
+       CAST((1000000 * two_u) // (2 * p * n) AS BIGINT) AS auc_ppm
+FROM t
+"""
+
+
 # -- interpolated Kneser-Ney bigram LM ----------------------------------------
 #
 # The smoothing CCNet-class quality filters actually want once the corpus
@@ -2163,6 +2262,7 @@ QUERIES = {
     "ta_tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "ta_lm_xent": (q_lm_xent, SQL_LM_XENT),
     "ta_kneser_ney": (q_kneser_ney, SQL_KNESER_NEY),
+    "ta_quality_auc": (q_quality_auc, _sql_quality_auc()),
     "ta_entropy": (q_entropy, SQL_ENTROPY),
     "ta_bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "ta_hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
