@@ -1555,6 +1555,52 @@ FROM e GROUP BY doc_id
 """
 
 
+# -- tokenizer fertility by language -------------------------------------------
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (tokens/word) and compression
+    (chars/token) under the corpus-trained BPE — the multilingual-bias
+    diagnostic (a tokenizer trained on EN-heavy data fragments other
+    languages into more tokens per word, inflating their training cost
+    and effective context length).  Ratios ship as exact integer 1e-4
+    units — no float anywhere in the plan.
+
+    Scale shape: the per-doc encode is ta_bpe_encode's map-only stage
+    (1-row merge table broadcast); lang attaches by a co-partitioned
+    equi-join on doc_id; the rollup is ONE tiny mergeable groupBy(lang)
+    — cardinality = languages, not docs."""
+    enc = q_bpe_encode(spark, sf_dir)
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (enc.join(langs, "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_words").cast("bigint").alias("n_words"),
+                 F.sum("n_syms").cast("bigint").alias("n_chars"),
+                 F.sum("n_tokens").cast("bigint").alias("n_tokens"))
+            .select("lang", "n_docs", "n_words", "n_chars", "n_tokens",
+                    F.expr("(n_tokens * 10000) div n_words").cast("bigint")
+                    .alias("fertility_q"),
+                    F.expr("(n_chars * 10000) div n_tokens").cast("bigint")
+                    .alias("compression_q")))
+
+
+def _sql_tokenizer_fertility() -> str:
+    return f"""
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(enc.n_words) AS BIGINT) AS n_words,
+       CAST(sum(enc.n_syms) AS BIGINT) AS n_chars,
+       CAST(sum(enc.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(enc.n_tokens) * 10000 // sum(enc.n_words) AS BIGINT)
+         AS fertility_q,
+       CAST(sum(enc.n_syms) * 10000 // sum(enc.n_tokens) AS BIGINT)
+         AS compression_q
+FROM ({_sql_bpe_encode()}) enc
+JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
 # -- positional phrase search --------------------------------------------------
 #
 # Exact-phrase retrieval over a POSITIONAL inverted index — the query
@@ -2263,6 +2309,8 @@ QUERIES = {
     "ta_lm_xent": (q_lm_xent, SQL_LM_XENT),
     "ta_kneser_ney": (q_kneser_ney, SQL_KNESER_NEY),
     "ta_quality_auc": (q_quality_auc, _sql_quality_auc()),
+    "ta_tokenizer_fertility": (q_tokenizer_fertility,
+                               _sql_tokenizer_fertility()),
     "ta_entropy": (q_entropy, SQL_ENTROPY),
     "ta_bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "ta_hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),

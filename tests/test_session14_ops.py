@@ -145,6 +145,36 @@ def test_quality_auc_matches_pairwise_python(spark):
     assert any(p == n for p in set(pos) for n in set(neg))
 
 
+def test_tokenizer_fertility_is_exact_rollup(spark):
+    """Fertility must equal the integer rollup of the (already pinned)
+    per-doc BPE encode, keyed by lang — and zh (no latin stopword overlap
+    with the merge table's head) must differ from en, i.e. the diagnostic
+    actually discriminates."""
+    from document_processor_spark.operators.text_analysis import (
+        q_bpe_encode, q_tokenizer_fertility,
+    )
+
+    langs = {r["doc_id"]: r["lang"] for r in _load(spark, "documents")}
+    agg = {}
+    for r in q_bpe_encode(spark, SF_DIR).collect():
+        a = agg.setdefault(langs[r["doc_id"]], [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += r["n_words"]
+        a[2] += r["n_syms"]
+        a[3] += r["n_tokens"]
+
+    got = {r["lang"]: r for r in q_tokenizer_fertility(spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for lang, (nd, nw, nc, nt) in agg.items():
+        r = got[lang]
+        assert (r["n_docs"], r["n_words"], r["n_chars"], r["n_tokens"]) \
+            == (nd, nw, nc, nt)
+        assert r["fertility_q"] == nt * 10000 // nw
+        assert r["compression_q"] == nc * 10000 // nt
+    ferts = {r["fertility_q"] for r in got.values()}
+    assert len(ferts) > 1  # per-language bias is actually visible
+
+
 def test_kneser_ney_matches_python(spark):
     from document_processor_spark.operators.text_analysis import (
         KN_D_NUM, KN_D_DEN, LM_REF_MOD, q_kneser_ney,

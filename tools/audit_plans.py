@@ -129,6 +129,17 @@ NOTES = {
         "BNLJ = crossJoin with the broadcast 1-ROW centroid ARRAY (narrow "
         "argmin cells) + the 1-ROW PQ codebook; the candidate join is "
         "broadcast-hash equi on cent_id (per-query dtab side bounded)"),
+    "ann_rerank_exact": (
+        "BNLJ inherited from the composed IVF-PQ stage-1 subplan (the "
+        "broadcast 1-ROW centroid ARRAY + 1-ROW PQ codebook documented "
+        "above); the stage-2 refinement joins are equi — co-partitioned "
+        "on vec_id for the RERANK_C-bounded shortlist, broadcast on "
+        "query_id for the bounded query-vector side"),
+    "ta_kneser_ney": (
+        "crossJoin with the broadcast 1-ROW (B, V) scalar pair — "
+        "constant-size side; every model lookup (gram counts, context "
+        "totals, continuation counts) is equi on its word key, never "
+        "broadcast (10^9-vocab rule)"),
     "ta_pmi_collocations": (
         "crossJoin with a broadcast 1-ROW aggregate (total bigram count "
         "N) — constant-size side; the two unigram lookups are equi on "
@@ -153,6 +164,11 @@ NOTES = {
         "one crossJoin of the corpus with the broadcast 1-ROW pivoted "
         "merge table — constant-size side; encoding itself is map-side "
         "string algebra, the corpus is never shuffled"),
+    "ta_tokenizer_fertility": (
+        "BNLJ inherited from the composed ta_bpe_encode subplan (the "
+        "per-round training crossJoins + the broadcast 1-ROW pivoted "
+        "merge table, documented above); lang attaches by an equi-join "
+        "on doc_id and the rollup is one tiny groupBy(lang)"),
     "rel_idle_customers": (
         "crossJoin with a broadcast 1-ROW aggregate (positive-balance "
         "sum + count for the cross-multiplied above-average test) — "
