@@ -22,9 +22,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ROUND-5 ROTATION PLAN: once r4 lands driver rows for the current
 # 50-slot window (3 r3-fixes + 23 r3-never-checked stream/cur/mm/pipe +
 # 19 session-7..12 ops + 5 session-3 ops), swap this list for the queries
-# that will then have NO driver row in any round.  The exact residue,
-# recomputed this session against CORRECTNESS_r01..r03 at the 163-query
-# surface (60 names; pick the first 50, park the 10 newest-tested rest):
+# that will then have NO driver row in any round.  The session-13/14
+# additions parked at the head of the post-boundary tail
+# (dedup_lsh_recall, dedup_edit_verify, mm_image_tiles, ann_rerank_exact,
+# dedup_soft, ta_kneser_ney, ta_quality_auc, ta_tokenizer_fertility) go
+# FIRST — they are the newest code with only mirror+pytest proof.  Then
+# the exact residue, recomputed against CORRECTNESS_r01..r03 at the
+# 163-query surface (60 names; pick the first 50, park the rest):
 # pipe_extract_skew, stream_sliding_hourly, rel_rolling_1h,
 # ta_length_quantiles, cur_domain_cap, dedup_pagerank, rel_pivot,
 # rel_set_ops, stream_session_window, pipe_extract_synth_source,
