@@ -72,6 +72,71 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# -- filtered (metadata-constrained) search ----------------------------------------
+
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN — each query retrieves top-k among corpus vectors
+    sharing its OWN label (same-category retrieval, the metadata-
+    constrained search every production vector store must answer).  The
+    Spark-first move: an equality metadata constraint belongs IN THE JOIN
+    KEY, so the candidate join is equi on label and each query scores
+    only its label partition — the corpus never fans out to the full
+    query set.  This is PRE-filtering; the classic post-filter pitfall
+    (probe an unfiltered index, then drop non-matching survivors and
+    return fewer than k) cannot happen by construction.
+
+    Scale shape: at 100 TB the corpus is bucketed/partitioned by label,
+    so the scan prunes to matching partitions before any distance math
+    (partition pruning on the join key); the bounded query side
+    broadcasts; the rank window is per-query bounded.  cosine ships
+    floor-quantized to 1e-6 integer units."""
+    raw = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .repartition(spark.sparkContext.defaultParallelism)
+           .select("vec_id", "label", _dbl("embedding").alias("v"))
+           .withColumn("nrm", _norm(F.col("v"))))
+    qs = (raw.filter(F.col("vec_id") % QUERY_MOD == 0)
+          .select(F.col("vec_id").alias("query_id"), "label",
+                  F.col("v").alias("qv"), F.col("nrm").alias("qnrm")))
+    pairs = (raw.join(F.broadcast(qs), "label")
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "label", "vec_id",
+                     (_dot(F.col("qv"), F.col("v"))
+                      / (F.col("qnrm") * F.col("nrm"))).alias("cos")))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id",
+                    F.col("label").cast("bigint").alias("label"),
+                    "vec_id",
+                    F.col("rank").cast("bigint").alias("rank"),
+                    F.floor(F.col("cos") * 1000000).cast("bigint")
+                    .alias("cos_q")))
+
+
+SQL_ANN_FILTERED = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                  {_SQL_NORM.format(a="(embedding::DOUBLE[])")} AS nrm
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, label, v AS qv, nrm AS qnrm FROM e
+      WHERE vec_id % {QUERY_MOD} = 0),
+pairs AS (
+  SELECT q.query_id, e.label, e.vec_id,
+         {_SQL_DOT.format(a="q.qv", b="e.v")} / (q.qnrm * e.nrm) AS cos
+  FROM e JOIN q ON e.label = q.label AND e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, label, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT query_id, CAST(label AS BIGINT) AS label, vec_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(floor(cos * 1000000) AS BIGINT) AS cos_q
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 # -- LSH-bucketed variant ---------------------------------------------------------
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1092,4 +1157,5 @@ QUERIES = {
     "ann_pq_adc_topk": (q_ann_pq_adc_topk, _sql_pq_adc()),
     "ann_ivf_pq_topk": (q_ann_ivf_pq_topk, _sql_ivf_pq()),
     "ann_rerank_exact": (q_ann_rerank_exact, _sql_rerank_exact()),
+    "ann_filtered_topk": (q_ann_filtered_topk, SQL_ANN_FILTERED),
 }

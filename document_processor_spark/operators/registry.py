@@ -86,7 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     # session-13/14 ops land just past the boundary: mirror+pytest
     # certified this round, first in line for an r5 driver row
     "ann_rerank_exact", "dedup_soft", "ta_kneser_ney", "ta_quality_auc",
-    "ta_tokenizer_fertility",
+    "ta_tokenizer_fertility", "ann_filtered_topk",
     "dedup_lsh_recall", "dedup_edit_verify", "mm_image_tiles",
     "ta_hll_distinct", "ta_cms_heavy_hitters", "cur_bloom_decontaminate",
     "rel_cdc_apply", "stream_join_attribution", "rel_scd2_history",

@@ -71,6 +71,49 @@ def test_rerank_exact_refines_adc_shortlist(spark):
     assert differs
 
 
+def test_filtered_topk_matches_python(spark):
+    """Per-query same-label top-k must equal the python recompute, and the
+    label constraint must actually bite (some query's filtered result
+    differs from its unfiltered brute top-k)."""
+    import math
+
+    from document_processor_spark.operators.ann import (
+        QUERY_MOD, TOP_K, q_ann_filtered_topk,
+    )
+
+    rows = _load(spark, "embeddings")
+    vecs = {r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"])
+            for r in rows}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    expect, bites = {}, False
+    for qid, (qv, qlab) in vecs.items():
+        if qid % QUERY_MOD != 0:
+            continue
+        scored = sorted(
+            ((-cos(v, qv), vid) for vid, (v, lab) in vecs.items()
+             if vid != qid and lab == qlab))
+        expect[qid] = [vid for _, vid in scored[:TOP_K]]
+        unfiltered = sorted(((-cos(v, qv), vid)
+                             for vid, (v, _) in vecs.items() if vid != qid))
+        if expect[qid] != [vid for _, vid in unfiltered[:TOP_K]]:
+            bites = True
+    assert bites
+
+    got = {}
+    for r in q_ann_filtered_topk(spark, SF_DIR).collect():
+        assert vecs[r["vec_id"]][1] == r["label"] == vecs[r["query_id"]][1]
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    assert set(got) == set(expect)
+    for qid, ranked in got.items():
+        assert [v for _, v in sorted(ranked)] == expect[qid]
+
+
 def test_soft_dedup_matches_python(spark, tmp_path):
     from document_processor_spark.operators.dedup import q_dedup_soft
 
