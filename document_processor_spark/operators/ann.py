@@ -800,7 +800,12 @@ def _ivf_pq_pairs(e: DataFrame) -> DataFrame:
             .select("query_id", "vec_id", _pq_adc().alias("adc")))
 
 
-def _sql_ivf_pq() -> str:
+def _pq_sql_stage1() -> str:
+    """Shared IVF-PQ stage-1 WITH-clause prefix (e/cb/cents/assigned/
+    enc/probes/q/pairs) — the SQL twin of _ivf_pq_pairs, factored ONCE
+    so stage-1 edits cannot drift between the _sql_ivf_pq and
+    _sql_rerank_exact oracles (they previously carried verbatim
+    copies)."""
     p = _pq_sql_parts()
 
     def assign(n: int, id_expr: str, where: str = "") -> str:
@@ -831,7 +836,11 @@ q AS (
   FROM probes CROSS JOIN cb),
 pairs AS (
   SELECT q.query_id, a.vec_id, {_pq_sql_adc("a", "q")} AS adc
-  FROM enc a JOIN q USING (cent_id) WHERE a.vec_id <> q.query_id),
+  FROM enc a JOIN q USING (cent_id) WHERE a.vec_id <> q.query_id)"""
+
+
+def _sql_ivf_pq() -> str:
+    return f"""{_pq_sql_stage1()},
 ranked AS (
   SELECT query_id, vec_id, adc,
          row_number() OVER (PARTITION BY query_id
@@ -884,37 +893,7 @@ def q_ann_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_rerank_exact() -> str:
-    p = _pq_sql_parts()
-
-    def assign(n: int, id_expr: str, where: str = "") -> str:
-        return f"""
-  SELECT {id_expr} AS id, v, cent_id FROM (
-    SELECT e.vec_id, e.v, c.cent_id,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {_pq_sql_sq("e.v", "c.cv")}, c.cent_id) AS r
-    FROM e CROSS JOIN cents c {where})
-  WHERE r <= {n}"""
-
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-{p["cb_cte"]},
-cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
-          WHERE vec_id % {CENT_MOD} = 0),
-assigned AS ({assign(1, 'vec_id')}
-),
-enc AS (
-  SELECT id AS vec_id, cent_id, [{p["codes"]}] AS codes
-  FROM assigned CROSS JOIN cb),
-probes AS ({assign(N_PROBE, 'vec_id',
-                   f'WHERE e.vec_id % {QUERY_MOD} = 0')}
-),
-q AS (
-  SELECT id AS query_id, cent_id, [{p["dtab"]}] AS dtab
-  FROM probes CROSS JOIN cb),
-pairs AS (
-  SELECT q.query_id, a.vec_id, {_pq_sql_adc("a", "q")} AS adc
-  FROM enc a JOIN q USING (cent_id) WHERE a.vec_id <> q.query_id),
+    return f"""{_pq_sql_stage1()},
 short AS (
   SELECT query_id, vec_id FROM (
     SELECT query_id, vec_id,

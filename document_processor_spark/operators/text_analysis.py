@@ -548,20 +548,25 @@ def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle whose output is <=10001 rows whatever the corpus size; the
     cumulative-negatives window runs over that tiny bucket table (the
     dedup_sorted_blocking bucket-cumsum discipline — never a per-row
-    global window).  Pair-count sums run in DECIMAL(38,0): P*N overflows
-    BIGINT past ~3e9 eval docs."""
+    global window).  Pair-count products and sums run in DECIMAL(38,0)
+    end-to-end — operands are cast BEFORE the multiply, so the per-bucket
+    2*n_pos_b*below_b term (up to ~9e18 at ~3e9 eval docs, past BIGINT)
+    never wraps; an empty document (n_chars = 0) takes punct_ratio = 0
+    instead of 0/0 = NaN, which Spark would silently bucket at 0 while
+    DuckDB errors on CAST(NaN AS BIGINT)."""
     from pyspark.sql import Window as W
     d = _docs(spark, sf_dir)
     n_chars = F.length("text").cast("double")
     n_words = F.size(F.split("text", " ", -1)).cast("double")
     punct = (F.length("text")
              - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))).cast("double")
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
     padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
     stop = sum((_count_occurrences(padded, w) for w in STOPWORDS["en"][1:]),
                _count_occurrences(padded, STOPWORDS["en"][0])).cast("double")
     score = (F.lit(0.4) * F.least(n_words / F.lit(100.0), F.lit(1.0))
              + F.lit(0.3) * F.least(stop / n_words * 5, F.lit(1.0))
-             + F.lit(0.3) * (F.lit(1.0) - F.least(punct / n_chars * 10,
+             + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10,
                                                   F.lit(1.0))))
     s = d.select(F.floor(score * 10000).cast("bigint").alias("score_q"),
                  (F.col("lang") == "en").alias("pos"))
@@ -573,11 +578,15 @@ def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = g.select("score_q", "n_pos", "n_neg",
                  F.coalesce(F.sum("n_neg").over(wb), F.lit(0)).alias("below"))
     dec = "decimal(38,0)"
+    # cast each operand to decimal BEFORE multiplying: BIGINT*BIGINT would
+    # silently wrap (non-ANSI) at ~3e9 eval docs, defeating the cast after
+    npos, nneg, below = (F.col(x).cast(dec) for x in ("n_pos", "n_neg",
+                                                      "below"))
     t = c.agg(
-        F.sum(F.col("n_pos").cast(dec)).alias("p"),
-        F.sum(F.col("n_neg").cast(dec)).alias("n"),
-        F.sum((2 * F.col("n_pos") * F.col("below")
-               + F.col("n_pos") * F.col("n_neg")).cast(dec)).alias("two_u"))
+        F.sum(npos).alias("p"),
+        F.sum(nneg).alias("n"),
+        F.sum(F.lit(2).cast(dec) * npos * below + npos * nneg)
+        .cast(dec).alias("two_u"))
     return t.select(
         F.col("p").cast("bigint").alias("n_pos"),
         F.col("n").cast("bigint").alias("n_neg"),
@@ -600,7 +609,9 @@ WITH q AS (
 ), s AS (
   SELECT CAST(floor((0.4 * least(n_words / 100.0, 1.0)
                      + 0.3 * least(stop / n_words * 5, 1.0)
-                     + 0.3 * (1.0 - least(punct / n_chars * 10, 1.0)))
+                     + 0.3 * (1.0 - least(
+                         (CASE WHEN n_chars > 0 THEN punct / n_chars
+                               ELSE 0.0 END) * 10, 1.0)))
                     * 10000) AS BIGINT) AS score_q,
          (lang = 'en') AS pos
   FROM q
@@ -615,10 +626,13 @@ WITH q AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
   FROM g
 ), t AS (
-  SELECT CAST(sum(n_pos) AS DECIMAL(38,0)) AS p,
-         CAST(sum(n_neg) AS DECIMAL(38,0)) AS n,
-         CAST(sum(2 * n_pos * below + n_pos * n_neg) AS DECIMAL(38,0))
-           AS two_u
+  -- HUGEINT (int128) operands BEFORE the multiply: DuckDB cannot widen a
+  -- DECIMAL(38,0) product past width 38, and a BIGINT multiply would
+  -- error at ~3e9 eval docs; int128 is exact to ~1.7e38
+  SELECT sum(CAST(n_pos AS HUGEINT)) AS p,
+         sum(CAST(n_neg AS HUGEINT)) AS n,
+         sum(2 * CAST(n_pos AS HUGEINT) * CAST(below AS HUGEINT)
+             + CAST(n_pos AS HUGEINT) * CAST(n_neg AS HUGEINT)) AS two_u
   FROM c)
 SELECT CAST(p AS BIGINT) AS n_pos,
        CAST(n AS BIGINT) AS n_neg,
@@ -727,8 +741,9 @@ train AS (
 terms AS (
   SELECT tr.doc_id,
          -ln(CASE WHEN w1s.c1 IS NOT NULL THEN
-               (greatest(CAST(coalesce(m.c12, 0) AS DOUBLE) - 0.75, 0.0)
-                + 0.75 * CAST(w1s.n1f AS DOUBLE)
+               (greatest(CAST(coalesce(m.c12, 0) AS DOUBLE)
+                         - ({KN_D_NUM} / {KN_D_DEN}.0), 0.0)
+                + ({KN_D_NUM} / {KN_D_DEN}.0) * CAST(w1s.n1f AS DOUBLE)
                        * (CAST(coalesce(w2s.n1b, 0) + 1 AS DOUBLE)
                           / CAST(s.b + s.v AS DOUBLE)))
                / CAST(w1s.c1 AS DOUBLE)
