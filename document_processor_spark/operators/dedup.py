@@ -1574,6 +1574,23 @@ FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND {SNM_W}
 
 # -- LSH quality eval: recall/precision vs the exact pair set --------------------------
 
+LSH_EVAL_MOD = 1_000_000  # hash-uniform resolution for the eval-universe test
+LSH_EVAL_T = 600_000      # eval on the 60% doc universe: hash(doc_id) < T
+
+
+def _lsh_eval_hash(col) -> "F.Column":
+    """Deterministic uniform int in [0, LSH_EVAL_MOD): first 60 bits of
+    md5(doc_id), mod LSH_EVAL_MOD — byte-identical to the DuckDB
+    ('0x' || substr(md5(x),1,15))::BIGINT % MOD form (the
+    cur_universe_sample coherence pattern)."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+            .cast("bigint") % LSH_EVAL_MOD)
+
+
+_LSH_EVAL_SQL = ("(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15))"
+                 f"::BIGINT % {LSH_EVAL_MOD}) < {LSH_EVAL_T}")
+
+
 def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall/precision of the MinHash-LSH index against the EXACT
     Jaccard pair set — the dedup twin of ann_recall_eval: every index
@@ -1583,10 +1600,21 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold rule is BIT-IDENTICAL to the LSH query's verify
     (round(jac,4) >= T), so precision is 100 by construction and the
     driver-gated number that matters is recall — pairs whose bands never
-    collide.  At 100 TB the eval runs on a sampled corpus slice, exactly
-    like ann_recall_eval; integer percent math end to end."""
+    collide.
+
+    Scale shape: the ground truth is quadratic in the corpus, so BOTH
+    sides of the eval are first restricted to the SAME deterministic
+    hash-sampled doc universe (_lsh_eval_hash < LSH_EVAL_T, the
+    cur_universe_sample coherence trick): a pure function of doc_id, so
+    the filter is map-side on the truth scan AND on the LSH pair set
+    (both endpoints), no sampled-key exchange, and recall stays unbiased
+    because pair survival is independent of band collision.  At
+    LSH_EVAL_T = 60% the truth work drops to 0.36x and scales down
+    quadratically as the knob tightens for bigger corpora; integer
+    percent math end to end."""
     B = COSINE_BLOCKS
     sh = _pin(_docs(spark, sf_dir)
+              .filter(_lsh_eval_hash(F.col("doc_id")) < LSH_EVAL_T)
               .select("doc_id", _shingles_col().alias("sh"))
               .filter(F.size("sh") > 0)
               .withColumn("g", F.pmod(F.xxhash64("doc_id"),
@@ -1606,7 +1634,9 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(jac >= MINHASH_JACCARD_T)
              .select(F.least("id_a", "id_b").alias("d1"),
                      F.greatest("id_a", "id_b").alias("d2")))
-    lsh = q_dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    lsh = (q_dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+           .filter((_lsh_eval_hash(F.col("d1")) < LSH_EVAL_T)
+                   & (_lsh_eval_hash(F.col("d2")) < LSH_EVAL_T)))
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
     n_hit = (truth.join(lsh, ["d1", "d2"])
@@ -1623,9 +1653,12 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_LSH_RECALL = f"""
-WITH lshp AS (SELECT d1, d2 FROM ({SQL_DEDUP_MINHASH_LSH}) t_lsh),
+WITH lshp AS (SELECT d1, d2 FROM ({SQL_DEDUP_MINHASH_LSH}) t_lsh
+              WHERE {_LSH_EVAL_SQL.format(c='d1')}
+                AND {_LSH_EVAL_SQL.format(c='d2')}),
 sh0 AS ({_SQL_SHINGLES}),
-ne AS (SELECT doc_id, shingles FROM sh0 WHERE len(shingles) > 0),
+ne AS (SELECT doc_id, shingles FROM sh0
+       WHERE len(shingles) > 0 AND {_LSH_EVAL_SQL.format(c='doc_id')}),
 truth AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2
   FROM ne a JOIN ne b ON a.doc_id < b.doc_id

@@ -25,12 +25,19 @@ def _shingle_sets(rows):
 
 
 def test_lsh_recall_matches_python_truth(spark):
+    import hashlib
+
     from document_processor_spark.operators.dedup import (
-        MINHASH_JACCARD_T, q_dedup_lsh_recall, q_dedup_minhash_lsh,
+        LSH_EVAL_MOD, LSH_EVAL_T, MINHASH_JACCARD_T, q_dedup_lsh_recall,
+        q_dedup_minhash_lsh,
     )
 
+    def in_eval(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h % LSH_EVAL_MOD < LSH_EVAL_T
+
     sets = _shingle_sets(_load(spark, "documents"))
-    ids = sorted(sets)
+    ids = sorted(d for d in sets if in_eval(d))
     truth = set()
     for i, a in enumerate(ids):
         for b in ids[i + 1:]:
@@ -38,10 +45,11 @@ def test_lsh_recall_matches_python_truth(spark):
             union = len(sets[a]) + len(sets[b]) - inter
             if round(inter / union, 4) >= MINHASH_JACCARD_T:
                 truth.add((a, b))
-    assert truth  # fixture has real near-dups
+    assert truth  # fixture has real near-dups inside the eval universe
 
     lsh = {(r["d1"], r["d2"])
-           for r in q_dedup_minhash_lsh(spark, SF_DIR).collect()}
+           for r in q_dedup_minhash_lsh(spark, SF_DIR).collect()
+           if in_eval(r["d1"]) and in_eval(r["d2"])}
     hit = truth & lsh
 
     got = q_dedup_lsh_recall(spark, SF_DIR).collect()

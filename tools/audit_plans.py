@@ -275,6 +275,15 @@ def main() -> int:
     if failures:
         print("AUDIT FAILURES:", *failures, sep="\n  ")
         return 1
+    # second audit tier: no parked query may certify against code newer
+    # than its driver row (tools/check_stale_certs.py, hard-fails on any)
+    import subprocess
+    rc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "check_stale_certs.py")],
+        cwd=REPO).returncode
+    if rc != 0:
+        print("AUDIT FAILURES:\n  stale driver certification (see above)")
+        return 1
     return 0
 
 
