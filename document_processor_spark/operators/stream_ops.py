@@ -31,6 +31,8 @@ once per request — the stream is the same contract per file).
 
 from __future__ import annotations
 
+import atexit
+import hashlib
 import shutil
 import tempfile
 from pathlib import Path
@@ -101,6 +103,62 @@ def _sink_name(spark: SparkSession, name: str) -> str:
     return name
 
 
+_STAGE_ROOTS: dict[str, Path] = {}
+
+
+def _stage_root(spark: SparkSession) -> Path:
+    """One shared staging root per Spark application, removed at process
+    exit.  Growth is bounded: each stream_* query stages at most one
+    input directory per (sf_dir, key), so a long-lived driver session
+    retains O(#stream queries) small directories, not O(#runs) — the
+    same leak-bounding discipline as _sink_name."""
+    app = spark.sparkContext.applicationId
+    root = _STAGE_ROOTS.get(app)
+    if root is None or not root.exists():
+        root = Path(tempfile.mkdtemp(prefix="stream_stage_"))
+        _STAGE_ROOTS[app] = root
+        atexit.register(shutil.rmtree, str(root), ignore_errors=True)
+    return root
+
+
+def _staged(spark: SparkSession, sf_dir: str, key: str, build) -> Path:
+    """Session-scoped INPUT staging cache shared by the stream_* family.
+
+    Every stream query must lay its source out as files-in-a-directory
+    (the file source accepts nothing else), and several need multi-file
+    splits with pinned mtimes to force a specific micro-batch order.
+    Those layouts are deterministic pure functions of sf_dir, so paying
+    the Spark write jobs once per session and reusing the directory on
+    every later run (bench sweeps run each query twice for the min-of-2
+    estimator; the full suite runs the 9-query family back to back) cuts
+    the harness fixed cost without touching semantics — checkpoints and
+    sinks stay strictly per-run, because replaying a FINISHED AvailableNow
+    checkpoint would drain nothing into the fresh memory sink.
+
+    `build(tmp_dir)` materializes the layout into a temp dir; the rename
+    to the final name is atomic and `_STAGED_OK` (underscore-prefixed, so
+    Spark's file index ignores it) marks completeness — a run killed
+    mid-build can never leave a half-staged directory behind."""
+    tag = hashlib.md5(str(Path(sf_dir).resolve()).encode()).hexdigest()[:8]
+    d = _stage_root(spark) / f"{key}_{tag}"
+    if not (d / "_STAGED_OK").exists():
+        tmp = d.parent / (d.name + ".tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        tmp.mkdir(parents=True)
+        build(tmp)
+        (tmp / "_STAGED_OK").touch()
+        shutil.rmtree(d, ignore_errors=True)
+        tmp.rename(d)
+    return d
+
+
+def _link_or_copy(src: Path, dst: Path) -> None:
+    try:
+        dst.hardlink_to(src)
+    except OSError:
+        shutil.copy(src, dst)
+
+
 def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation as a STREAMING query with a
     batch oracle: events stream in from the parquet file source, a
@@ -110,43 +168,34 @@ def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned frame re-keys each window as hours-since-corpus-min (pure
     instant arithmetic — timezone-free), so the oracle is the plain
     GROUP BY date_trunc('hour', ts) any batch engine runs.  The single
-    events.parquet FILE is staged (hard-link, else copy) into a temp dir
-    first — the streaming file source only accepts directories; staging
-    and checkpoint are removed once the drain finishes (the result lives
-    in the memory sink)."""
+    events.parquet FILE is staged (hard-link, else copy) into the shared
+    session staging cache first — the streaming file source only accepts
+    directories; the per-run checkpoint is implicit (complete-mode memory
+    sink, AvailableNow) and the result lives in the memory sink."""
     name = _sink_name(spark, "stream_tb_sink")
-    base = Path(tempfile.mkdtemp(prefix="stream_tb_"))
-    try:
-        inp = base / "in"
-        inp.mkdir()
-        ev_file = Path(sf_dir) / "events.parquet"
-        try:
-            (inp / "events.parquet").hardlink_to(ev_file)
-        except OSError:
-            shutil.copy(ev_file, inp / "events.parquet")
-        with _utc_session(spark), _pinned_state_partitions(spark):
-            src = spark.readStream.schema(EVENTS_DDL).parquet(str(inp))
-            agg = (src.withWatermark("ts", "2 hours")
-                   .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-                   .agg(F.count(F.lit(1)).alias("n_events"),
-                        F.sum(F.col("value").cast("decimal(18,4)"))
-                        .alias("sv")))
-            q = (agg.writeStream.outputMode("complete").format("memory")
-                 .queryName(name).trigger(availableNow=True).start())
-            q.awaitTermination()
-            # corpus-min UTC hour in epoch micros, computed EAGERLY while
-            # the session is still pinned to UTC (same LTZ schema the
-            # stream used, so naive parquet values land as the same
-            # instants); the one-row collect keeps the RETURNED plan
-            # timezone-free
-            t0h_us = (spark.read.schema(EVENTS_DDL)
-                      .parquet(f"{sf_dir}/events.parquet")
-                      .agg((F.floor(F.unix_micros(F.min("ts"))
-                                    / MICROS_PER_HOUR)
-                            * F.lit(3_600_000_000)).cast("long").alias("us"))
-                      .collect()[0]["us"])
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    inp = _staged(spark, sf_dir, "events1", lambda d: _link_or_copy(
+        Path(sf_dir) / "events.parquet", d / "events.parquet"))
+    with _utc_session(spark), _pinned_state_partitions(spark):
+        src = spark.readStream.schema(EVENTS_DDL).parquet(str(inp))
+        agg = (src.withWatermark("ts", "2 hours")
+               .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(18,4)"))
+                    .alias("sv")))
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+        # corpus-min UTC hour in epoch micros, computed EAGERLY while
+        # the session is still pinned to UTC (same LTZ schema the
+        # stream used, so naive parquet values land as the same
+        # instants); the one-row collect keeps the RETURNED plan
+        # timezone-free
+        t0h_us = (spark.read.schema(EVENTS_DDL)
+                  .parquet(f"{sf_dir}/events.parquet")
+                  .agg((F.floor(F.unix_micros(F.min("ts"))
+                                / MICROS_PER_HOUR)
+                        * F.lit(3_600_000_000)).cast("long").alias("us"))
+                  .collect()[0]["us"])
     bucket = F.floor((F.unix_micros(F.col("w.start")) - F.lit(t0h_us))
                      / MICROS_PER_HOUR)
     return (spark.table(name)
@@ -191,22 +240,17 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     name = _sink_name(spark, "stream_sw_sink")
-    base = Path(tempfile.mkdtemp(prefix="stream_sw_"))
-    try:
-        inp = base / "in"
-        inp.mkdir()
-        ev_file = Path(sf_dir) / "events.parquet"
-        real = inp / "events.parquet"
-        try:
-            real.hardlink_to(ev_file)
-        except OSError:
-            shutil.copy(ev_file, real)
-        with _utc_session(spark), _pinned_state_partitions(spark):
-            bounds = (spark.read.schema(EVENTS_DDL).parquet(str(ev_file))
-                      .agg(F.unix_micros(F.min("ts")).alias("t0"),
-                           F.unix_micros(F.max("ts")).alias("t1"))
-                      .collect()[0])
-            t0_us, t1_us = bounds["t0"], bounds["t1"]
+    ev_file = Path(sf_dir) / "events.parquet"
+    with _utc_session(spark), _pinned_state_partitions(spark):
+        bounds = (spark.read.schema(EVENTS_DDL).parquet(str(ev_file))
+                  .agg(F.unix_micros(F.min("ts")).alias("t0"),
+                       F.unix_micros(F.max("ts")).alias("t1"))
+                  .collect()[0])
+        t0_us, t1_us = bounds["t0"], bounds["t1"]
+
+        def _build(d: Path) -> None:
+            real = d / "events.parquet"
+            _link_or_copy(ev_file, real)
             sent = spark.range(1).select(
                 F.lit(10**12).cast("bigint").alias("event_id"),
                 F.timestamp_micros(
@@ -215,12 +259,17 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("sentinel").alias("event_type"),
                 F.lit(0.0).alias("value"),
                 F.lit("").alias("props"))
-            sdir = base / "sent"
+            sdir = d / "_sent_stage"
             sent.coalesce(1).write.parquet(str(sdir))
             part = next(sdir.glob("part-*.parquet"))
-            shutil.copy(part, inp / "zz-sentinel.parquet")
-            os.utime(inp / "zz-sentinel.parquet",
+            shutil.copy(part, d / "zz-sentinel.parquet")
+            shutil.rmtree(sdir, ignore_errors=True)
+            os.utime(d / "zz-sentinel.parquet",
                      (os.stat(real).st_mtime + 3600,) * 2)
+
+        inp = _staged(spark, sf_dir, "events_sentinel", _build)
+        base = Path(tempfile.mkdtemp(prefix="stream_sw_"))
+        try:
             src = (spark.readStream.schema(EVENTS_DDL)
                    .option("maxFilesPerTrigger", 1).parquet(str(inp)))
             agg = (src.withWatermark("ts", "0 seconds")
@@ -232,8 +281,8 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .option("checkpointLocation", str(base / "ckpt"))
                  .trigger(availableNow=True).start())
             q.awaitTermination()
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
     return (spark.table(name)
             .select("user_id", "n_events",
                     (F.unix_micros(F.col("w.start")) - F.lit(t0_us))
@@ -285,34 +334,25 @@ def q_stream_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     those two and only those two, so the batch restatement is a 2-row
     offset cross join."""
     name = _sink_name(spark, "stream_sl_sink")
-    base = Path(tempfile.mkdtemp(prefix="stream_sl_"))
-    try:
-        inp = base / "in"
-        inp.mkdir()
-        ev_file = Path(sf_dir) / "events.parquet"
-        try:
-            (inp / "events.parquet").hardlink_to(ev_file)
-        except OSError:
-            shutil.copy(ev_file, inp / "events.parquet")
-        with _utc_session(spark), _pinned_state_partitions(spark):
-            src = spark.readStream.schema(EVENTS_DDL).parquet(str(inp))
-            agg = (src.withWatermark("ts", "2 hours")
-                   .groupBy(F.window("ts", "1 hour", "30 minutes")
-                            .alias("w"), "event_type")
-                   .agg(F.count(F.lit(1)).alias("n_events"),
-                        F.sum(F.col("value").cast("decimal(18,4)"))
-                        .alias("sv")))
-            q = (agg.writeStream.outputMode("complete").format("memory")
-                 .queryName(name).trigger(availableNow=True).start())
-            q.awaitTermination()
-            t0s_us = (spark.read.schema(EVENTS_DDL)
-                      .parquet(f"{sf_dir}/events.parquet")
-                      .agg((F.floor(F.unix_micros(F.min("ts"))
-                                    / MICROS_PER_30M)
-                            * F.lit(MICROS_PER_30M)).cast("long").alias("us"))
-                      .collect()[0]["us"])
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    inp = _staged(spark, sf_dir, "events1", lambda d: _link_or_copy(
+        Path(sf_dir) / "events.parquet", d / "events.parquet"))
+    with _utc_session(spark), _pinned_state_partitions(spark):
+        src = spark.readStream.schema(EVENTS_DDL).parquet(str(inp))
+        agg = (src.withWatermark("ts", "2 hours")
+               .groupBy(F.window("ts", "1 hour", "30 minutes")
+                        .alias("w"), "event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(18,4)"))
+                    .alias("sv")))
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+        t0s_us = (spark.read.schema(EVENTS_DDL)
+                  .parquet(f"{sf_dir}/events.parquet")
+                  .agg((F.floor(F.unix_micros(F.min("ts"))
+                                / MICROS_PER_30M)
+                        * F.lit(MICROS_PER_30M)).cast("long").alias("us"))
+                  .collect()[0]["us"])
     bucket = F.floor((F.unix_micros(F.col("w.start")) - F.lit(t0s_us))
                      / MICROS_PER_30M)
     return (spark.table(name)
@@ -367,13 +407,15 @@ def _run_dedup_replay(spark: SparkSession, sf_dir: str):
     really ingested every row twice across ≥2 micro-batches."""
     from ..streaming.windowed import dedup_stream
 
+    def _build(d: Path) -> None:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev.coalesce(1).write.mode("overwrite").parquet(str(d))
+        part = next(d.glob("part-*.parquet"))
+        shutil.copy(part, d / f"replay-{part.name}")
+
+    inp = _staged(spark, sf_dir, "events_twice", _build)
     base = Path(tempfile.mkdtemp(prefix="stream_dedup_"))
     try:
-        inp = base / "in"
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        ev.coalesce(1).write.parquet(str(inp))
-        part = next(inp.glob("part-*.parquet"))
-        shutil.copy(part, inp / f"replay-{part.name}")
         name = _sink_name(spark, "stream_dd_sink")
         with _utc_session(spark), _pinned_state_partitions(spark):
             src = (spark.readStream.schema(EVENTS_DDL)
@@ -413,10 +455,11 @@ def _run_extract_snapshot(spark: SparkSession, sf_dir: str):
     """Body of q_stream_extract_snapshot; returns (result df, IceLite
     table) so tests can assert the ingest really committed one snapshot
     per micro-batch — granularity the content hash cannot see."""
+    inp = _staged(spark, sf_dir, "corpus4",
+                  lambda d: (derived_corpus(spark, sf_dir).repartition(4)
+                             .write.mode("overwrite").parquet(str(d))))
     base = Path(tempfile.mkdtemp(prefix="stream_extract_"))
     try:
-        inp = base / "in"
-        derived_corpus(spark, sf_dir).repartition(4).write.parquet(str(inp))
         with _utc_session(spark):
             q = start_extract_stream(
                 spark, str(inp), str(base / "wh"), str(base / "ckpt"),
@@ -429,8 +472,7 @@ def _run_extract_snapshot(spark: SparkSession, sf_dir: str):
         shutil.rmtree(base, ignore_errors=True)
         raise
     # success: the returned frame READS the warehouse — keep it; drop the
-    # staged corpus copy and the finished checkpoint
-    shutil.rmtree(inp, ignore_errors=True)
+    # finished checkpoint (the staged corpus lives in the shared cache)
     shutil.rmtree(base / "ckpt", ignore_errors=True)
     table = IceLite(str(base / "wh"), SPANS_TABLE)
     df = (table.read_spans(spark)
@@ -463,20 +505,22 @@ def _run_running_totals(spark: SparkSession, sf_dir: str):
 
     from ..streaming.transform_state import running_totals
 
-    base = Path(tempfile.mkdtemp(prefix="stream_tws_"))
-    try:
-        inp = base / "in"
-        inp.mkdir()
+    def _build(d: Path) -> None:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         for i, batch in enumerate((ev.filter(F.col("event_id") % 2 == 0),
                                    ev.filter(F.col("event_id") % 2 == 1))):
-            stage = base / f"stage{i}"
+            stage = d / f"_stage{i}"
             batch.coalesce(1).write.parquet(str(stage))
             part = next(stage.glob("part-*.parquet"))
-            dst = inp / f"b{i}.parquet"
+            dst = d / f"b{i}.parquet"
             shutil.copy(part, dst)
+            shutil.rmtree(stage, ignore_errors=True)
             # file source orders micro-batches by mod time: pin b0 first
             os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    inp = _staged(spark, sf_dir, "events_evenodd", _build)
+    base = Path(tempfile.mkdtemp(prefix="stream_tws_"))
+    try:
         name = _sink_name(spark, "stream_tws_sink")
         with _utc_session(spark), _pinned_state_partitions(spark):
             src = (spark.readStream.schema(EVENTS_DDL)
@@ -536,15 +580,20 @@ def q_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids + an integer microsecond gap — timezone-free."""
     from ..streaming.join import start_attribution_stream
 
+    def _build_side(event_type: str):
+        def build(d: Path) -> None:
+            ev = (spark.read.schema(EVENTS_DDL)
+                  .parquet(f"{sf_dir}/events.parquet"))
+            (ev.filter(F.col("event_type") == event_type)
+             .coalesce(2).write.mode("overwrite").parquet(str(d)))
+        return build
+
     name = _sink_name(spark, "stream_ja_sink")
+    inp_c = str(_staged(spark, sf_dir, "clicks2", _build_side("click")))
+    inp_p = str(_staged(spark, sf_dir, "purchases2",
+                        _build_side("purchase")))
     base = Path(tempfile.mkdtemp(prefix="stream_ja_"))
     try:
-        ev = spark.read.schema(EVENTS_DDL).parquet(f"{sf_dir}/events.parquet")
-        inp_c, inp_p = str(base / "clicks"), str(base / "purchases")
-        (ev.filter(F.col("event_type") == "click")
-         .coalesce(2).write.parquet(inp_c))
-        (ev.filter(F.col("event_type") == "purchase")
-         .coalesce(2).write.parquet(inp_p))
         with _utc_session(spark), _pinned_state_partitions(spark):
             q = start_attribution_stream(
                 spark, inp_c, inp_p, str(base / "ckpt"), name,
@@ -592,14 +641,16 @@ def _run_static_enrich(spark: SparkSession, sf_dir: str):
     so tests can assert from recentProgress that the stateless join ran
     across >= 2 micro-batches (the hash gate only proves the doubled
     totals)."""
+    def _build(d: Path) -> None:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev.coalesce(1).write.mode("overwrite").parquet(str(d))
+        part = next(d.glob("part-*.parquet"))
+        shutil.copy(part, d / f"replay-{part.name}")
+
     name = _sink_name(spark, "stream_se_sink")
+    inp = _staged(spark, sf_dir, "events_twice", _build)
     base = Path(tempfile.mkdtemp(prefix="stream_se_"))
     try:
-        inp = base / "in"
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        ev.coalesce(1).write.parquet(str(inp))
-        part = next(inp.glob("part-*.parquet"))
-        shutil.copy(part, inp / f"again-{part.name}")
         dim = (spark.read.parquet(f"{sf_dir}/customer.parquet")
                .select("c_custkey", "c_mktsegment"))
         with _utc_session(spark), _pinned_state_partitions(spark):
@@ -663,15 +714,13 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     name = _sink_name(spark, "stream_ld_sink")
-    base = Path(tempfile.mkdtemp(prefix="stream_ld_"))
-    try:
-        inp = base / "in"
-        inp.mkdir()
-        with _utc_session(spark), _pinned_state_partitions(spark):
-            ev = spark.read.schema(EVENTS_DDL).parquet(
-                f"{sf_dir}/events.parquet")
-            t1_us = ev.agg(F.unix_micros(F.max("ts")).alias("t1")) \
-                      .collect()[0]["t1"]
+    with _utc_session(spark), _pinned_state_partitions(spark):
+        ev = spark.read.schema(EVENTS_DDL).parquet(
+            f"{sf_dir}/events.parquet")
+        t1_us = ev.agg(F.unix_micros(F.max("ts")).alias("t1")) \
+                  .collect()[0]["t1"]
+
+        def _build(d: Path) -> None:
             onmax_us = (ev.filter(F.col("event_id") % LATE_MOD != 0)
                         .agg(F.unix_micros(F.max("ts")).alias("t"))
                         .collect()[0]["t"])
@@ -698,13 +747,18 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.lit("sentinel").alias("event_type"),
                          F.lit(0.0).alias("value"),
                          F.lit("").alias("props")), 3600)):
-                sdir = base / f"stage_{fname}"
+                sdir = d / f"_stage_{fname}"
                 frame.coalesce(1).write.parquet(str(sdir))
                 part = next(sdir.glob("part-*.parquet"))
-                shutil.copy(part, inp / fname)
-                os.utime(inp / fname,
-                         (os.stat(inp / "aa-ontime.parquet").st_mtime
+                shutil.copy(part, d / fname)
+                shutil.rmtree(sdir, ignore_errors=True)
+                os.utime(d / fname,
+                         (os.stat(d / "aa-ontime.parquet").st_mtime
                           + bump,) * 2)
+
+        inp = _staged(spark, sf_dir, "events_late", _build)
+        base = Path(tempfile.mkdtemp(prefix="stream_ld_"))
+        try:
             src = (spark.readStream.schema(EVENTS_DDL)
                    .option("maxFilesPerTrigger", 1).parquet(str(inp)))
             agg = (src.withWatermark("ts", "2 hours")
@@ -721,8 +775,8 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     / MICROS_PER_HOUR)
                             * F.lit(3_600_000_000)).cast("long").alias("us"))
                       .collect()[0]["us"])
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
     bucket = F.floor((F.unix_micros(F.col("w.start")) - F.lit(t0h_us))
                      / MICROS_PER_HOUR)
     return (spark.table(name)
