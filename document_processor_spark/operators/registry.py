@@ -22,16 +22,29 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ROUND-5 WINDOW (this tuple): slot 1 is ann_ivf_pq_topk — its r03
 # driver row predates the rerank-path refactor (the one stale
 # certification the r4 judge flagged), so it re-enters first.  Slots
-# 2-10 are the session-13/14 ops (mirror+pytest-only so far); slots
-# 11-50 are the head of the never-driver-checked residue computed from
-# CORRECTNESS_r01..r04 (100/172 ever green before this round).  Note
-# several window members ALSO changed this round (ta_quality_auc
+# 2-10 are the session-13/14 ops (mirror+pytest-only so far); then come
+# stream_late_data + stream_tumbling_hourly, whose r04 rows went stale
+# when the staged-input cache landed (d21ce56 edited their function
+# bodies; output-identical, but the stale-cert rule is mechanical —
+# tools/check_stale_certs.py is clean only with them inside the window);
+# the rest is the head of the never-driver-checked residue computed
+# from CORRECTNESS_r01..r04 (100/172 ever green before this round).
+# Several window members ALSO changed this round (ta_quality_auc
 # decimal-before-multiply + empty-text guard, ta_kneser_ney discount
 # interpolation, ann_rerank_exact/ann_ivf_pq_topk shared SQL stage-1,
 # dedup_lsh_recall in-code sampling) — all inside the window, so their
 # new code gets a fresh driver row, no new stale certifications.
 #
-# ROUND-6 ROTATION PLAN (exact list, 23 names): after r5's 50 rows land,
+# Coverage arithmetic, stated honestly: the r01–r04 driver-green union
+# is 100/172.  Three of the 50 slots are RE-certifications of
+# already-green queries whose code changed (ann_ivf_pq_topk and the two
+# streams above) — the stale-cert rule outranks raw union growth — so
+# the maximum reachable r01–r05 union is 100 + 47 = 147/172, not the
+# 150 a pure never-checked window would give.  The remaining 25 (the
+# list below the boundary) are mirror+pytest-proven on current code
+# (tools/check_correctness.py, rows+schema+typed values at sf0.01).
+#
+# ROUND-6 ROTATION PLAN (exact list, 25 names): after r5's 50 rows land,
 # the never-checked residue is
 #   rel_market_share, rel_product_profit, rel_part_supplier_counts,
 #   rel_dominant_suppliers, rel_event_transitions, rel_twap,
@@ -40,10 +53,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   rel_skew_salted_join, rel_large_orders, rel_priority_class,
 #   rel_order_count_hist, mm_audio_fingerprint, mm_media_dedup,
 #   cur_universe_sample, cur_keep_best, cur_score_normalize,
-#   cur_url_dedup, stream_static_enrich
-# Put those 23 first, then any query whose code changes in r5/r6
+#   cur_url_dedup, stream_static_enrich, rel_min_price_supplier,
+#   rel_region_trade
+# Put those 25 first, then any query whose code changes in r5/r6
 # (tools/check_stale_certs.py enumerates them mechanically), then
-# backfill the remaining ~27 slots re-certifying the oldest green rows
+# backfill the remaining ~25 slots re-certifying the oldest green rows
 # (the r01/r02 ext_* and mm_media_* families).  That lands every one of
 # the 172 queries with a driver row on current code by end of r6.
 _PRIORITY: tuple[str, ...] = (
@@ -53,6 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "ta_hll_distinct", "ta_cms_heavy_hitters", "cur_bloom_decontaminate",
     "rel_cdc_apply", "stream_join_attribution", "rel_scd2_history",
     "rel_cohort_retention", "dedup_components_star", "pipe_extract_skew",
+    "stream_late_data", "stream_tumbling_hourly",
     "stream_sliding_hourly", "rel_rolling_1h", "ta_length_quantiles",
     "cur_domain_cap", "dedup_pagerank", "rel_pivot", "rel_set_ops",
     "stream_session_window", "pipe_extract_synth_source",
@@ -63,9 +78,9 @@ _PRIORITY: tuple[str, ...] = (
     "rel_waiting_suppliers", "rel_idle_customers", "rel_priority_wait",
     "rel_promo_share", "rel_forecast_revenue", "rel_small_qty_revenue",
     "rel_disjunctive_revenue", "rel_top_supplier",
-    "rel_supplier_concentration", "rel_min_price_supplier",
-    "rel_region_trade",
+    "rel_supplier_concentration",
     # ---- 50-slot window boundary ----
+    "rel_min_price_supplier", "rel_region_trade",
     "rel_market_share", "rel_product_profit", "rel_part_supplier_counts",
     "rel_dominant_suppliers", "rel_event_transitions", "rel_twap",
     "rel_interval_coverage", "rel_json_props", "rel_range_join",
