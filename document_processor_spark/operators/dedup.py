@@ -1693,26 +1693,41 @@ def q_dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     that catches small in-place edits (typo fixes, template fills) that
     shingle Jaccard under-weights on short documents.
 
-    Scale shape: Levenshtein is O(len²) per pair, so it NEVER runs
-    all-pairs — the blocking stage bounds candidates to <= SNM_W per doc
-    and the distance evaluates JVM-side (Spark's built-in levenshtein,
-    whole-stage codegen) on the candidate-bounded join only.  Integer
-    basis points — no float threshold."""
+    Scale shape: Levenshtein NEVER runs all-pairs — the blocking stage
+    bounds candidates to <= SNM_W per doc and the distance evaluates
+    JVM-side (whole-stage codegen) on the candidate-bounded join only.
+    Two exact-semantics prunes keep the per-pair cost off O(len²):
+    (1) dist >= |len_a - len_b|, so a pure-Catalyst length-difference
+    filter drops pairs that cannot clear the EDIT_MAX_BP band before
+    any DP runs; (2) the surviving pairs use Spark's BANDED
+    levenshtein(l, r, threshold) — O(len·threshold) with an internal
+    length-diff early exit — where the corpus-global threshold
+    floor(max_len * EDIT_MAX_BP / 10000) dominates every per-row band
+    floor(maxlen/5), so banding changes no kept row: a pair banded to
+    -1 has dist > threshold >= its own keep bound.  The threshold is a
+    1-row scalar (Spark requires a foldable literal).  Integer basis
+    points — no float threshold."""
     cand = (q_dedup_sorted_blocking(spark, sf_dir)
             .select("doc_a", "doc_b").distinct())
     t = _docs(spark, sf_dir).select("doc_id", "text")
+    # 1-row scalar: the longest text bounds every per-pair band
+    row = t.agg(F.max(F.length("text"))).collect()[0][0]
+    band = max(int(row or 0) * EDIT_MAX_BP // 10000, 1)
     joined = (cand
               .join(t.select(F.col("doc_id").alias("doc_a"),
                              F.col("text").alias("t_a")), "doc_a")
               .join(t.select(F.col("doc_id").alias("doc_b"),
                              F.col("text").alias("t_b")), "doc_b"))
-    dist = F.levenshtein("t_a", "t_b")
     maxlen = F.greatest(F.length("t_a"), F.length("t_b"))
+    len_gap = F.abs(F.length("t_a") - F.length("t_b"))
+    dist = F.levenshtein("t_a", "t_b", band)
     return (joined
+            .filter(len_gap * 10000 <= EDIT_MAX_BP * maxlen)
             .select("doc_a", "doc_b", dist.cast("bigint").alias("dist"),
                     (dist * 10000).cast("bigint").alias("dist_x"),
                     maxlen.cast("bigint").alias("maxlen"))
-            .filter(F.col("dist_x") <= EDIT_MAX_BP * F.col("maxlen"))
+            .filter((F.col("dist") >= 0)
+                    & (F.col("dist_x") <= EDIT_MAX_BP * F.col("maxlen")))
             .select("doc_a", "doc_b", "dist",
                     F.expr("dist_x div maxlen").cast("bigint")
                      .alias("dist_bp")))
