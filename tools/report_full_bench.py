@@ -24,10 +24,16 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def main() -> int:
-    srcs = [Path(p) for p in sys.argv[1:]]
+    argv = sys.argv[1:]
+    note = ""
+    if "--note" in argv:
+        i = argv.index("--note")
+        note = argv[i + 1]
+        del argv[i:i + 2]
+    srcs = [Path(p) for p in argv]
     if not srcs or not all(p.exists() for p in srcs):
-        print("usage: report_full_bench.py <bench-json-file> [more ...]",
-              file=sys.stderr)
+        print("usage: report_full_bench.py [--note TEXT] "
+              "<bench-json-file> [more ...]", file=sys.stderr)
         return 2
     fq: dict[str, float] = {}
     d = {}
@@ -97,6 +103,7 @@ def main() -> int:
         f"Total: **{d.get('full_total')} s** across {len(fq)} queries "
         f"(slowest: {max(fq, key=fq.get)} at {max(fq.values())} s).",
         "",
+        *([note, ""] if note else []),
         "| query | sec |",
         "|---|---|",
     ]
