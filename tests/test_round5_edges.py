@@ -1,0 +1,96 @@
+"""Edge-branch tests for residue operators (round 5).
+
+Each operator below already has a python-recompute test over the fixture
+tables; these exercise the documented edge branches the fixture data
+never hits: a 1-document source in the percentile normalizer (the
+n_src == 1 guard), a single-event user in TWAP (zero-weight tail drop),
+and the pure-integer tiebreak in keep-best canonical election."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _stage_documents(spark, tmp_path, extra_rows):
+    """Write fixture documents + extra rows as a corpus dir."""
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    extra = spark.createDataFrame(extra_rows, schema=base.schema)
+    corpus = str(tmp_path / "corpus")
+    base.unionByName(extra).write.parquet(f"{corpus}/documents.parquet")
+    return corpus
+
+
+def test_score_normalize_single_doc_source(spark, tmp_path):
+    # a source with exactly ONE document must take the n_src == 1 branch
+    # (percent_rank denominator would be 0) and emit pr_q = 0, without
+    # disturbing any other source's percentiles
+    from document_processor_spark.operators.curation import (
+        q_cur_score_normalize,
+    )
+
+    corpus = _stage_documents(
+        spark, tmp_path,
+        [(100_000, "solo document text", "en", "solo_src", 18)])
+
+    rows = q_cur_score_normalize(spark, corpus).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert [r["pr_q"] for r in by_src["solo_src"]] == [0]
+
+    # multi-doc sources: min-rank percentile stays in [0, 1e6], the
+    # max-score doc of each source sits at exactly 1e6 (no ties at top
+    # => rank N of N), and equal scores share equal pr_q
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    for src, srows in by_src.items():
+        if src == "solo_src":
+            continue
+        assert all(0 <= r["pr_q"] <= 1_000_000 for r in srows)
+        top = max(srows, key=lambda r: r["score"])
+        n_top = sum(1 for r in srows if r["score"] == top["score"])
+        if n_top == 1:
+            assert top["pr_q"] == 1_000_000
+        seen: dict[int, int] = {}
+        for r in srows:
+            assert seen.setdefault(r["score"], r["pr_q"]) == r["pr_q"]
+    assert len(rows) == len(base) + 1
+
+
+def test_twap_single_event_user_dropped(spark, tmp_path):
+    # a user whose only event has no successor integrates to zero weight:
+    # the user must be ABSENT (wt > 0 filter), not present with nulls
+    from document_processor_spark.operators.relational import q_twap
+
+    base = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    lone_uid = 10_000_000
+    assert base.filter(F.col("user_id") == lone_uid).count() == 0
+    one = (base.limit(1)
+           .withColumn("user_id", F.lit(lone_uid))
+           .withColumn("event_id", F.lit(999_999_999)))
+    corpus = str(tmp_path / "corpus")
+    base.unionByName(one).write.parquet(f"{corpus}/events.parquet")
+
+    got = {r["user_id"]: r for r in q_twap(spark, corpus).collect()}
+    assert lone_uid not in got
+    # and the untouched users' rows are identical to the fixture run
+    want = {r["user_id"]: r for r in q_twap(spark, SF_DIR).collect()}
+    assert got == want
+
+
+def test_keep_best_integer_tiebreak(spark, tmp_path):
+    # two docs sharing the 64-char prefix AND n_chars: the packed
+    # (n_chars, -doc_id) BIGINT ordering must elect the LOWER doc_id
+    from document_processor_spark.operators.curation import q_cur_keep_best
+
+    prefix = "Z" * 64
+    a = (200_001, prefix + "tail-A", "en", "src0", 70)
+    b = (200_000, prefix + "tail-B", "en", "src0", 70)
+    corpus = _stage_documents(spark, tmp_path, [a, b])
+
+    import hashlib
+    h = hashlib.md5(prefix.encode()).hexdigest()
+    rows = {r["prefix_hash"]: r for r in q_cur_keep_best(spark, corpus).collect()}
+    grp = rows[h]
+    assert (grp["keeper_id"], grp["best_n_chars"], grp["n_docs"]) == (200_000, 70, 2)
