@@ -94,3 +94,43 @@ def test_keep_best_integer_tiebreak(spark, tmp_path):
     rows = {r["prefix_hash"]: r for r in q_cur_keep_best(spark, corpus).collect()}
     grp = rows[h]
     assert (grp["keeper_id"], grp["best_n_chars"], grp["n_docs"]) == (200_000, 70, 2)
+
+
+def test_gapfill_locf_leading_and_mid_gaps(spark, tmp_path):
+    # a type first observed at hour 3 must have hours 0-2 zero-filled
+    # (no prior observation to carry), and hours after its observations
+    # must CARRY the last value, not re-zero
+    import datetime as dt
+
+    from document_processor_spark.operators.relational import q_gapfill_locf
+
+    base = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    t0 = base.agg(F.min("ts")).collect()[0][0]
+    mk = lambda eid, hours, val: (  # noqa: E731
+        eid, t0 + dt.timedelta(hours=hours, minutes=1), 1, "late_type",
+        val, "{}")
+    extra = spark.createDataFrame(
+        [mk(900_000_001, 3, 5.5), mk(900_000_002, 6, 7.25)],
+        schema=base.schema)
+    corpus = str(tmp_path / "corpus")
+    base.unionByName(extra).write.parquet(f"{corpus}/events.parquet")
+
+    rows = {(r["event_type"], r["hour_bucket"]): r
+            for r in q_gapfill_locf(spark, corpus).collect()}
+    mb = max(h for (_t, h) in rows)
+    assert mb >= 8  # fixture horizon is ~30 days
+    for h in range(0, 3):  # leading gap: zero fill, flagged
+        r = rows[("late_type", h)]
+        assert (r["n"], r["sum_locf"], r["is_gap"]) == (0, 0.0, True)
+    assert rows[("late_type", 3)]["n"] == 1
+    assert rows[("late_type", 3)]["sum_locf"] == 5.5
+    for h in range(4, 6):  # mid gap: carried value, still flagged
+        r = rows[("late_type", h)]
+        assert (r["n"], r["sum_locf"], r["is_gap"]) == (0, 5.5, True)
+    assert rows[("late_type", 6)]["sum_locf"] == 7.25
+    for h in range(7, mb + 1):  # trailing gap: last value rides to the end
+        r = rows[("late_type", h)]
+        assert (r["sum_locf"], r["is_gap"]) == (7.25, True)
+    # spine is dense for every type: |types| x (mb+1) rows exactly
+    n_types = len({t for (t, _h) in rows})
+    assert len(rows) == n_types * (mb + 1)
