@@ -134,3 +134,42 @@ def test_gapfill_locf_leading_and_mid_gaps(spark, tmp_path):
     # spine is dense for every type: |types| x (mb+1) rows exactly
     n_types = len({t for (t, _h) in rows})
     assert len(rows) == n_types * (mb + 1)
+
+
+def test_interval_coverage_touching_nested_zero(spark, tmp_path):
+    # end-exclusive [s, s+value) semantics: a touching successor
+    # (s == prev end) MERGES into the island (strict > starts a new one),
+    # a nested interval adds no coverage, and an isolated zero-length
+    # interval is an island of zero covered time
+    import datetime as dt
+
+    from document_processor_spark.operators.relational import (
+        q_interval_coverage,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    t0 = base.agg(F.min("ts")).collect()[0][0]
+    mk = lambda eid, uid, off_s, dur_s: (  # noqa: E731
+        eid, t0 + dt.timedelta(seconds=off_s), uid, "synthetic",
+        float(dur_s), "{}")
+    extra = spark.createDataFrame(
+        [
+            mk(910_000_001, 20_000_000, 0, 10),    # [0, 10)
+            mk(910_000_002, 20_000_000, 10, 10),   # touches -> same island
+            mk(910_000_003, 20_000_000, 100, 0),   # isolated zero-length
+            mk(910_000_004, 20_000_001, 0, 30),    # [0, 30)
+            mk(910_000_005, 20_000_001, 5, 5),     # nested, no new coverage
+        ],
+        schema=base.schema)
+    corpus = str(tmp_path / "corpus")
+    base.unionByName(extra).write.parquet(f"{corpus}/events.parquet")
+
+    got = {r["user_id"]: (r["covered_us"], r["n_islands"])
+           for r in q_interval_coverage(spark, corpus).collect()}
+    assert got[20_000_000] == (20_000_000, 2)
+    assert got[20_000_001] == (30_000_000, 1)
+    # untouched users identical to the fixture-only run
+    want = {r["user_id"]: (r["covered_us"], r["n_islands"])
+            for r in q_interval_coverage(spark, SF_DIR).collect()}
+    for uid, v in want.items():
+        assert got[uid] == v
