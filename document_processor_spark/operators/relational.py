@@ -1174,9 +1174,20 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     one mergeable groupBy on the low-cardinality event_type.  avg_k_q is
     derived from the exact integer (sum, count) pair with ONE floored
     IEEE division — the HLL-estimate discipline — so both engines hash
-    identically."""
+    identically.
+
+    Robustness: `k` is accepted only when it is a bounded integer
+    literal (regex-guarded BEFORE the cast, the module's ANSI-safety
+    discipline) — malformed JSON, missing keys, floats, and
+    BIGINT-overflow digit strings are dropped IDENTICALLY by both
+    engines (a bare cast diverges: non-ANSI Spark nulls '3.7' while
+    DuckDB TRY_CAST rounds it to 4, and ANSI Spark would throw; the SQL
+    twin additionally needs json_valid() first — DuckDB's
+    json_extract_string ERRORS on malformed JSON where Spark's
+    get_json_object returns null)."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    ks = F.get_json_object("props", "$.k")
+    k = F.when(ks.rlike(r"^-?[0-9]{1,18}$"), ks.cast("bigint"))
     return (ev.select("event_type", k.alias("k"))
             .filter(F.col("k").isNotNull())
             .groupBy("event_type")
@@ -1193,7 +1204,12 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JSON_PROPS = """
 WITH e AS (
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         CASE WHEN json_valid(props) THEN
+           CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                    '^-?[0-9]{1,18}$')
+                THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END
+         END AS k
   FROM events
 ), g AS (
   SELECT event_type, count(*) AS n_events, CAST(sum(k) AS BIGINT) AS sum_k,

@@ -8,6 +8,8 @@ and the pure-integer tiebreak in keep-best canonical election."""
 
 from __future__ import annotations
 
+from math import floor
+
 from pyspark.sql import functions as F
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -173,3 +175,48 @@ def test_interval_coverage_touching_nested_zero(spark, tmp_path):
             for r in q_interval_coverage(spark, SF_DIR).collect()}
     for uid, v in want.items():
         assert got[uid] == v
+
+
+def test_json_props_malformed_values_dropped_both_engines(spark, tmp_path):
+    # malformed props must be DROPPED identically by the Spark query and
+    # the DuckDB oracle (bare casts diverge: non-ANSI Spark nulls '3.7'
+    # where DuckDB TRY_CAST rounds to 4), and the query must survive an
+    # ANSI session — the regex guard runs before any cast
+    import duckdb
+
+    from document_processor_spark.operators.relational import (
+        SQL_JSON_PROPS,
+        q_json_props,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    t0 = base.agg(F.min("ts")).collect()[0][0]
+    bad = ["not json", "{}", '{"k": "x"}', '{"k": 3.7}',
+           '{"k": 99999999999999999999}', None, '{"k": -7}', '{"k": "12"}']
+    extra = spark.createDataFrame(
+        [(920_000_000 + i, t0, 1, "json_edge", 1.0, p)
+         for i, p in enumerate(bad)],
+        schema=base.schema)
+    corpus = str(tmp_path / "corpus")
+    base.unionByName(extra).write.parquet(f"{corpus}/events.parquet")
+
+    def run_spark():
+        return {r["event_type"]: (r["n_events"], r["sum_k"], r["min_k"],
+                                  r["max_k"], r["avg_k_q"])
+                for r in q_json_props(spark, corpus).collect()}
+
+    got = run_spark()
+    # only -7 and "12" survive the integer guard
+    assert got["json_edge"] == (2, 5, -7, 12, floor(5 / 2 * 10000))
+
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        assert run_spark() == got
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{corpus}/events.parquet/*.parquet')")
+    oracle = {r[0]: tuple(r[1:]) for r in con.execute(SQL_JSON_PROPS).fetchall()}
+    assert oracle == got
