@@ -1591,10 +1591,13 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .otherwise(F.lit(0).cast("decimal(18,2)")))
                  * 10000).cast("bigint").alias("promo_units"),
                 (F.sum(rev) * 10000).cast("bigint").alias("all_units")))
+    # ppm numerator in DECIMAL(38,0) — promo_units is a revenue-unit sum
+    # that wraps BIGINT past 9.2e12 units when multiplied by 1e6 (see
+    # q_market_share); only the final sub-1e6 quotient returns to BIGINT
     return agg.select(
         "ship_month", "promo_units", "all_units",
-        F.expr("promo_units * 1000000 div all_units").cast("bigint")
-        .alias("promo_ppm"))
+        F.expr("CAST(promo_units AS DECIMAL(38,0)) * 1000000 div all_units")
+        .cast("bigint").alias("promo_ppm"))
 
 
 SQL_PROMO_SHARE = """
@@ -1610,9 +1613,9 @@ SELECT ship_month,
        CAST(sum(CASE WHEN promo THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END)
             * 10000 AS BIGINT) AS promo_units,
        CAST(sum(rev) * 10000 AS BIGINT) AS all_units,
-       CAST((CAST(sum(CASE WHEN promo THEN rev
-                           ELSE CAST(0 AS DECIMAL(18,2)) END)
-                  * 10000 AS BIGINT) * 1000000)
+       CAST((CAST(CAST(sum(CASE WHEN promo THEN rev
+                                ELSE CAST(0 AS DECIMAL(18,2)) END)
+                       * 10000 AS BIGINT) AS HUGEINT) * 1000000)
             // CAST(sum(rev) * 10000 AS BIGINT) AS BIGINT) AS promo_ppm
 FROM j
 GROUP BY ship_month
@@ -2026,10 +2029,14 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .otherwise(F.lit(0).cast("decimal(18,2)")))
                  * 10000).cast("bigint").alias("asia_units"),
                 (F.sum(rev) * 10000).cast("bigint").alias("all_units")))
+    # ppm numerator in DECIMAL(38,0): asia_units is a revenue-unit sum
+    # (~1e16 at 100 TB), so * 1e6 in BIGINT silently wraps past 9.2e12
+    # units — the quantization discipline multiplies in decimal and only
+    # the final quotient (always < 1e6) returns to BIGINT
     return agg.select(
         "ship_year", "asia_units", "all_units",
-        F.expr("asia_units * 1000000 div all_units").cast("bigint")
-        .alias("asia_ppm"))
+        F.expr("CAST(asia_units AS DECIMAL(38,0)) * 1000000 div all_units")
+        .cast("bigint").alias("asia_ppm"))
 
 
 SQL_MARKET_SHARE = """
@@ -2063,7 +2070,8 @@ WITH sup AS (
   FROM j GROUP BY ship_year
 )
 SELECT ship_year, asia_units, all_units,
-       CAST(asia_units * 1000000 // all_units AS BIGINT) AS asia_ppm
+       CAST(CAST(asia_units AS HUGEINT) * 1000000 // all_units
+            AS BIGINT) AS asia_ppm
 FROM a
 """
 

@@ -220,3 +220,44 @@ def test_json_props_malformed_values_dropped_both_engines(spark, tmp_path):
                 f"read_parquet('{corpus}/events.parquet/*.parquet')")
     oracle = {r[0]: tuple(r[1:]) for r in con.execute(SQL_JSON_PROPS).fetchall()}
     assert oracle == got
+
+
+def test_promo_share_ppm_survives_bigint_overflow_range(spark, tmp_path):
+    # revenue-unit sums at 100 TB scale exceed 9.2e12, where the old
+    # `promo_units * 1000000` BIGINT numerator silently wrapped negative
+    # (non-ANSI); the DECIMAL(38,0)/HUGEINT numerator must return the
+    # exact ppm on both engines
+    import datetime as dt
+
+    import duckdb
+
+    from document_processor_spark.operators.relational import (
+        SQL_PROMO_SHARE,
+        q_promo_share,
+    )
+
+    ship = dt.datetime(2024, 3, 1)
+    li = spark.createDataFrame(
+        [(1, 5.0e8, 0.0, ship), (2, 5.0e8, 0.0, ship), (3, 1.0e8, 0.0, ship)],
+        "l_partkey bigint, l_extendedprice double, l_discount double, "
+        "l_shipdate timestamp")
+    p = spark.createDataFrame(
+        [(1, "PROMO"), (2, "PROMO"), (3, "STANDARD")],
+        "p_partkey bigint, p_type string")
+    corpus = str(tmp_path / "corpus")
+    li.write.parquet(f"{corpus}/lineitem.parquet")
+    p.write.parquet(f"{corpus}/part.parquet")
+
+    [r] = q_promo_share(spark, corpus).collect()
+    promo_u, all_u = 10_000_000_000_000, 11_000_000_000_000
+    assert promo_u * 1_000_000 > 2**63  # the fixed path must not wrap
+    want = (r["ship_month"], r["promo_units"], r["all_units"], r["promo_ppm"])
+    assert want == ("2024-03", promo_u, all_u,
+                    promo_u * 1_000_000 // all_u)
+
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{corpus}/{t}.parquet/*.parquet')")
+    assert [tuple(x) for x in con.execute(SQL_PROMO_SHARE).fetchall()] \
+        == [want]
