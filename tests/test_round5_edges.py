@@ -261,3 +261,36 @@ def test_promo_share_ppm_survives_bigint_overflow_range(spark, tmp_path):
                     f"read_parquet('{corpus}/{t}.parquet/*.parquet')")
     assert [tuple(x) for x in con.execute(SQL_PROMO_SHARE).fetchall()] \
         == [want]
+
+
+def test_event_transitions_single_event_user_is_noop(spark, tmp_path):
+    # a user with exactly one event has no (prev -> next) step: the
+    # transition matrix (counts AND ppm) must be byte-identical to the
+    # fixture-only run
+    from document_processor_spark.operators.relational import (
+        q_event_transitions,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    t0 = base.agg(F.min("ts")).collect()[0][0]
+    one = spark.createDataFrame(
+        [(930_100_000, t0, 30_000_000, "purchase", 1.0, "{}")],
+        schema=base.schema)
+    corpus = str(tmp_path / "corpus")
+    base.unionByName(one).write.parquet(f"{corpus}/events.parquet")
+
+    key = lambda r: (r["prev_type"], r["event_type"])  # noqa: E731
+    got = {key(r): (r["n"], r["prob_ppm"])
+           for r in q_event_transitions(spark, corpus).collect()}
+    want = {key(r): (r["n"], r["prob_ppm"])
+            for r in q_event_transitions(spark, SF_DIR).collect()}
+    assert got == want
+    # and the matrix is a proper conditional distribution: per prev_type
+    # the floored ppm rows sum to within |targets| of exactly 1e6
+    from collections import defaultdict
+    acc = defaultdict(lambda: [0, 0])
+    for (prev, _nxt), (_n, ppm) in got.items():
+        acc[prev][0] += ppm
+        acc[prev][1] += 1
+    for prev, (s, k) in acc.items():
+        assert 1_000_000 - k < s <= 1_000_000, prev
