@@ -294,3 +294,66 @@ def test_event_transitions_single_event_user_is_noop(spark, tmp_path):
         acc[prev][1] += 1
     for prev, (s, k) in acc.items():
         assert 1_000_000 - k < s <= 1_000_000, prev
+
+
+def test_length_quantiles_single_doc_language(spark, tmp_path):
+    # n=1: every interpolated quantile position collapses to 1, so
+    # p50 = p90 = p99 = the one value exactly (x100 quantized)
+    from document_processor_spark.operators.text_analysis import (
+        q_length_quantiles,
+    )
+
+    corpus = _stage_documents(
+        spark, tmp_path, [(300_000, "x" * 777, "zz", "src0", 777)])
+    rows = {r["lang"]: r for r in q_length_quantiles(spark, corpus).collect()}
+    z = rows["zz"]
+    assert (z["n_docs"], z["p50"], z["p90"], z["p99"]) \
+        == (1, 77_700, 77_700, 77_700)
+
+
+def test_min_price_supplier_ties_all_surface(spark, tmp_path):
+    # two EUROPE suppliers hitting the identical integer-cents minimum
+    # must BOTH surface (documented tie semantics); a cheaper non-EUROPE
+    # supplier must not leak in through the region fold
+    import datetime as dt
+
+    from document_processor_spark.operators.relational import (
+        q_min_price_supplier,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(0, "EUROPE"), (1, "ASIA")],
+        "r_regionkey bigint, r_name string"
+    ).write.parquet(f"{corpus}/region.parquet")
+    spark.createDataFrame(
+        [(0, "FRANCE", 0), (1, "GERMANY", 0), (2, "JAPAN", 1)],
+        "n_nationkey bigint, n_name string, n_regionkey bigint"
+    ).write.parquet(f"{corpus}/nation.parquet")
+    spark.createDataFrame(
+        [(10, "Supplier#10", 0, 0.0), (11, "Supplier#11", 1, 0.0),
+         (12, "Supplier#12", 2, 0.0)],
+        "s_suppkey bigint, s_name string, s_nationkey bigint, "
+        "s_acctbal double"
+    ).write.parquet(f"{corpus}/supplier.parquet")
+    spark.createDataFrame(
+        [(5, "widget", "B#1", "STANDARD", 3, 1.0),
+         (6, "too-big", "B#1", "STANDARD", 30, 1.0)],
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size bigint, p_retailprice double"
+    ).write.parquet(f"{corpus}/part.parquet")
+    # two EUROPE ties at 12.34, one cheaper ASIA row, one oversize part
+    li_schema = ("l_partkey bigint, l_suppkey bigint, "
+                 "l_extendedprice double, l_orderkey bigint, "
+                 "l_discount double, l_shipdate timestamp")
+    ship = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(5, 10, 12.34, 1, 0.0, ship), (5, 11, 12.34, 2, 0.0, ship),
+         (5, 10, 99.0, 3, 0.0, ship), (5, 12, 1.0, 4, 0.0, ship),
+         (6, 10, 0.5, 5, 0.0, ship)],
+        li_schema).write.parquet(f"{corpus}/lineitem.parquet")
+
+    rows = q_min_price_supplier(spark, corpus).collect()
+    got = {(r["p_partkey"], r["s_suppkey"], r["n_name"], r["min_units"])
+           for r in rows}
+    assert got == {(5, 10, "FRANCE", 1234), (5, 11, "GERMANY", 1234)}
