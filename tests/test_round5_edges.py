@@ -357,3 +357,29 @@ def test_min_price_supplier_ties_all_surface(spark, tmp_path):
     got = {(r["p_partkey"], r["s_suppkey"], r["n_name"], r["min_units"])
            for r in rows}
     assert got == {(5, 10, "FRANCE", 1234), (5, 11, "GERMANY", 1234)}
+
+
+def test_range_join_boundary_inclusivity(spark, tmp_path):
+    # interval semantics are [ws, we): an event exactly on a window's
+    # start belongs to it, an event exactly on its end does not (it
+    # falls only into the LATER overlapping windows) — the residual
+    # filter after the bucket equi-join must keep that exact
+    from document_processor_spark.operators.relational import q_range_join
+
+    import datetime as dt
+    base = dt.datetime(2024, 6, 1)
+    us = dt.timedelta(microseconds=1)
+    ev = spark.createDataFrame(
+        [(1, base, 1, "synthetic", 1.0, "{}"),                    # tus=0
+         (2, base + 3_600_000_000 * us, 1, "synthetic", 1.0, "{}"),  # =1h
+         (3, base + 1_800_000_000 * us, 1, "synthetic", 1.0, "{}")],  # =30m
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string")
+    corpus = str(tmp_path / "corpus")
+    ev.write.parquet(f"{corpus}/events.parquet")
+
+    got = {r["win_id"]: r["n_events"]
+           for r in q_range_join(spark, corpus).collect()}
+    # win0=[0,1h): e1@0 in, e3@30m in, e2@1h OUT.  win1=[30m,90m): e3, e2.
+    # win2=[1h,2h): e2 only.  Empty windows do not surface.
+    assert got == {0: 2, 1: 2, 2: 1}
