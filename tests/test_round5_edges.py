@@ -383,3 +383,27 @@ def test_range_join_boundary_inclusivity(spark, tmp_path):
     # win0=[0,1h): e1@0 in, e3@30m in, e2@1h OUT.  win1=[30m,90m): e3, e2.
     # win2=[1h,2h): e2 only.  Empty windows do not surface.
     assert got == {0: 2, 1: 2, 2: 1}
+
+
+def test_pack_sequences_oversize_doc_skips_sequence_ids(spark, tmp_path):
+    # concat-then-chunk: a document 3x the budget still belongs to the
+    # single sequence its FIRST token lands in, and the next document
+    # starts 3 budgets later — sequence ids skip, no doc is split across
+    # output rows and no tokens are lost
+    from document_processor_spark.operators.curation import (
+        PACK_BUDGET,
+        q_cur_pack_sequences,
+    )
+
+    words = lambda n: " ".join(["w"] * n)  # noqa: E731
+    docs = [(400_000, words(10), "en", "pack_src", 2 * 10 - 1),
+            (400_001, words(3 * PACK_BUDGET), "en", "pack_src", 1),
+            (400_002, words(10), "en", "pack_src", 2 * 10 - 1)]
+    corpus = _stage_documents(spark, tmp_path, docs)
+
+    got = {r["seq"]: (r["n_docs"], r["seq_tokens"])
+           for r in q_cur_pack_sequences(spark, corpus).collect()
+           if r["source"] == "pack_src"}
+    # doc0 starts at token 0 (seq 0); the oversize doc starts at token 10
+    # (still seq 0); doc2 starts at 10 + 3*256 = 778 -> seq 3
+    assert got == {0: (2, 10 + 3 * PACK_BUDGET), 3: (1, 10)}
