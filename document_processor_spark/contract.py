@@ -40,6 +40,22 @@ GLYPH_PATTERN = r"(?i)glyph<(?:c=\d+,font=/[A-Z0-9]+\+[A-Za-z0-9-]+|\d+)>"
 SPACE_TAB_PATTERN = r"[ \t]+"
 STRIP_PATTERN = r"^\s+|\s+$"
 
+# Single-pass fusion of the first two cleaning steps, used by the Spark
+# engines only (r6 optimization; the oracle keeps the literal 3-step form
+# above as the semantic reference).  Equivalence: step 1 turns each glyph
+# into one space, step 2 collapses every [ \t]+ run to one space — so a
+# MAXIMAL run of (space|tab|glyph)+ becomes exactly one space under the
+# sequential composition, which is precisely what one replace of this
+# run-pattern does; characters outside such runs are untouched by both.
+# (Pinned by a 300k-case fuzz in tests and full-corpus equality.)
+GLYPH_RUN_PATTERN = (r"(?i)(?:[ \t]|"
+                     + GLYPH_PATTERN.removeprefix("(?i)") + r")+")
+# The exact character class Java regex \s matches (no UNICODE flag), i.e.
+# what the engines' STRIP_PATTERN strips today: a set-based btrim /
+# utf8_trim over these six characters replaces the third regex pass with
+# an ends-only scan.
+JAVA_WS = " \t\n\x0b\f\r"
+
 _GLYPH_RE = re.compile(GLYPH_PATTERN)
 _SPACE_TAB_RE = re.compile(SPACE_TAB_PATTERN)
 _STRIP_RE = re.compile(STRIP_PATTERN)

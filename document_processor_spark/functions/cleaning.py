@@ -15,12 +15,15 @@ from .. import contract as C
 
 
 def clean_text_col(c: Column) -> Column:
-    """T3 glyph cleaning (slice_extractor.py:62,212-225) as a codegen'd
-    regexp_replace chain.  Null-safe: null in -> '' out."""
+    """T3 glyph cleaning (slice_extractor.py:62,212-225).  Null-safe: null
+    in -> '' out.  r6: the three regexp_replace passes are fused to ONE
+    run-pattern pass (C.GLYPH_RUN_PATTERN documents the equivalence proof)
+    plus a set-based btrim over exactly the characters Java \\s matches —
+    one string rebuild per span instead of three (guide §1.2 per-task
+    work; the parse stage is memory-bandwidth-bound)."""
     c = F.coalesce(c, F.lit(""))
-    c = F.regexp_replace(c, C.GLYPH_PATTERN, " ")
-    c = F.regexp_replace(c, C.SPACE_TAB_PATTERN, " ")
-    return F.regexp_replace(c, C.STRIP_PATTERN, "")
+    c = F.regexp_replace(c, C.GLYPH_RUN_PATTERN, " ")
+    return F.btrim(c, F.lit(C.JAVA_WS))
 
 
 def classify_textual_col(cleaned: Column) -> Column:
@@ -77,5 +80,8 @@ def flatten_table_col(raw: Column) -> Column:
 
 
 def is_blank_col(c: Column) -> Column:
-    """True iff the string is empty after whitespace strip (incl. \\t, \\n)."""
-    return F.regexp_replace(F.coalesce(c, F.lit("")), r"\s", "") == ""
+    """True iff the string is empty after whitespace strip (incl. \\t, \\n).
+    r6: btrim over the Java-\\s set instead of a regex rebuild — removing
+    every interior \\s and removing only the ends decide "blank" the same
+    way, and the trim never copies the string body."""
+    return F.btrim(F.coalesce(c, F.lit("")), F.lit(C.JAVA_WS)) == ""

@@ -17,19 +17,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .dedup import (_SQL_DOT, _SQL_NORM, _bucket_expr, _dbl, _desc_then_id,
-                    _dot, _norm, _sql_bucket)
+from ._scan import fan_out
+from .dedup import (_CAT_NORM, _CAT_V, _SQL_DOT, _SQL_NORM, _bucket_expr,
+                    _cat_cos, _dbl, _desc_then_id, _dot, _norm, _sql_bucket)
 
 TOP_K = 5
 QUERY_MOD = 50          # vec_id % 50 == 0 → query set
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # norm materialized once per vector (never recomputed per candidate pair)
-    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-            .repartition(spark.sparkContext.defaultParallelism)
-            .select("vec_id", _dbl("embedding").alias("v"))
-            .withColumn("nrm", _norm(F.col("v"))))
+    # norm materialized once per vector (never recomputed per candidate
+    # pair); single-parse SQL strings per the r6 build-cost note in dedup
+    return (fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                    f"{sf_dir}/embeddings.parquet")
+            .selectExpr("vec_id", _CAT_V)
+            .selectExpr("vec_id", "v", _CAT_NORM.format(a="v") + " AS nrm"))
 
 
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,8 +42,7 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus side is the big side; the query side broadcasts
     pairs = (e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
              .select("query_id", "vec_id",
-                     (_dot(F.col("qv"), F.col("v"))
-                      / (F.col("qnrm") * F.col("nrm"))).alias("cos")))
+                     _cat_cos("qv", "v", "qnrm", "nrm").alias("cos")))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOP_K)
@@ -90,18 +91,18 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partition pruning on the join key); the bounded query side
     broadcasts; the rank window is per-query bounded.  cosine ships
     floor-quantized to 1e-6 integer units."""
-    raw = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-           .repartition(spark.sparkContext.defaultParallelism)
-           .select("vec_id", "label", _dbl("embedding").alias("v"))
-           .withColumn("nrm", _norm(F.col("v"))))
+    raw = (fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                   f"{sf_dir}/embeddings.parquet")
+           .selectExpr("vec_id", "label", _CAT_V)
+           .selectExpr("vec_id", "label", "v",
+                       _CAT_NORM.format(a="v") + " AS nrm"))
     qs = (raw.filter(F.col("vec_id") % QUERY_MOD == 0)
           .select(F.col("vec_id").alias("query_id"), "label",
                   F.col("v").alias("qv"), F.col("nrm").alias("qnrm")))
     pairs = (raw.join(F.broadcast(qs), "label")
              .filter(F.col("vec_id") != F.col("query_id"))
              .select("query_id", "label", "vec_id",
-                     (_dot(F.col("qv"), F.col("v"))
-                      / (F.col("qnrm") * F.col("nrm"))).alias("cos")))
+                     _cat_cos("qv", "v", "qnrm", "nrm").alias("cos")))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOP_K)
@@ -149,8 +150,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (e.join(F.broadcast(q), "bucket")
              .filter(F.col("vec_id") != F.col("query_id"))
              .select("query_id", "vec_id",
-                     (_dot(F.col("qv"), F.col("v"))
-                      / (F.col("qnrm") * F.col("nrm"))).alias("cos")))
+                     _cat_cos("qv", "v", "qnrm", "nrm").alias("cos")))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOP_K)
@@ -345,8 +345,8 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, xs, xq): embeddings scaled by _QUANT to exact integers
     (associative bigint sums — reproducible across partitionings), plus
     the double view the distance folds consume."""
-    e = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-         .repartition(spark.sparkContext.defaultParallelism)
+    e = (fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                 f"{sf_dir}/embeddings.parquet")
          .select("vec_id",
                  F.transform(
                      "embedding",

@@ -23,6 +23,7 @@ import logging
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ._scan import fan_out
 
 N_BANDS = 8
 MINHASH_ROWS_PER_BAND = 2   # r>=2: band collision needs r hash agreements,
@@ -38,8 +39,9 @@ COSINE_T = 0.4
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file fixture scan -> fan out for the shingle/hash stages
-    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .repartition(spark.sparkContext.defaultParallelism))
+    # (skipped adaptively when the scan already parallelizes — see _scan)
+    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                   f"{sf_dir}/documents.parquet")
 
 
 def _pin(df: DataFrame) -> DataFrame:
@@ -63,8 +65,8 @@ def _pin(df: DataFrame) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-            .repartition(spark.sparkContext.defaultParallelism))
+    return fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                   f"{sf_dir}/embeddings.parquet")
 
 
 # -- exact dedup ---------------------------------------------------------------
@@ -121,6 +123,27 @@ FROM d JOIN g USING (content_hash)
 
 # -- shingles (shared by minhash + jaccard) --------------------------------------
 
+# r6 build-cost note (measured, OPTIMIZATION_r06.md): assembling these
+# expressions Column-op-by-Column-op costs hundreds of py4j round trips
+# per query BUILD — 0.85 s of the 1.2 s minhash wall was driver-side
+# construction, not execution.  The same expressions written as ONE SQL
+# string parse JVM-side in a single call; the analyzed tree (slice +
+# zip_with shape, lambda bodies, fold order) is unchanged, so results are
+# bit-identical (pinned by tests/test_r6_optimizations.py equivalence).
+
+_CAT_SHINGLES = """
+CASE WHEN size(split(text, ' ', -1)) >= 3
+     THEN array_distinct(
+            zip_with(
+              zip_with(slice(split(text, ' ', -1), 1, size(split(text, ' ', -1)) - 2),
+                       slice(split(text, ' ', -1), 2, size(split(text, ' ', -1)) - 2),
+                       (x, y) -> concat(x, ' ', y)),
+              slice(split(text, ' ', -1), 3, size(split(text, ' ', -1)) - 2),
+              (x, y) -> concat(x, ' ', y)))
+     ELSE CAST(array() AS ARRAY<STRING>) END
+"""
+
+
 def _shingles_col():
     """Distinct 3-word shingles of the text, [] when under 3 words.
 
@@ -130,15 +153,7 @@ def _shingles_col():
     re-evaluated per element — the r1 formulation re-ran split(text) three
     times per shingle, O(words²) per document.  zip_with's array arguments
     are evaluated once per row; the lambda touches only its variables."""
-    arr = F.split("text", " ", -1)
-    n = F.size(arr) - 2
-    w1 = F.slice(arr, 1, n)
-    w2 = F.slice(F.split("text", " ", -1), 2, n)
-    w3 = F.slice(F.split("text", " ", -1), 3, n)
-    pair = F.zip_with(w1, w2, lambda x, y: F.concat(x, F.lit(" "), y))
-    tri = F.zip_with(pair, w3, lambda x, y: F.concat(x, F.lit(" "), y))
-    return F.when(F.size(F.split("text", " ", -1)) >= 3, F.array_distinct(tri)) \
-        .otherwise(F.array().cast("array<string>"))
+    return F.expr(_CAT_SHINGLES)
 
 
 def _sql_shingles(rel: str = "documents") -> str:
@@ -176,11 +191,11 @@ _MINHASH_AB = [((k * 2_654_435_761 + 1) % MINHASH_P or 1,
 
 
 def _shingle_ints_col():
-    """array<bigint>: first 60 bits of md5(shingle), mod P."""
-    return F.transform(
-        F.col("shingles"),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
-        .cast("bigint") % MINHASH_P)
+    """array<bigint>: first 60 bits of md5(shingle), mod P.  (Single-parse
+    SQL string — see the r6 build-cost note above.)"""
+    return F.expr(
+        "transform(shingles, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10)"
+        f" AS BIGINT) % {MINHASH_P})")
 
 
 def _band_sigs_col():
@@ -188,17 +203,18 @@ def _band_sigs_col():
     groupBy shuffle): band b's signature joins r minhashes
     min((a_k*x + b_k) mod P) with k = b*r .. b*r+r-1 over the per-shingle
     ints `xs`.  One projection replaces the r1 design's 8× row explode +
-    hash-shuffle aggregation — the signature stage shuffles nothing."""
-    def mh(k: int):
+    hash-shuffle aggregation — the signature stage shuffles nothing.
+    (Single-parse SQL string — see the r6 build-cost note above.)"""
+    def mh(k: int) -> str:
         a, b = _MINHASH_AB[k]
-        return F.array_min(F.transform(
-            F.col("xs"), lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P))
-    return F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.concat_ws("|", *[mh(b * MINHASH_ROWS_PER_BAND + i).cast("string")
-                                    for i in range(MINHASH_ROWS_PER_BAND)])
-                 .alias("mh"))
-        for b in range(N_BANDS)])
+        return (f"CAST(array_min(transform(xs, x -> ({a} * x + {b})"
+                f" % {MINHASH_P})) AS STRING)")
+    structs = ", ".join(
+        "named_struct('band', {b}, 'mh', concat_ws('|', {parts}))".format(
+            b=b, parts=", ".join(mh(b * MINHASH_ROWS_PER_BAND + i)
+                                 for i in range(MINHASH_ROWS_PER_BAND)))
+        for b in range(N_BANDS))
+    return F.expr(f"array({structs})")
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,10 +224,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     sh = _pin(d.select("doc_id", _shingles_col().alias("shingles"))
               .filter(F.size("shingles") > 0))
-    sig = (sh.withColumn("xs", _shingle_ints_col())
-           .select("doc_id", F.explode(_band_sigs_col()).alias("bs"))
-           .select("doc_id", F.col("bs.band").alias("band"),
-                   F.col("bs.mh").alias("mh")))
+    # r6: the signature table is pinned too — it feeds BOTH sides of the
+    # bucket self-join, and without the pin each side re-ran the md5 pass
+    # (_shingle_ints_col) and all bands*r minhash folds.  The pinned rows
+    # are narrow (doc_id, band, mh): one signature computation total.
+    sig = _pin(sh.withColumn("xs", _shingle_ints_col())
+               .select("doc_id", F.explode(_band_sigs_col()).alias("bs"))
+               .select("doc_id", F.col("bs.band").alias("band"),
+                       F.col("bs.mh").alias("mh")))
     cand = (sig.alias("a").join(sig.alias("b"), ["band", "mh"])
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
@@ -585,6 +605,32 @@ def _norm(a):
                               F.lit(0.0), lambda acc, x: acc + x))
 
 
+# Single-parse SQL-string twins of the helpers above (r6 build-cost note
+# near _CAT_SHINGLES): same analyzed expression tree — per-element cast,
+# zip_with product, 0.0D-seeded left fold — one py4j call instead of
+# dozens per use.  The Column-based forms stay for call sites inside
+# lambdas (IVF centroid scans), where the argument is a lambda variable.
+_CAT_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+            "(acc, x) -> acc + x)")
+_CAT_NORM = ("sqrt(aggregate(transform({a}, x -> x * x), 0.0D, "
+             "(acc, x) -> acc + x))")
+_CAT_V = "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+
+
+def _cat_cos(a: str, b: str, na: str, nb: str):
+    """cosine(a, b) with pre-materialized norms, as one parsed expression."""
+    return F.expr(f"{_CAT_DOT.format(a=a, b=b)} / ({na} * {nb})")
+
+
+def _emb_vn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings scan → (vec_id, v: array<double>, nrm) in two parsed
+    selects (the optimizer collapses them; nrm folds over the same `v`
+    subtree as before)."""
+    return (_emb(spark, sf_dir)
+            .selectExpr("vec_id", _CAT_V)
+            .selectExpr("vec_id", "v", _CAT_NORM.format(a="v") + " AS nrm"))
+
+
 _SQL_DOT = ("list_reduce(list_transform(generate_series(1, len({a})), "
             "i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
 _SQL_NORM = ("sqrt(list_reduce(list_transform({a}, v -> v * v), "
@@ -609,10 +655,8 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation-independent bit-for-bit (IEEE multiply is commutative),
     so emitting least/greatest vec_id preserves oracle parity."""
     B = COSINE_BLOCKS
-    e = _pin(_emb(spark, sf_dir)
-             .select("vec_id", _dbl("embedding").alias("v"))
-             .withColumn("g", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int"))
-             .withColumn("nrm", _norm(F.col("v"))))
+    e = _pin(_emb_vn(spark, sf_dir)
+             .withColumn("g", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int")))
     lo = (e.withColumn("gb", F.explode(F.sequence(F.col("g"), F.lit(B - 1))))
           .select(F.col("g").alias("ga"), "gb",
                   F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"),
@@ -621,7 +665,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("ga", F.col("g").alias("gb"),
                   F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"),
                   F.col("nrm").alias("nrm_b")))
-    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    cos = _cat_cos("v_a", "v_b", "nrm_a", "nrm_b")
     pairs = (lo.join(hi, ["ga", "gb"])
              .filter((F.col("ga") != F.col("gb"))
                      | (F.col("id_a") < F.col("id_b")))
@@ -660,22 +704,26 @@ N_PLANES = 5            # 32 buckets per table
 N_TABLES = 6
 
 
-def _bucket_expr(v, t: int):
-    """Deterministic random-hyperplane signature for table t: plane j has
-    components h_j[i] = ((i*31 + j*17 + t*53) % 7) - 3; bucket bit j = sign
-    of <v, h_j>."""
+def _cat_bucket(v: str, t: int) -> str:
+    """Deterministic random-hyperplane signature for table t as a SQL
+    string (r6 build-cost note): plane j has components
+    h_j[i] = ((i*31 + j*17 + t*53) % 7) - 3; bucket bit j = sign of
+    <v, h_j>.  Same zip_with-against-sequence(0,63) tree and 0.0D-seeded
+    left fold as the previous Column form — results bit-identical."""
     bits = []
     for j in range(N_PLANES):
-        proj = F.aggregate(
-            F.zip_with(v, F.sequence(F.lit(0), F.lit(63)),
-                       lambda x, i:
-                       x * (((i * 31 + j * 17 + t * 53) % 7) - 3).cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+        proj = (f"aggregate(zip_with({v}, sequence(0, 63), (x, i) -> "
+                f"x * CAST(((i * 31 + {j * 17 + t * 53}) % 7) - 3 AS DOUBLE)), "
+                f"0.0D, (acc, x) -> acc + x)")
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _bucket_expr(v, t: int):
+    """Column form of _cat_bucket.  `v` is the vector column NAME (or a
+    plain Column over one, kept for the legacy call shape)."""
+    name = v if isinstance(v, str) else "v"
+    return F.expr(_cat_bucket(name, t))
 
 
 def _sql_bucket(v: str, t: int) -> str:
@@ -695,19 +743,16 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, the self-equi-join on (table, bucket) bounds candidates, AQE
     splits hot buckets, and a pair colliding in several tables is deduped
     by the final distinct (identical doubles -> identical rounded rows)."""
-    e = _pin(_emb(spark, sf_dir)
-             .select("vec_id", _dbl("embedding").alias("v"))
-             .withColumn("nrm", _norm(F.col("v"))))
-    sig = e.select(
-        "vec_id", "v", "nrm",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("t"),
-                     _bucket_expr(F.col("v"), t).alias("bucket"))
-            for t in range(N_TABLES)])).alias("tb"),
-    ).select("vec_id", "v", "nrm", F.col("tb.t").alias("t"),
-             F.col("tb.bucket").alias("bucket"))
+    e = _pin(_emb_vn(spark, sf_dir))
+    tb = ", ".join(
+        f"named_struct('t', {t}, 'bucket', {_cat_bucket('v', t)})"
+        for t in range(N_TABLES))
+    sig = (e.select("vec_id", "v", "nrm",
+                    F.expr(f"explode(array({tb}))").alias("tb"))
+           .select("vec_id", "v", "nrm", F.col("tb.t").alias("t"),
+                   F.col("tb.bucket").alias("bucket")))
     a, b = sig.alias("a"), sig.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    cos = _cat_cos("a.v", "b.v", "a.nrm", "b.nrm")
     pairs = (a.join(b, ["t", "bucket"])
              .filter(F.col("a.vec_id") < F.col("b.vec_id"))
              .select(F.col("a.vec_id").alias("v1"),
@@ -947,9 +992,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale a KMeans sketch supplies them — same dataflow.  Output is one
     row per vector: its cell, keep/prune decision, and the pruning
     neighbor (min qualifying lower vec_id) for auditability."""
-    e = _pin(_emb(spark, sf_dir)
-             .select("vec_id", _dbl("embedding").alias("v"))
-             .withColumn("nrm", _norm(F.col("v"))))
+    e = _pin(_emb_vn(spark, sf_dir))
     carr = (e.filter(F.col("vec_id") % SEM_CENT_MOD == 0)
             .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"),
                     F.col("nrm").alias("cnrm"))
@@ -974,7 +1017,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("nrm").alias("nrm_a"), "cent_id")
     b = assigned.select(F.col("vec_id").alias("vb"), F.col("v").alias("v_b"),
                         F.col("nrm").alias("nrm_b"), "cent_id")
-    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    cos = _cat_cos("v_a", "v_b", "nrm_a", "nrm_b")
     dup = (a.join(b, "cent_id")
            .filter(F.col("va") < F.col("vb"))
            .filter(cos >= SEM_T)

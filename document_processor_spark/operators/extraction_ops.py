@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from .. import contract as C
 from ..functions import cleaning as X
+from ._scan import fan_out
 
 DOCS = "documents.parquet"
 
@@ -25,9 +26,9 @@ DOCS = "documents.parquet"
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixture table is one parquet file = one scan split; fan out so the
     # regex-heavy derivations use every core (at 100 TB the scan has
-    # thousands of splits and this repartition is a no-op to remove)
-    return (spark.read.parquet(f"{sf_dir}/{DOCS}")
-            .repartition(spark.sparkContext.defaultParallelism))
+    # thousands of splits and fan_out skips the shuffle entirely)
+    path = f"{sf_dir}/{DOCS}"
+    return fan_out(spark.read.parquet(path), path)
 
 
 # -- S18/T3: glyph cleaning --------------------------------------------------

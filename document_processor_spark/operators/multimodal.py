@@ -17,6 +17,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ._scan import fan_out
 
 MEDIA_SCHEMA = ("doc_id bigint, media_ref string, media_type string, "
                 "n_bytes bigint, width bigint, height bigint, "
@@ -27,8 +28,8 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive an opaque-binary media table from the documents corpus:
     (doc_id, payload:binary, media_type, hint) — the input shape of a real
     multimodal pipeline."""
-    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-         .repartition(spark.sparkContext.defaultParallelism))
+    d = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                f"{sf_dir}/documents.parquet")
     return d.select(
         "doc_id",
         F.encode(F.substring("text", 1, 64), "UTF-8").alias("payload"),
@@ -121,8 +122,8 @@ DECODE_SCHEMA = ("doc_id bigint, media_type string, width bigint, "
 def fake_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media table whose payloads are real fake-codec containers (binary
     column built JVM-side with concat over encoded parts)."""
-    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-         .repartition(spark.sparkContext.defaultParallelism))
+    d = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                f"{sf_dir}/documents.parquet")
     mt = (F.when(F.col("n_chars") % 3 == 0, "image/png")
            .when(F.col("n_chars") % 3 == 1, "audio/wav")
            .otherwise("video/mp4"))
@@ -296,8 +297,8 @@ FRAME_SCHEMA = ("doc_id bigint, frame_idx bigint, ts_ms bigint, "
 def video_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-codec table with a document-dependent pixel-run length
     (16 + n_chars % 24 bytes → 4..9 frames) so frame counts vary."""
-    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-         .repartition(spark.sparkContext.defaultParallelism))
+    d = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                f"{sf_dir}/documents.parquet")
     mt = (F.when(F.col("n_chars") % 3 == 0, "image/png")
            .when(F.col("n_chars") % 3 == 1, "audio/wav")
            .otherwise("video/mp4"))

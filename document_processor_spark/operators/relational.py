@@ -16,14 +16,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from ._scan import fan_out
 
 SESSION_GAP_S = 1800
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # fixture tables are single parquet files (one scan split each); fan out
-    return (spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            .repartition(spark.sparkContext.defaultParallelism))
+    # (skipped adaptively when the scan already parallelizes — see _scan)
+    return fan_out(spark.read.parquet(f"{sf_dir}/{name}.parquet"),
+                   f"{sf_dir}/{name}.parquet")
 
 
 # -- TPC-H Q1-style aggregation -----------------------------------------------

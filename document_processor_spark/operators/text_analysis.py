@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ._scan import fan_out
 
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is"],
@@ -22,8 +23,8 @@ BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .repartition(spark.sparkContext.defaultParallelism))
+    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                   f"{sf_dir}/documents.parquet")
 
 
 def _count_occurrences(padded, word: str):

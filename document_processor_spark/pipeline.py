@@ -149,6 +149,67 @@ OUTPUT_SPAN_DDL = "array<struct<kind:string,text:string,media_ref:string,offset:
 
 
 # ---------------------------------------------------------------------------
+# r6: single-parse SQL-string construction.
+#
+# Measured (OPTIMIZATION_r06.md): assembling the parse + assembly
+# expressions Column-op-by-Column-op cost 0.36-0.49 s of DRIVER time per
+# extract run — hundreds of py4j round trips — versus ~1.2 s of cluster
+# execution.  The same trees written as SQL strings parse JVM-side in one
+# call per select.  Every template below is a literal transcription of the
+# Column form it replaces (same operators, same branch order, same
+# duplicated subtrees), so the analyzed plan and the results are
+# unchanged; equality is pinned by the oracle suite and the e2e tests.
+# ---------------------------------------------------------------------------
+
+def _sql_lit(s: str) -> str:
+    """SQL string literal: escape backslashes/quotes for the parser's
+    unescape pass; control characters are embedded raw (the lexer accepts
+    them inside quotes)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+_WS_LIT = _sql_lit(C.JAVA_WS)
+
+
+def _cat_clean(x: str) -> str:
+    """SQL twin of functions.cleaning.clean_text_col."""
+    return (f"btrim(regexp_replace(coalesce({x}, ''), "
+            f"{_sql_lit(C.GLYPH_RUN_PATTERN)}, ' '), {_WS_LIT})")
+
+
+def _clustered_by_doc(rows: DataFrame) -> bool:
+    """True when the input's physical plan is already hash-partitioned on a
+    subset of {doc_id, page} with at least core-count parallelism.  Then
+    the explicit parse repartition is REDUNDANT — and so are both assembly
+    exchanges, because HashPartitioning on a subset of the grouping keys
+    satisfies the ClusteredDistribution of both the (doc_id, page) and the
+    (doc_id) aggregation (guide §2.4: remove shuffles outright where the
+    data is already partitioned as needed).  A corpus that arrives
+    partitioned by doc_id (bucketed table, upstream repartition, cache)
+    runs the WHOLE extract shuffle-free: scan → parse → page agg → doc agg
+    in one stage.  Skew note: this keeps each document's pages on one
+    task, which is exactly the trade the upstream partitioning already
+    made; inputs without that layout keep the page-level salting path
+    below.  Any inspection failure falls back to the repartition."""
+    try:
+        sess = rows.sparkSession
+        plan = rows._jdf.queryExecution().sparkPlan()
+        part = plan.outputPartitioning()
+        if part.getClass().getSimpleName() != "HashPartitioning":
+            return False
+        if part.numPartitions() < sess.sparkContext.defaultParallelism:
+            return False
+        outs = {plan.output().apply(i).toString()
+                for i in range(plan.output().length())
+                if plan.output().apply(i).name() in ("doc_id", "page")}
+        exprs = part.expressions()
+        names = [exprs.apply(i).toString() for i in range(exprs.length())]
+        return bool(names) and all(n in outs for n in names)
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
 # stage 1 — explode the input table into span rows
 # ---------------------------------------------------------------------------
 
@@ -173,14 +234,14 @@ def explode_spans(docs: DataFrame, first_page: int = 1,
             return cond
 
         docs = docs.withColumn("spans", F.filter("spans", keep))
-    s = F.explode("spans").alias("s")
-    return (docs.select("doc_id", s)
-            .select("doc_id",
-                    F.expr(f"s.offset div {C.PAGE_STRIDE}").cast("int").alias("page"),
-                    F.pmod("s.offset", F.lit(C.PAGE_STRIDE)).cast("int").alias("block"),
-                    F.col("s.kind").alias("raw_kind"),
-                    F.col("s.text").alias("raw_text"),
-                    F.col("s.media_ref").alias("raw_media_ref")))
+    return (docs.selectExpr("doc_id", "explode(spans) AS s")
+            .selectExpr(
+                "doc_id",
+                f"CAST(s.offset div {C.PAGE_STRIDE} AS INT) AS page",
+                f"CAST(pmod(s.offset, {C.PAGE_STRIDE}) AS INT) AS block",
+                "s.kind AS raw_kind",
+                "s.text AS raw_text",
+                "s.media_ref AS raw_media_ref"))
 
 
 # ---------------------------------------------------------------------------
@@ -208,62 +269,86 @@ def parse_sql(rows: DataFrame) -> DataFrame:
     stage B: cheap classification over the stage-A strings; the page agg
     then runs without a second exchange (the (doc_id, page) partitioning
     is preserved through both projections).
+
+    r6: when the input already arrives hash-partitioned on doc_id (see
+    _clustered_by_doc) the repartition is skipped and the entire extract
+    plan becomes exchange-free — 2 Exchange → 0.
     """
-    rows = rows.repartition(_parse_partitions(rows), "doc_id", "page")
-    text = F.col("raw_text")
-    kind = F.col("raw_kind")
+    if not _clustered_by_doc(rows):
+        rows = rows.repartition(_parse_partitions(rows), "doc_id", "page")
 
     # ---- stage A: heavy derivations, one lazy CASE occurrence each --------
-    t_clean = X.clean_text_col(text)
-    s_decoded = X.decode_scan_col(text)
-    s_clean = F.when(s_decoded.isNotNull(), X.clean_text_col(s_decoded))
-    h_raw = F.coalesce(text, F.lit(""))
-    h_clean = X.clean_text_col(X.strip_tags_col(h_raw))
-    h_keep = F.when(
-        (h_clean != "") & (X.html_density_col(h_raw, h_clean)
-                           >= F.lit(C.HTML_DENSITY_THRESHOLD)), h_clean)
-    tb_flat = X.flatten_table_col(text)
-    tb_keep = F.when(~X.is_blank_col(tb_flat), tb_flat)
-    m_alt = F.when(text.isNotNull(), X.clean_text_col(text))
-    m_keep = F.when(m_alt != "", m_alt)
+    # (single-parse SQL strings — transcription of the former Column code;
+    # subtree duplication mirrors the Column form, which also expanded each
+    # reused Column object into a copy of its tree)
+    t_clean = _cat_clean("raw_text")
+    s_dec = (f"CASE WHEN raw_text RLIKE {_sql_lit(C.SCAN_PAYLOAD_PATTERN)} "
+             f"THEN try_validate_utf8(CAST(unbase64(substr(raw_text, "
+             f"{len(C.SCAN_PREFIX) + 1}, length(raw_text))) AS STRING)) "
+             f"ELSE NULL END")
+    s_clean = (f"CASE WHEN ({s_dec}) IS NOT NULL "
+               f"THEN {_cat_clean(f'({s_dec})')} END")
+    h_raw = "coalesce(raw_text, '')"
+    h_clean = _cat_clean(
+        f"regexp_replace({h_raw}, {_sql_lit(C.HTML_TAG_PATTERN)}, ' ')")
+    density = (f"CASE WHEN length({h_raw}) > 0 "
+               f"THEN CAST(length({h_clean}) AS DOUBLE)"
+               f" / CAST(length({h_raw}) AS DOUBLE) ELSE 0.0D END")
+    h_keep = (f"CASE WHEN (({h_clean}) != '') AND (({density}) >= "
+              f"{C.HTML_DENSITY_THRESHOLD!r}D) THEN {h_clean} END")
+    tb_flat = (f"array_join(transform(split(coalesce(raw_text, ''), '\\n', -1), "
+               f"row -> array_join(transform(split(row, '\\t', -1), "
+               f"cell -> {_cat_clean('cell')}), '\\t')), '\\n')")
+    tb_blank = f"(btrim(coalesce({tb_flat}, ''), {_WS_LIT}) = '')"
+    tb_keep = f"CASE WHEN NOT {tb_blank} THEN {tb_flat} END"
+    m_alt = f"CASE WHEN raw_text IS NOT NULL THEN {_cat_clean('raw_text')} END"
+    m_keep = f"CASE WHEN ({m_alt}) != '' THEN {m_alt} END"
 
-    cleaned = (F.when(kind == C.RAW_PDF_TEXT, F.when(t_clean != "", t_clean))
-                .when(kind == C.RAW_PDF_SCAN, F.when(s_clean != "", s_clean))
-                .when(kind == C.RAW_HTML, h_keep)
-                .when(kind == C.RAW_TABLE, tb_keep)
-                .when(kind == C.RAW_MEDIA, m_keep))
-    h_head = F.when(kind == C.RAW_HTML, X.html_is_heading_col(h_raw))
+    cleaned = (
+        f"CASE WHEN raw_kind = '{C.RAW_PDF_TEXT}' "
+        f"THEN CASE WHEN ({t_clean}) != '' THEN {t_clean} END "
+        f"WHEN raw_kind = '{C.RAW_PDF_SCAN}' "
+        f"THEN CASE WHEN ({s_clean}) != '' THEN {s_clean} END "
+        f"WHEN raw_kind = '{C.RAW_HTML}' THEN {h_keep} "
+        f"WHEN raw_kind = '{C.RAW_TABLE}' THEN {tb_keep} "
+        f"WHEN raw_kind = '{C.RAW_MEDIA}' THEN {m_keep} END")
+    h_head = (f"CASE WHEN raw_kind = '{C.RAW_HTML}' "
+              f"THEN {h_raw} RLIKE {_sql_lit(C.HTML_HEADING_PATTERN)} END")
 
-    stage_a = rows.select(
+    stage_a = rows.selectExpr(
         "doc_id", "page", "block", "raw_kind", "raw_media_ref",
-        cleaned.alias("cleaned"), h_head.alias("h_head"))
+        f"{cleaned} AS cleaned", f"{h_head} AS h_head")
 
     # ---- stage B: cheap classification on the stage-A strings --------------
     # One (kind, text) per span + scan_only (see PARSED_DDL): the fast
     # pipeline's result is derived downstream as "non-scan_only rows" (T4),
     # never materialized as a second column set.
-    k2 = F.col("raw_kind")
-    cl = F.col("cleaned")
-    has = cl.isNotNull()
-    textual_kind = X.classify_textual_col(cl)
-    html_kind = F.when(F.col("h_head"), F.lit(C.KIND_HEADING)) \
-                 .otherwise(F.lit(C.KIND_PARAGRAPH))
+    marks = " OR ".join(f"startswith(cleaned, {_sql_lit(m)})"
+                        for m in C.HEADING_MARKERS)
+    textual = (f"CASE WHEN ({marks}) "
+               f"THEN '{C.KIND_HEADING}' ELSE '{C.KIND_PARAGRAPH}' END")
+    html_kind = (f"CASE WHEN h_head THEN '{C.KIND_HEADING}' "
+                 f"ELSE '{C.KIND_PARAGRAPH}' END")
+    kind_out = (
+        f"CASE WHEN raw_kind = '{C.RAW_PDF_TEXT}' "
+        f"THEN CASE WHEN cleaned IS NOT NULL THEN {textual} END "
+        f"WHEN raw_kind = '{C.RAW_PDF_SCAN}' "
+        f"THEN CASE WHEN cleaned IS NOT NULL THEN {textual} END "
+        f"WHEN raw_kind = '{C.RAW_HTML}' "
+        f"THEN CASE WHEN cleaned IS NOT NULL THEN {html_kind} END "
+        f"WHEN raw_kind = '{C.RAW_TABLE}' "
+        f"THEN CASE WHEN cleaned IS NOT NULL THEN '{C.KIND_TABLE}' END "
+        f"WHEN raw_kind = '{C.RAW_MEDIA}' "
+        f"THEN CASE WHEN cleaned IS NOT NULL THEN '{C.KIND_FIGURE}' "
+        f"ELSE '{C.KIND_MEDIA_REF}' END END")
 
-    kind_out = (F.when(k2 == C.RAW_PDF_TEXT, F.when(has, textual_kind))
-                 .when(k2 == C.RAW_PDF_SCAN, F.when(has, textual_kind))
-                 .when(k2 == C.RAW_HTML, F.when(has, html_kind))
-                 .when(k2 == C.RAW_TABLE, F.when(has, F.lit(C.KIND_TABLE)))
-                 .when(k2 == C.RAW_MEDIA,
-                       F.when(has, F.lit(C.KIND_FIGURE))
-                        .otherwise(F.lit(C.KIND_MEDIA_REF))))
-    text_out = F.when(has, cl)
-    media_ref = F.when(k2 == C.RAW_MEDIA, F.col("raw_media_ref"))
-
-    return stage_a.select(
+    return stage_a.selectExpr(
         "doc_id", "page", "block",
-        kind_out.alias("kind"), text_out.alias("text"),
-        media_ref.alias("media_ref"),
-        F.coalesce(k2 == C.RAW_PDF_SCAN, F.lit(False)).alias("scan_only"))
+        f"{kind_out} AS kind",
+        "CASE WHEN cleaned IS NOT NULL THEN cleaned END AS text",
+        f"CASE WHEN raw_kind = '{C.RAW_MEDIA}' THEN raw_media_ref END"
+        " AS media_ref",
+        f"coalesce(raw_kind = '{C.RAW_PDF_SCAN}', false) AS scan_only")
 
 
 def parse_sql_union(rows: DataFrame) -> DataFrame:
@@ -403,14 +488,13 @@ def _kernel_clean(pc, arr):
     """contract.clean_text over an Arrow string array (T3).  RE2 and Python
     `re` agree on these patterns for the ASCII-whitespace corpora the
     contract covers (contract.py:30-36 documents the same tolerance for the
-    Java regex engine)."""
+    Java regex engine).  r6: same single-pass fusion as the Catalyst
+    engine (C.GLYPH_RUN_PATTERN proof) — one RE2 rebuild plus a set-based
+    trim instead of three rebuilds."""
     from . import contract as Ct
-    a = pc.replace_substring_regex(arr, pattern=Ct.GLYPH_PATTERN,
+    a = pc.replace_substring_regex(arr, pattern=Ct.GLYPH_RUN_PATTERN,
                                    replacement=" ")
-    a = pc.replace_substring_regex(a, pattern=Ct.SPACE_TAB_PATTERN,
-                                   replacement=" ")
-    return pc.replace_substring_regex(a, pattern=Ct.STRIP_PATTERN,
-                                      replacement="")
+    return pc.utf8_trim(a, characters=Ct.JAVA_WS)
 
 
 def _kernel_classify(pa, pc, cl):
@@ -725,49 +809,53 @@ def assemble(parsed: DataFrame, with_layout: bool = False,
     Single-converter modes have no chain, so fallback_pages is 0."""
     if ocr_pipeline not in ("hybrid", "fast", "full"):
         raise ValueError(f"unknown ocr_pipeline: {ocr_pipeline!r}")
-    span_s = F.when(
-        F.col("kind").isNotNull(),
-        F.struct(F.col("block"),
-                 F.col("page").alias("pg"),
-                 _tiebreak_col().alias("tb"),
-                 F.col("kind"),
-                 F.col("text"),
-                 F.col("media_ref"),
-                 F.col("scan_only")))
+    # single-parse SQL strings (r6) — transcription of the former Column
+    # aggregation; the named_struct field order, the tiebreak concat and
+    # both comparators are byte-for-byte the same expressions
+    tie = (f"crc32(encode(concat_ws({_sql_lit(chr(0x1f))}, kind, "
+           f"coalesce(text, {_sql_lit(_TIE_NULL)}), "
+           f"coalesce(media_ref, {_sql_lit(_TIE_NULL)})), 'UTF-8'))")
+    span_s = (f"CASE WHEN kind IS NOT NULL THEN named_struct("
+              f"'block', block, 'pg', page, 'tb', {tie}, 'kind', kind, "
+              f"'text', text, 'media_ref', media_ref, "
+              f"'scan_only', scan_only) END")
+    kinds_in = ", ".join(_sql_lit(k) for k in C.TEXT_KINDS)
 
     page_level = (parsed.groupBy("doc_id", "page").agg(
-        F.collect_list(span_s).alias("arr"),
-        F.max(F.when(F.col("kind").isin(*C.TEXT_KINDS)
-                     & ~F.col("scan_only"), 1).otherwise(0)
-              ).alias("has_text"),
+        F.expr(f"collect_list({span_s})").alias("arr"),
+        F.expr(f"max(CASE WHEN kind IN ({kinds_in}) AND (NOT scan_only) "
+               f"THEN 1 ELSE 0 END)").alias("has_text"),
     ))
 
-    fast_subset = F.filter(F.col("arr"), lambda x: ~x["scan_only"])
+    fast_subset = "filter(arr, x -> NOT x.scan_only)"
     if ocr_pipeline == "fast":
-        chosen, fallback = fast_subset, F.lit(0)
+        chosen, fallback = fast_subset, "0"
     elif ocr_pipeline == "full":
-        chosen, fallback = F.col("arr"), F.lit(0)
+        chosen, fallback = "arr", "0"
     else:
-        chosen = (F.when(F.col("has_text") == 1, fast_subset)
-                   .otherwise(F.col("arr")))
-        fallback = F.lit(1) - F.col("has_text")
-    page_level = page_level.select(
+        chosen = f"CASE WHEN has_text = 1 THEN {fast_subset} ELSE arr END"
+        fallback = "1 - has_text"
+    cmp_block_tb = ("(a, b) -> CASE WHEN a.block < b.block THEN -1 "
+                    "WHEN a.block > b.block THEN 1 ELSE "
+                    "CASE WHEN a.tb < b.tb THEN -1 "
+                    "WHEN a.tb > b.tb THEN 1 ELSE 0 END END")
+    page_level = page_level.selectExpr(
         "doc_id", "page",
-        F.array_sort(chosen, _cmp_int("block", "tb")).alias("page_spans"),
-        fallback.alias("fallback"),
+        f"array_sort({chosen}, {cmp_block_tb}) AS page_spans",
+        f"{fallback} AS fallback",
     )
 
+    cmp_page = ("(a, b) -> CASE WHEN a.page < b.page THEN -1 "
+                "WHEN a.page > b.page THEN 1 ELSE 0 END")
     doc_level = (page_level.groupBy("doc_id").agg(
-        F.collect_list(
-            F.struct(F.col("page"), F.col("page_spans").alias("ps")))
+        F.expr("collect_list(named_struct('page', page, 'ps', page_spans))")
          .alias("pages_arr"),
-        F.sum("fallback").alias("fallback_pages"),
-        F.count(F.lit(1)).alias("pages_in"),
-    )).select(
+        F.expr("sum(fallback)").alias("fallback_pages"),
+        F.expr("count(1)").alias("pages_in"),
+    )).selectExpr(
         "doc_id",
-        F.flatten(F.transform(
-            F.array_sort(F.col("pages_arr"), _cmp_int("page")),
-            lambda x: x["ps"])).alias("flat"),
+        f"flatten(transform(array_sort(pages_arr, {cmp_page}), x -> x.ps))"
+        " AS flat",
         "fallback_pages", "pages_in",
     )
 
@@ -800,16 +888,14 @@ def assemble(parsed: DataFrame, with_layout: bool = False,
                 width.alias("page_width"),
                 height.alias("page_height"))
         spans = F.transform(F.col("flat"), mk)
-    else:
-        spans = F.transform(
-            F.col("flat"),
-            lambda x, i: F.struct(
-                x["kind"].alias("kind"),
-                x["text"].alias("text"),
-                x["media_ref"].alias("media_ref"),
-                i.cast("int").alias("offset")))
-    return doc_level.select(
-        "doc_id", spans.alias("spans"), "fallback_pages", "pages_in")
+        return doc_level.select(
+            "doc_id", spans.alias("spans"), "fallback_pages", "pages_in")
+    return doc_level.selectExpr(
+        "doc_id",
+        "transform(flat, (x, i) -> named_struct('kind', x.kind, "
+        "'text', x.text, 'media_ref', x.media_ref, "
+        "'offset', CAST(i AS INT))) AS spans",
+        "fallback_pages", "pages_in")
 
 
 # ---------------------------------------------------------------------------
@@ -851,22 +937,24 @@ def extract_with_metrics(docs: DataFrame, engine: str = "sql",
     in_obs = Observation("extract_input")
     docs = docs.observe(
         in_obs,
-        F.count(F.lit(1)).alias("docs_in"),
-        F.sum(F.when(F.size("spans") <= 0, 1).otherwise(0)).alias("empty_docs"),
-        F.sum(F.size("spans")).alias("spans_in"),
+        F.expr("count(1)").alias("docs_in"),
+        F.expr("sum(CASE WHEN size(spans) <= 0 THEN 1 ELSE 0 END)")
+         .alias("empty_docs"),
+        F.expr("sum(size(spans))").alias("spans_in"),
     )
     parsed = ENGINES[engine](explode_spans(docs, first_page, last_page))
     doc_level = assemble(parsed, ocr_pipeline=ocr_pipeline)
     out_obs = Observation("extract_output")
     doc_level = doc_level.observe(
         out_obs,
-        F.count(F.lit(1)).alias("docs_converted"),
-        F.sum(F.when(F.size("spans") > 0, 1).otherwise(0)).alias("docs_out"),
-        F.sum(F.size("spans")).alias("spans_out"),
-        F.sum("fallback_pages").alias("fallback_pages"),
-        F.sum("pages_in").alias("pages_in"),
-        F.sum(F.when(F.col("fallback_pages") > 0, 1).otherwise(0)
-              ).alias("fallback_docs"),
+        F.expr("count(1)").alias("docs_converted"),
+        F.expr("sum(CASE WHEN size(spans) > 0 THEN 1 ELSE 0 END)")
+         .alias("docs_out"),
+        F.expr("sum(size(spans))").alias("spans_out"),
+        F.expr("sum(fallback_pages)").alias("fallback_pages"),
+        F.expr("sum(pages_in)").alias("pages_in"),
+        F.expr("sum(CASE WHEN fallback_pages > 0 THEN 1 ELSE 0 END)")
+         .alias("fallback_docs"),
     )
     result = (doc_level.filter(F.size("spans") > 0)
               .select("doc_id", "spans"))
