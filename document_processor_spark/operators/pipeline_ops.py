@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from .. import contract as C
 from .. import pipeline
 from ._scan import fan_out
+from ._scan import scratch_dir as _scratch_dir
 
 _BOILER = '<nav class="m"><a href="/a">a</a><a href="/b">b</a></nav>'
 
@@ -403,7 +404,7 @@ def q_extract_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathlib import Path
 
     from ..fixtures import INPUT_DDL
-    base = Path(tempfile.mkdtemp(prefix="jsonl_rt_"))
+    base = _scratch_dir("jsonl_rt_")
     try:
         (derived_corpus(spark, sf_dir)
          .select(F.to_json(F.struct("doc_id", "spans")).alias("value"))
@@ -441,7 +442,7 @@ def q_extract_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from pathlib import Path
 
-    base = Path(tempfile.mkdtemp(prefix="csv_rt_"))
+    base = _scratch_dir("csv_rt_")
     opts = {"header": "true", "nullValue": "\\N", "escape": '"'}
     try:
         flat = (derived_corpus(spark, sf_dir)
@@ -487,7 +488,7 @@ def q_extract_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from pathlib import Path
 
-    base = Path(tempfile.mkdtemp(prefix="orc_rt_"))
+    base = _scratch_dir("orc_rt_")
     try:
         (derived_corpus(spark, sf_dir)
          .write.mode("overwrite").orc(str(base / "out")))

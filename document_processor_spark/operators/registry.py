@@ -60,27 +60,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # backfill the remaining ~25 slots re-certifying the oldest green rows
 # (the r01/r02 ext_* and mm_media_* families).  That lands every one of
 # the 172 queries with a driver row on current code by end of r6.
+# ROUND-6 WINDOW (this tuple): the optimization round touched shared
+# helpers under a large fraction of the surface (scan fan-out, the fused
+# cleaning pass, the single-parse SQL-string expression builders, the
+# zero-exchange extract path), so the window packs (a) the 25
+# never-driver-checked residue queries exactly as the ROUND-6 ROTATION
+# PLAN above enumerates them, then (b) 25 re-certifications of the
+# queries most materially changed by this round's optimizations (the
+# extract engines and every bench headliner among them).  The remaining
+# touched-but-windowless queries (stream_* scratch relocation, mm_*
+# fan-out — plan-identical changes) are covered by the full 172-query
+# oracle mirror run recorded in OPTIMIZATION_r06.md.
 _PRIORITY: tuple[str, ...] = (
-    "ann_ivf_pq_topk", "ann_rerank_exact", "dedup_soft", "ta_kneser_ney",
-    "ta_quality_auc", "ta_tokenizer_fertility", "ann_filtered_topk",
-    "dedup_lsh_recall", "dedup_edit_verify", "mm_image_tiles",
-    "ta_hll_distinct", "ta_cms_heavy_hitters", "cur_bloom_decontaminate",
-    "rel_cdc_apply", "stream_join_attribution", "rel_scd2_history",
-    "rel_cohort_retention", "dedup_components_star", "pipe_extract_skew",
-    "stream_late_data", "stream_tumbling_hourly",
-    "stream_sliding_hourly", "rel_rolling_1h", "ta_length_quantiles",
-    "cur_domain_cap", "dedup_pagerank", "rel_pivot", "rel_set_ops",
-    "stream_session_window", "pipe_extract_synth_source",
-    "pipe_extract_jsonl_roundtrip", "dedup_triangles",
-    "dedup_prefix_jaccard", "ann_recall_eval", "ta_skipgram_pairs",
-    "ta_hash_classifier", "ta_textrank_keywords", "ta_source_vocab_overlap",
-    "ta_phrase_search", "ta_bpe_encode", "ta_sentence_stats",
-    "rel_waiting_suppliers", "rel_idle_customers", "rel_priority_wait",
-    "rel_promo_share", "rel_forecast_revenue", "rel_small_qty_revenue",
-    "rel_disjunctive_revenue", "rel_top_supplier",
-    "rel_supplier_concentration",
-    # ---- 50-slot window boundary ----
-    "rel_min_price_supplier", "rel_region_trade",
+    # (a) never-driver-checked residue, r01-r05
     "rel_market_share", "rel_product_profit", "rel_part_supplier_counts",
     "rel_dominant_suppliers", "rel_event_transitions", "rel_twap",
     "rel_interval_coverage", "rel_json_props", "rel_range_join",
@@ -88,7 +80,19 @@ _PRIORITY: tuple[str, ...] = (
     "rel_skew_salted_join", "rel_large_orders", "rel_priority_class",
     "rel_order_count_hist", "mm_audio_fingerprint", "mm_media_dedup",
     "cur_universe_sample", "cur_keep_best", "cur_score_normalize",
-    "cur_url_dedup", "stream_static_enrich",
+    "cur_url_dedup", "stream_static_enrich", "rel_min_price_supplier",
+    "rel_region_trade",
+    # (b) re-certification of r6-changed code paths
+    "pipe_extract_catalyst", "pipe_extract_arrow", "pipe_extract_skew",
+    "pipe_extract_ocr_fast", "pipe_extract_ocr_full",
+    "pipe_extract_page_range", "pipe_extract_curate",
+    "ext_glyph_clean", "ext_table_flatten", "ext_skip_gates",
+    "ext_html_density", "dedup_minhash_lsh", "dedup_embedding_cosine_lsh",
+    "dedup_embedding_cosine", "dedup_semantic", "dedup_ngram_jaccard",
+    "ann_bruteforce_topk", "ann_filtered_topk", "ann_lsh_topk",
+    "ta_quality", "ta_langid", "rel_pricing_summary",
+    "cur_fuzzy_decontaminate", "cur_corpus_build", "ta_source_vocab_overlap",
+    # ---- 50-slot window boundary ----
 )
 
 

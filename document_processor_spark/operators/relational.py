@@ -1189,7 +1189,11 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object returns null)."""
     ev = _t(spark, sf_dir, "events")
     ks = F.get_json_object("props", "$.k")
-    k = F.when(ks.rlike(r"^-?[0-9]{1,18}$"), ks.cast("bigint"))
+    # \A/\z, not ^/$: Java Matcher.find() lets '$' match just before a
+    # final line terminator, so '12\n' would pass this guard while the
+    # oracle's RE2 '$' (end-of-text) drops the row — the r5 ADVICE
+    # cross-engine divergence.  \A/\z mean end-of-text in both engines.
+    k = F.when(ks.rlike(r"\A-?[0-9]{1,18}\z"), ks.cast("bigint"))
     return (ev.select("event_type", k.alias("k"))
             .filter(F.col("k").isNotNull())
             .groupBy("event_type")

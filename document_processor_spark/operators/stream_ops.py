@@ -32,6 +32,7 @@ once per request — the stream is the same contract per file).
 from __future__ import annotations
 
 import atexit
+import os
 import hashlib
 import shutil
 import tempfile
@@ -41,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io.icelite import IceLite
+from ._scan import scratch_dir as _scratch_dir
 from ..job import SPANS_TABLE
 from ..streaming.extract_stream import start_extract_stream
 from ..streaming.windowed import EVENTS_DDL
@@ -115,7 +117,7 @@ def _stage_root(spark: SparkSession) -> Path:
     app = spark.sparkContext.applicationId
     root = _STAGE_ROOTS.get(app)
     if root is None or not root.exists():
-        root = Path(tempfile.mkdtemp(prefix="stream_stage_"))
+        root = _scratch_dir("stream_stage_")
         _STAGE_ROOTS[app] = root
         atexit.register(shutil.rmtree, str(root), ignore_errors=True)
     return root
@@ -268,7 +270,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (os.stat(real).st_mtime + 3600,) * 2)
 
         inp = _staged(spark, sf_dir, "events_sentinel", _build)
-        base = Path(tempfile.mkdtemp(prefix="stream_sw_"))
+        base = _scratch_dir("stream_sw_")
         try:
             src = (spark.readStream.schema(EVENTS_DDL)
                    .option("maxFilesPerTrigger", 1).parquet(str(inp)))
@@ -414,7 +416,7 @@ def _run_dedup_replay(spark: SparkSession, sf_dir: str):
         shutil.copy(part, d / f"replay-{part.name}")
 
     inp = _staged(spark, sf_dir, "events_twice", _build)
-    base = Path(tempfile.mkdtemp(prefix="stream_dedup_"))
+    base = _scratch_dir("stream_dedup_")
     try:
         name = _sink_name(spark, "stream_dd_sink")
         with _utc_session(spark), _pinned_state_partitions(spark):
@@ -458,7 +460,7 @@ def _run_extract_snapshot(spark: SparkSession, sf_dir: str):
     inp = _staged(spark, sf_dir, "corpus4",
                   lambda d: (derived_corpus(spark, sf_dir).repartition(4)
                              .write.mode("overwrite").parquet(str(d))))
-    base = Path(tempfile.mkdtemp(prefix="stream_extract_"))
+    base = _scratch_dir("stream_extract_")
     try:
         with _utc_session(spark):
             q = start_extract_stream(
@@ -519,7 +521,7 @@ def _run_running_totals(spark: SparkSession, sf_dir: str):
             os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
 
     inp = _staged(spark, sf_dir, "events_evenodd", _build)
-    base = Path(tempfile.mkdtemp(prefix="stream_tws_"))
+    base = _scratch_dir("stream_tws_")
     try:
         name = _sink_name(spark, "stream_tws_sink")
         with _utc_session(spark), _pinned_state_partitions(spark):
@@ -592,7 +594,7 @@ def q_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     inp_c = str(_staged(spark, sf_dir, "clicks2", _build_side("click")))
     inp_p = str(_staged(spark, sf_dir, "purchases2",
                         _build_side("purchase")))
-    base = Path(tempfile.mkdtemp(prefix="stream_ja_"))
+    base = _scratch_dir("stream_ja_")
     try:
         with _utc_session(spark), _pinned_state_partitions(spark):
             q = start_attribution_stream(
@@ -649,7 +651,7 @@ def _run_static_enrich(spark: SparkSession, sf_dir: str):
 
     name = _sink_name(spark, "stream_se_sink")
     inp = _staged(spark, sf_dir, "events_twice", _build)
-    base = Path(tempfile.mkdtemp(prefix="stream_se_"))
+    base = _scratch_dir("stream_se_")
     try:
         dim = (spark.read.parquet(f"{sf_dir}/customer.parquet")
                .select("c_custkey", "c_mktsegment"))
@@ -757,7 +759,7 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
                           + bump,) * 2)
 
         inp = _staged(spark, sf_dir, "events_late", _build)
-        base = Path(tempfile.mkdtemp(prefix="stream_ld_"))
+        base = _scratch_dir("stream_ld_")
         try:
             src = (spark.readStream.schema(EVENTS_DDL)
                    .option("maxFilesPerTrigger", 1).parquet(str(inp)))

@@ -87,29 +87,29 @@ FROM documents
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / punctuation / stopword-ratio quality score (the classic
-    web-corpus filters), one pass, exact arithmetic."""
+    web-corpus filters), one pass, exact arithmetic.  r6: single-parse SQL
+    strings (the _sql_count builder is valid Spark SQL too) — the Column
+    construction cost 0.16 s of driver py4j per run; the expression trees
+    and results are unchanged."""
     d = _docs(spark, sf_dir)
-    n_chars = F.length("text").cast("double")
-    words = F.split("text", " ", -1)
-    n_words = F.size(words).cast("double")
-    punct = (F.length("text")
-             - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))).cast("double")
-    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
-    stop = sum((_count_occurrences(padded, w) for w in STOPWORDS["en"][1:]),
-               _count_occurrences(padded, STOPWORDS["en"][0])).cast("double")
-    avg_wlen = (n_chars - (n_words - 1)) / n_words
-    punct_ratio = punct / n_chars
-    stop_ratio = stop / n_words
-    score = (F.lit(0.4) * F.least(n_words / F.lit(100.0), F.lit(1.0))
-             + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
-             + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))))
-    return d.select(
+    n_chars = "CAST(length(text) AS DOUBLE)"
+    n_words = "CAST(size(split(text, ' ', -1)) AS DOUBLE)"
+    punct = ("CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', "
+             "'')) AS DOUBLE)")
+    padded = "concat(' ', lower(text), ' ')"
+    stop = "CAST({} AS DOUBLE)".format(
+        " + ".join(_sql_count(padded, w) for w in STOPWORDS["en"]))
+    return d.selectExpr(
         "doc_id",
-        n_words.cast("bigint").alias("n_words"),
-        F.round(avg_wlen, 4).alias("avg_word_len"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality_score"))
+        f"CAST({n_words} AS BIGINT) AS n_words",
+        f"round(({n_chars} - ({n_words} - 1)) / {n_words}, 4)"
+        " AS avg_word_len",
+        f"round({punct} / {n_chars}, 4) AS punct_ratio",
+        f"round({stop} / {n_words}, 4) AS stopword_ratio",
+        f"round(0.4D * least({n_words} / 100.0D, 1.0D)"
+        f" + 0.3D * least(({stop} / {n_words}) * 5, 1.0D)"
+        f" + 0.3D * (1.0D - least(({punct} / {n_chars}) * 10, 1.0D)), 4)"
+        " AS quality_score")
 
 
 def _sql_quality() -> str:

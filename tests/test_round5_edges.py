@@ -192,7 +192,11 @@ def test_json_props_malformed_values_dropped_both_engines(spark, tmp_path):
     base = spark.read.parquet(f"{SF_DIR}/events.parquet")
     t0 = base.agg(F.min("ts")).collect()[0][0]
     bad = ["not json", "{}", '{"k": "x"}', '{"k": 3.7}',
-           '{"k": 99999999999999999999}', None, '{"k": -7}', '{"k": "12"}']
+           '{"k": 99999999999999999999}', None, '{"k": -7}', '{"k": "12"}',
+           # trailing newline: Java find() lets '$' match before a final
+           # line terminator, RE2 does not — the \A..\z guard must drop
+           # it in BOTH engines (r5 ADVICE divergence)
+           '{"k": "12\n"}']
     extra = spark.createDataFrame(
         [(920_000_000 + i, t0, 1, "json_edge", 1.0, p)
          for i, p in enumerate(bad)],

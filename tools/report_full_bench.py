@@ -28,6 +28,10 @@ def main() -> int:
     note = ""
     if "--note" in argv:
         i = argv.index("--note")
+        if i + 1 >= len(argv):
+            print("usage: report_full_bench.py [--note TEXT] "
+                  "<bench-json-file> [more ...]", file=sys.stderr)
+            return 2
         note = argv[i + 1]
         del argv[i:i + 2]
     srcs = [Path(p) for p in argv]
