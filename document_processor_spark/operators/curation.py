@@ -140,8 +140,11 @@ def q_cur_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (_docs(spark, sf_dir)
           .select("doc_id", _shingles_col().alias("shingles"))
           .filter(F.size("shingles") > 0))
-    sigs = (sh.withColumn("xs", _shingle_ints_col())
-            .select("doc_id", _screen_sigs_col().alias("sigs")))
+    # r6: the signature table feeds THREE consumers (the eval distinct,
+    # the train band explode, and the final train left-join) — unpinned,
+    # the shingle + md5 + band-minhash build ran three times per query.
+    sigs = _pin(sh.withColumn("xs", _shingle_ints_col())
+                .select("doc_id", _screen_sigs_col().alias("sigs")))
     eval_sigs = (sigs.filter(F.col("doc_id") % EVAL_MOD == 0)
                  .select(F.explode("sigs").alias("bs"))
                  .select("bs.band", "bs.mh").distinct())

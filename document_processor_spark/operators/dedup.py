@@ -418,10 +418,12 @@ def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                .groupBy("doc_id", "n")
                .agg(F.array_sort(F.collect_list(
                    F.struct(F.col("df_s"), F.col("s")))).alias("by_rarity")))
-    prefix = (ordered
-              .select("doc_id", "n",
-                      F.explode(F.slice("by_rarity", 1, p)).alias("tok"))
-              .select("doc_id", "n", F.col("tok.s").alias("s")))
+    # r6: the prefix index feeds BOTH sides of the candidate self-join —
+    # unpinned, the dfreq shuffle + rarity sort + slice ran once per side.
+    prefix = _pin(ordered
+                  .select("doc_id", "n",
+                          F.explode(F.slice("by_rarity", 1, p)).alias("tok"))
+                  .select("doc_id", "n", F.col("tok.s").alias("s")))
     a = prefix.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"),
                       "s")
     b = prefix.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"),
@@ -1671,15 +1673,20 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("s_a", "s_b"))
     union = F.size("s_a") + F.size("s_b") - inter
     jac = F.round(inter.cast("double") / union.cast("double"), 4)
-    truth = (lo.join(hi, ["ga", "gb"])
-             .filter((F.col("ga") != F.col("gb"))
-                     | (F.col("id_a") < F.col("id_b")))
-             .filter(jac >= MINHASH_JACCARD_T)
-             .select(F.least("id_a", "id_b").alias("d1"),
-                     F.greatest("id_a", "id_b").alias("d2")))
-    lsh = (q_dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
-           .filter((_lsh_eval_hash(F.col("d1")) < LSH_EVAL_T)
-                   & (_lsh_eval_hash(F.col("d2")) < LSH_EVAL_T)))
+    # r6: both pair sets feed TWO consumers each (their own count and the
+    # n_hit intersection join) — unpinned, the quadratic block-pair truth
+    # verify and the whole LSH pipeline ran twice per query.  The pinned
+    # frames are tiny (two-column pair sets), so the materialization is
+    # free next to the recompute it saves.
+    truth = _pin(lo.join(hi, ["ga", "gb"])
+                 .filter((F.col("ga") != F.col("gb"))
+                         | (F.col("id_a") < F.col("id_b")))
+                 .filter(jac >= MINHASH_JACCARD_T)
+                 .select(F.least("id_a", "id_b").alias("d1"),
+                         F.greatest("id_a", "id_b").alias("d2")))
+    lsh = _pin(q_dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+               .filter((_lsh_eval_hash(F.col("d1")) < LSH_EVAL_T)
+                       & (_lsh_eval_hash(F.col("d2")) < LSH_EVAL_T)))
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
     n_hit = (truth.join(lsh, ["d1", "d2"])

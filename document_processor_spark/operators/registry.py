@@ -82,16 +82,24 @@ _PRIORITY: tuple[str, ...] = (
     "cur_universe_sample", "cur_keep_best", "cur_score_normalize",
     "cur_url_dedup", "stream_static_enrich", "rel_min_price_supplier",
     "rel_region_trade",
-    # (b) re-certification of r6-changed code paths
+    # (b) re-certification of r6-changed code paths.  The first eight are
+    # the tools/check_stale_certs.py FUNCTION-LEVEL stale set on the final
+    # r6 tree (scratch relocation touched the 3 interchange round-trips and
+    # 3 stream queries; the double-eval pins touched dedup_lsh_recall and
+    # dedup_prefix_jaccard) — the stale-cert rule outranks plan-identical
+    # re-certs, so helper-only members (dedup_semantic, ta_langid, …,
+    # covered by the 172/172 mirror) rotated out to make room.
+    "pipe_extract_orc_roundtrip", "pipe_extract_jsonl_roundtrip",
+    "pipe_extract_csv_roundtrip", "stream_late_data",
+    "stream_session_window", "stream_join_attribution",
+    "dedup_lsh_recall", "dedup_prefix_jaccard",
     "pipe_extract_catalyst", "pipe_extract_arrow", "pipe_extract_skew",
     "pipe_extract_ocr_fast", "pipe_extract_ocr_full",
     "pipe_extract_page_range", "pipe_extract_curate",
     "ext_glyph_clean", "ext_table_flatten", "ext_skip_gates",
-    "ext_html_density", "dedup_minhash_lsh", "dedup_embedding_cosine_lsh",
-    "dedup_embedding_cosine", "dedup_semantic", "dedup_ngram_jaccard",
-    "ann_bruteforce_topk", "ann_filtered_topk", "ann_lsh_topk",
-    "ta_quality", "ta_langid", "rel_pricing_summary",
-    "cur_fuzzy_decontaminate", "cur_corpus_build", "ta_source_vocab_overlap",
+    "dedup_minhash_lsh", "dedup_embedding_cosine_lsh",
+    "ann_bruteforce_topk", "ta_quality", "rel_pricing_summary",
+    "cur_fuzzy_decontaminate", "cur_corpus_build",
     # ---- 50-slot window boundary ----
 )
 

@@ -168,6 +168,51 @@ def test_fan_out_repartitions_single_split_and_skips_wide(spark):
     assert wide is df
 
 
+# -- double-eval pins (lsh_recall / fuzzy_decontaminate / prefix_jaccard) ----
+#
+# Each of these queries has an intermediate frame consumed by >= 2 plan
+# branches; the r6 pin (lazy localCheckpoint) makes the expensive build run
+# ONCE.  Value equality vs the DuckDB oracle is pinned by the session-5/13
+# oracle tests; here we pin the plan shape: the final physical plan reads
+# the pinned frames as ExistingRDD scans and no longer contains the
+# duplicated expensive subtrees.
+
+def _phys(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fuzzy_decontaminate_sig_build_runs_once(spark):
+    from document_processor_spark.operators import curation
+    plan = _phys(curation.q_cur_fuzzy_decontaminate(
+        spark, "/root/testdata/sf0.001"))
+    assert "ExistingRDD" in plan          # the sigs pin
+    assert "md5" not in plan              # sig build entirely behind the pin
+
+
+def test_lsh_recall_truth_and_lsh_build_run_once(spark):
+    from document_processor_spark.operators import dedup
+    plan = _phys(dedup.q_dedup_lsh_recall(spark, "/root/testdata/sf0.001"))
+    assert "ExistingRDD" in plan          # truth + lsh pins
+    # the quadratic truth verify (array_intersect) and every base-table
+    # scan sit behind pins now.  (An md5 eval-hash filter can still appear
+    # ABOVE a pinned scan: LogicalRDD carries the child's constraints, and
+    # InferFiltersFromConstraints re-materializes the lsh filter on the
+    # truth side of the n_hit join — a per-pair-row predicate over the
+    # tiny pinned set, not a recompute.)
+    assert "array_intersect" not in plan
+    assert "Scan parquet" not in plan
+
+
+def test_prefix_jaccard_prefix_index_built_once(spark):
+    from document_processor_spark.operators import dedup
+    plan = _phys(dedup.q_dedup_prefix_jaccard(
+        spark, "/root/testdata/sf0.001"))
+    assert "ExistingRDD" in plan          # the prefix pin
+    # the rarity sort (collect_list over dfreq-joined postings) runs once,
+    # behind the pin — not once per side of the candidate self-join
+    assert "collect_list" not in plan
+
+
 # -- zero-exchange extract path ----------------------------------------------
 
 def test_extract_prepartitioned_input_equals_repartition_path(spark):
