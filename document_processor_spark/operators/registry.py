@@ -82,12 +82,13 @@ _PRIORITY: tuple[str, ...] = (
     "cur_universe_sample", "cur_keep_best", "cur_score_normalize",
     "cur_url_dedup", "stream_static_enrich", "rel_min_price_supplier",
     "rel_region_trade",
-    # (b) re-certification of r6-changed code paths.  The first twelve are
-    # the tools/check_stale_certs.py FUNCTION-LEVEL stale set on the final
-    # r6 tree (scratch relocation touched the 3 interchange round-trips and
-    # 3 stream queries; the single-parse builders of 231d2bf edited the
-    # dedup_semantic/embedding_cosine and ann_lsh/filtered bodies; the
-    # double-eval pins touched dedup_lsh_recall and dedup_prefix_jaccard)
+    # (b) re-certification of r6-changed code paths.  The first thirteen
+    # are the tools/check_stale_certs.py FUNCTION-LEVEL stale set on the
+    # final r6 tree (scratch relocation touched the 3 interchange
+    # round-trips and 3 stream queries; the single-parse builders of
+    # 231d2bf edited the dedup_semantic/embedding_cosine and
+    # ann_lsh/filtered bodies; the double-eval pins touched
+    # dedup_lsh_recall, dedup_prefix_jaccard and ta_containment)
     # — the stale-cert rule outranks plan-identical re-certs, so
     # helper-only members (ta_langid, ext_table_flatten, …, covered by the
     # 172/172 mirror) rotated out to make room.  The rest re-certify the
@@ -96,11 +97,11 @@ _PRIORITY: tuple[str, ...] = (
     "pipe_extract_orc_roundtrip", "pipe_extract_jsonl_roundtrip",
     "pipe_extract_csv_roundtrip", "stream_late_data",
     "stream_session_window", "stream_join_attribution",
-    "dedup_lsh_recall", "dedup_prefix_jaccard",
+    "dedup_lsh_recall", "dedup_prefix_jaccard", "ta_containment",
     "dedup_semantic", "dedup_embedding_cosine",
     "ann_lsh_topk", "ann_filtered_topk",
     "pipe_extract_catalyst", "pipe_extract_arrow", "pipe_extract_skew",
-    "pipe_extract_ocr_fast", "pipe_extract_ocr_full",
+    "pipe_extract_ocr_fast",
     "ext_glyph_clean",
     "dedup_minhash_lsh", "dedup_embedding_cosine_lsh",
     "ann_bruteforce_topk", "ta_quality", "rel_pricing_summary",

@@ -2170,7 +2170,11 @@ CONTAIN_T_BP = 5000    # emit pairs with containment >= 50% (basis points)
 
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _pin, _shingles_col
-    d = _docs(spark, sf_dir).select("doc_id", _shingles_col().alias("sh"))
+    # r6: the shingle arrays feed both the document-frequency branch and
+    # the stoplist join — pinned, the per-doc shingle build runs once and
+    # each branch re-derives its postings by an explode of pinned arrays.
+    d = _pin(_docs(spark, sf_dir).select("doc_id",
+                                         _shingles_col().alias("sh")))
     post0 = d.select("doc_id", F.explode("sh").alias("s"))
     df_ = (post0.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
            .filter(F.col("df") <= CONTAIN_STOP))
